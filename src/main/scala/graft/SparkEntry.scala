@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 appears in [[queries]]; each entry
+  * that is ANSI-SQL-expressible also appears in [[oracleSql]] with
+  * *identical* output column names (the driver sorts columns by name
+  * and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(Tables(spark, "/root/testdata/sf0.001").lineitem)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 relational / OLAP core ----
+    "q1_agg" -> ((s, dir) => Relational.q1PricingSummary(Tables(s, dir).lineitem)),
+    "q2_join_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q2RevenuePerNation(t.lineitem, t.orders, t.customer, t.nation, t.region)
+    }),
+    "q3_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q3TopUnshipped(t.lineitem, t.orders, t.customer)
+    }),
+    "q4_semijoin" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q4PriorityExists(t.orders, t.lineitem)
+    }),
+    "q5_antijoin" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q5AntiJoin(t.customer, t.orders)
+    }),
+    "q6_filter_agg" -> ((s, dir) => Relational.q6ForecastRevenue(Tables(s, dir).lineitem)),
+    "q7_window_rank" -> ((s, dir) => Relational.q7WindowRank(Tables(s, dir).customer)),
+    "q8_running_sum" -> ((s, dir) => Relational.q8RunningSum(Tables(s, dir).orders)),
+    "q9_distinct_agg" -> ((s, dir) => Relational.q9DistinctAgg(Tables(s, dir).lineitem)),
+    "q10_having" -> ((s, dir) => Relational.q10Having(Tables(s, dir).orders)),
+    "q11_case_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q11CasePivot(t.customer, t.nation)
+    }),
+    "q12_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q12Rollup(t.customer, t.nation, t.region)
+    }),
+    "q13_union" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q13Union(t.customer, t.orders)
+    }),
+    "q14_scalar_subquery" -> ((s, dir) => Relational.q14ScalarSubquery(Tables(s, dir).part)),
+    "q15_percentiles" -> ((s, dir) => Relational.q15Percentiles(Tables(s, dir).customer)),
+    "q16_crossjoin_small" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q16CrossJoin(t.nation, t.region)
+    }),
+    "q17_corr_subquery" -> ((s, dir) => Relational.q17CorrSubquery(Tables(s, dir).lineitem)),
+    "q18_groupjoin_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q18GroupJoinTopK(t.lineitem, t.orders, t.customer)
+    }),
+    // ---- §2.1 event-stream semantics ----
+    "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
+    "ev_route_dispatch" -> ((s, dir) =>
+      EventOps.routeDispatch(Tables(s, dir).events, EventOps.handlerRegistry(s))),
+    "ev_echo" -> ((s, dir) => EventOps.echo(Tables(s, dir).events)),
+    "ev_instance_info" -> ((s, dir) => EventOps.instanceInfo(Tables(s, dir).events)),
+    "ev_trim_last_n" -> ((s, dir) => EventOps.trimLastN(Tables(s, dir).events, 50)),
+    "ev_trim_overflow" -> ((s, dir) => EventOps.trimOverflow(Tables(s, dir).events, 50)),
+    "ev_response_asof" -> ((s, dir) => EventOps.responseAsof(Tables(s, dir).events)),
+    "ev_response_latency" -> ((s, dir) => EventOps.responseLatency(Tables(s, dir).events)),
+    "ev_session_gap" -> ((s, dir) => EventOps.sessionGap(Tables(s, dir).events)),
+    "ev_window_tumbling" -> ((s, dir) => EventOps.windowTumbling(Tables(s, dir).events)),
+    "ev_window_sliding" -> ((s, dir) => EventOps.windowSliding(Tables(s, dir).events)),
+    "ev_props_extract" -> ((s, dir) => EventOps.propsExtract(Tables(s, dir).events)),
+    "ev_funnel" -> ((s, dir) => EventOps.funnel(Tables(s, dir).events)),
+    "ev_retention" -> ((s, dir) => EventOps.retention(Tables(s, dir).events)),
+    "ev_first_last" -> ((s, dir) => EventOps.firstLast(Tables(s, dir).events)),
+    "ev_pending_stats" -> ((s, dir) => EventOps.pendingStats(Tables(s, dir).events)),
+    "ev_top_users" -> ((s, dir) => EventOps.topUsers(Tables(s, dir).events)),
+    "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
+    "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    RANK() OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+    "q8_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q9_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q10_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_case_pivot" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
+        |  COUNT(*) AS n_total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS region_name,
+        |  COALESCE(n_name, '(all)') AS nation_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  COUNT(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q13_union" ->
+      """SELECT c_custkey AS cust_key FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT o_custkey AS cust_key FROM orders WHERE o_totalprice > 300000
+        |ORDER BY cust_key""".stripMargin,
+    "q14_scalar_subquery" ->
+      """SELECT p_brand, COUNT(*) AS n_above
+        |FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM part)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT c_mktsegment,
+        |  ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q16_crossjoin_small" ->
+      """SELECT n_name, r_name
+        |FROM nation CROSS JOIN region
+        |WHERE n_regionkey <> r_regionkey
+        |ORDER BY n_name, r_name""".stripMargin,
+    "q17_corr_subquery" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity * 5 * cnt < sq""".stripMargin,
+    "q18_groupjoin_topk" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "ev_route_counts" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ev_route_dispatch" ->
+      """SELECT event_type, COALESCE(handler, 'unhandled') AS handler,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |LEFT JOIN (VALUES
+        |    ('click', 'click_handler'),
+        |    ('purchase', 'billing_handler'),
+        |    ('purchase', 'audit_handler'),
+        |    ('signup', 'account_handler')) AS registry(r_event, handler)
+        |  ON event_type = r_event
+        |GROUP BY event_type, COALESCE(handler, 'unhandled')
+        |ORDER BY event_type, COALESCE(handler, 'unhandled')""".stripMargin,
+    "ev_echo" ->
+      """SELECT event_id, event_type, user_id, value,
+        |  'graft' AS application_name,
+        |  'user-' || CAST(user_id AS VARCHAR) AS application_instance
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "ev_instance_info" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS first_us,
+        |  MAX(epoch_us(ts)) AS last_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "ev_trim_last_n" ->
+      """SELECT event_id, user_id, ts_us, event_type FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 50
+        |ORDER BY user_id, event_id""".stripMargin,
+    "ev_trim_overflow" ->
+      """SELECT user_id, COUNT(*) AS n_archived,
+        |  MIN(ts_us) AS min_us, MAX(ts_us) AS max_us
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn > 50
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "ev_response_asof" ->
+      """SELECT event_id, user_id, view_us, next_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS view_us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'view' AND next_purchase_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "ev_response_latency" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM (
+        |  SELECT event_type,
+        |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |  FROM events) t
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ev_session_gap" ->
+      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |      CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) IS NULL
+        |        OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events) x) y
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "ev_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start_s,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, event_type
+        |ORDER BY hour_start_s, event_type""".stripMargin,
+    "ev_window_sliding" ->
+      """SELECT (epoch_us(ts) // 1800000000 - off) * 1800 AS win_start_s,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
+        |GROUP BY 1
+        |ORDER BY win_start_s""".stripMargin,
+    "ev_props_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin,
+    "ev_funnel" ->
+      """SELECT COUNT(v) AS n_view,
+        |  COUNT(CASE WHEN c > v THEN 1 END) AS n_view_click,
+        |  COUNT(CASE WHEN c > v AND p > c THEN 1 END) AS n_funnel
+        |FROM (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY user_id) t""".stripMargin,
+    "ev_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events)
+        |SELECT a.d AS day_idx, COUNT(*) AS active,
+        |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained
+        |FROM ud a LEFT JOIN ud b
+        |  ON a.user_id = b.user_id AND b.d = a.d + 1
+        |GROUP BY a.d
+        |ORDER BY day_idx""".stripMargin,
+    "ev_first_last" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+        |  MIN(CASE WHEN rn_a = 1 THEN ts_us END) AS first_us,
+        |  MIN(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+        |  MIN(CASE WHEN rn_d = 1 THEN ts_us END) AS last_us
+        |FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+        |  FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "ev_pending_stats" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        |  CAST(SUM(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  COUNT(*) AS n_total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ev_top_users" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY total_value DESC, user_id
+        |LIMIT 10""".stripMargin,
+    "ev_zscore_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type AS m_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS msq,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  ROUND((value - mean) / sqrt(msq - mean * mean), 6) AS z
+        |FROM events JOIN m ON event_type = m_type
+        |WHERE ABS((value - mean) / sqrt(msq - mean * mean)) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "ev_dedup_exact" ->
+      """SELECT MIN(event_id) AS event_id, user_id, event_type, value,
+        |  COUNT(*) AS dup_count
+        |FROM events
+        |GROUP BY user_id, event_type, props, value
+        |ORDER BY event_id""".stripMargin
+  )
 }

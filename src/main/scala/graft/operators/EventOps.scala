@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operator suite (SURVEY.md §2.1) — the batch analogs of
+  * the reference's event-bus semantics (routing, dispatch, trim,
+  * request/response correlation, consumer bookkeeping); the live
+  * Structured-Streaming versions live in [[graft.streaming]].
+  *
+  * All operators key their one shuffle on the stream's natural
+  * partition key (`user_id` — the reference's application_instance —
+  * or `event_type`), so at 100 TB each is a single hash exchange with
+  * map-side partial aggregation, and window functions evaluate
+  * streamingly inside each partition. Timestamps are carried as
+  * microsecond longs (`ts_us`) — exact integer arithmetic, no
+  * float/timezone hazards in the oracle compare.
+  */
+object EventOps {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** events + exact microsecond epoch column. */
+  def withTsUs(events: DataFrame): DataFrame =
+    events.withColumn("ts_us", unix_micros(col("ts")))
+
+  /** Per-user (ts, event_id) arrival order — the stream order. */
+  private def byArrival = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_us"), col("event_id"))
+
+  /** Event routing: per-event-type traffic counts (the bus's dispatch
+    * table view; reference `streams/bus.py:41` routes on `event`).
+    */
+  def routeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** The handler registry dimension (reference
+    * `configuration/bus.py` handler groups): event name → handler,
+    * possibly several handlers per event.
+    */
+  def handlerRegistry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", "click_handler"),
+      ("purchase", "billing_handler"),
+      ("purchase", "audit_handler"),
+      ("signup", "account_handler")
+    ).toDF("r_event", "handler")
+  }
+
+  /** Dispatch join: every event fans out to each registered handler;
+    * unregistered events fall through to 'unhandled' (the reference
+    * logs these, `streams/bus.py:77`). Registry is broadcast — the
+    * fact side never shuffles.
+    */
+  def routeDispatch(events: DataFrame, registry: DataFrame): DataFrame =
+    events.join(broadcast(registry), col("event_type") === col("r_event"), "left")
+      .withColumn("handler", coalesce(col("handler"), lit("unhandled")))
+      .groupBy(col("event_type"), col("handler"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("handler"))
+
+  /** Echo handler (reference `handlers/echo.py`): identity projection
+    * with application identity attached — a pure narrow map.
+    */
+  def echo(events: DataFrame): DataFrame =
+    events.select(
+        col("event_id"), col("event_type"), col("user_id"), col("value"),
+        lit("graft").as("application_name"),
+        concat(lit("user-"), col("user_id").cast("string"))
+          .as("application_instance"))
+      .orderBy(col("event_id"))
+
+  /** get_instance/info (reference `handlers/master.py:134`): per
+    * application-instance activity summary.
+    */
+  def instanceInfo(events: DataFrame): DataFrame =
+    withTsUs(events).groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(dec2(col("value"))).cast("double").as("total_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"))
+
+  /** XTRIM keep-last-N per stream (reference `handlers/master.py:27`
+    * trims each stream to `count` newest records): row_number over
+    * arrival-desc ≤ N.
+    */
+  def trimLastN(events: DataFrame, n: Int): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    withTsUs(events)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= n)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** The archived overflow (reference `master.py:58` writes records
+    * beyond N to an archive file): the rank>N complement, aggregated
+    * per stream.
+    */
+  def trimOverflow(events: DataFrame, n: Int): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    withTsUs(events)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") > n)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_archived"),
+        min(col("ts_us")).as("min_us"),
+        max(col("ts_us")).as("max_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Request/response correlation as an as-of match (reference
+    * `messages/base.py:593` pairs a response to its request via
+    * `response_to`): each 'view' matched to the next 'purchase' by the
+    * same user strictly after it. One window pass — no self-join, no
+    * second shuffle.
+    */
+  def responseAsof(events: DataFrame): DataFrame = {
+    val following = byArrival.rowsBetween(1, Window.unboundedFollowing)
+    withTsUs(events)
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(following))
+      .filter(col("event_type") === "view" && col("next_purchase_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("view_us"), col("next_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Response-latency distribution (reference `streams/reader.py:111`
+    * waits for the correlated response): gap to the user's next event,
+    * aggregated per event type. Integer micros ⇒ exact sums.
+    */
+  def responseLatency(events: DataFrame): DataFrame =
+    withTsUs(events)
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byArrival))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization (30 min), the batch analog of the
+    * stateful stream handler: lag → new-session flag → running sum =
+    * session index; one shuffle on user_id, then per-session rollup.
+    */
+  def sessionGap(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val runningFlags = byArrival.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTsUs(events)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byArrival))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(runningFlags).cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Tumbling 1-hour windows (batch analog of the streaming windowed
+    * aggregation). Window start carried as epoch seconds (exact
+    * integer floor arithmetic in both engines).
+    */
+  def windowTumbling(events: DataFrame): DataFrame =
+    withTsUs(events)
+      .withColumn("hour_start_s", expr("ts_us div 3600000000") * 3600)
+      .groupBy(col("hour_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour_start_s"), col("event_type"))
+
+  /** Sliding 1-hour windows every 30 min via Spark's native window()
+    * (each event lands in exactly two windows).
+    */
+  def windowSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("win_start_s"))
+
+  /** GenericMessage.data payload field access (reference
+    * `messages/base.py:866` + `get_by_path`): extract props.k and
+    * aggregate by bucket. Regex extraction keeps the oracle portable.
+    */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Workflow funnel (reference workflow_id chains, `base.py:515`):
+    * how many users progressed view → click → purchase in order.
+    * Two-level aggregation, both keyed on user_id then global.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val perUser = withTsUs(events).groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("v"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("p"))
+    perUser.agg(
+      count(col("v")).as("n_view"),
+      count(when(col("c") > col("v"), lit(1))).as("n_view_click"),
+      count(when(col("c") > col("v") && col("p") > col("c"), lit(1)))
+        .as("n_funnel"))
+  }
+
+  /** Day-over-day instance liveness (the master handler's heartbeat
+    * view): distinct (user, day) self-joined to day+1. The self-join
+    * shares the user_id shuffle; at scale the daily-distinct set is
+    * tiny relative to the raw stream.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val ud = withTsUs(events)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      .distinct()
+    val b = ud.select(col("user_id").as("b_user"), col("d").as("b_d"))
+    ud.join(b, col("user_id") === col("b_user") && col("b_d") === col("d") + 1, "left")
+      .groupBy(col("d").as("day_idx"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("b_user").isNotNull, 1).otherwise(0)).cast("long")
+          .as("retained"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** First/last message per consumer (consumer bookkeeping,
+    * `utilities/communication.py`): deterministic first/last by
+    * (ts, event_id) arrival order — one window pass, one rollup.
+    */
+  def firstLast(events: DataFrame): DataFrame = {
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    withTsUs(events)
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("rn_a") === 1, col("event_type"))).as("first_type"),
+        min(when(col("rn_a") === 1, col("ts_us"))).as("first_us"),
+        min(when(col("rn_d") === 1, col("event_type"))).as("last_type"),
+        min(when(col("rn_d") === 1, col("ts_us"))).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** XPENDING-style bucketed stats (consumer-group pending counts):
+    * conditional aggregation into value buckets, one pass.
+    */
+  def pendingStats(events: DataFrame): DataFrame = {
+    def bucket(cond: Column) = sum(when(cond, 1).otherwise(0)).cast("long")
+    events.groupBy(col("event_type"))
+      .agg(
+        bucket(col("value") < 50).as("n_small"),
+        bucket(col("value") >= 50 && col("value") < 200).as("n_mid"),
+        bucket(col("value") >= 200).as("n_big"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Heaviest producers: agg + top-k (TakeOrdered — no global sort). */
+  def topUsers(events: DataFrame, k: Int = 10): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast("double").as("total_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+
+  /** Per-type z-score outliers from exact decimal moments (sum and
+    * sum-of-squares are exact ⇒ mean/variance are deterministic
+    * doubles ⇒ the |z|>2.5 cut can't flip between engines). The tiny
+    * per-type moments table is broadcast back onto the stream.
+    */
+  def zscoreOutliers(events: DataFrame): DataFrame = {
+    val moments = events.groupBy(col("event_type").as("m_type"))
+      .agg(
+        sum(dec2(col("value"))).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("variance",
+        col("sq").cast("double") / col("n") - col("mean") * col("mean"))
+    events.join(broadcast(moments), col("event_type") === col("m_type"))
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** At-least-once delivery dedup: collapse redelivered payloads
+    * (same user/type/props/value) to the first delivery.
+    */
+  def dedupExact(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"), col("props"), col("value"))
+      .agg(min(col("event_id")).as("event_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("dup_count"))
+      .orderBy(col("event_id"))
+}

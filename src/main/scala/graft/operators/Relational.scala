@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational / OLAP operator suite (SURVEY.md §2.2).
+  *
+  * Oracle-parity rules (SURVEY.md §5): money aggregates go through
+  * exact DECIMAL sums (associative ⇒ shuffle-order independent) and
+  * are cast to DOUBLE at the very end; every query ends in a full
+  * deterministic ORDER BY; rank-style ints are cast to LONG to match
+  * DuckDB's BIGINT window results. Plans stay fully declarative so
+  * Catalyst pushes filters/projections into the parquet scan and
+  * picks broadcast joins for the dims.
+  *
+  * Scale notes (100 TB): every aggregation keys on a natural
+  * high-cardinality column (map-side partial agg does the heavy
+  * lifting); dimension joins (`nation`, `region`, per-group scalar
+  * aggregates) are explicitly `broadcast()`; the only wide shuffles
+  * are the unavoidable fact-fact joins on their join keys, which AQE
+  * re-plans at runtime (skew-join splitting + coalescing).
+  */
+object Relational {
+
+  /** Exact 2-decimal view of a money/quantity double: decimal sums are
+    * exact and associative, so aggregation order (shuffle layout) can't
+    * change the result — required for hash-stable oracle comparison.
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+
+  /** TPC-H Q1 shape: pricing summary. One shuffle on the (tiny) group
+    * key; map-side partial aggregation does nearly all the work, so
+    * this scales linearly with input at 100 TB.
+    */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenue).cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q5 shape: revenue per nation in one region. lineitem⋈orders
+    * shuffles on orderkey, orders⋈customer on custkey; nation/region
+    * are broadcast so the fact side never reshuffles for them.
+    */
+  def q2RevenuePerNation(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame,
+                         region: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q3 shape: unshipped-order revenue top-k. The order-by+limit
+    * runs as TakeOrderedAndProject — per-partition top-k then a single
+    * driver merge of k·partitions rows, no global sort at scale.
+    */
+  def q3TopUnshipped(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q4 shape: EXISTS → left_semi join (no row duplication, the
+    * probe side short-circuits on first match).
+    */
+  def q4PriorityExists(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(lineitem.filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** NOT EXISTS → left_anti: customers with no open ('O') order. */
+  def q5AntiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** TPC-H Q6 shape: selective scan aggregation — all three predicates
+    * reach the parquet reader as PushedFilters; only 4 columns read.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Window rank per partition: top-3 customers by balance per segment.
+    * One shuffle on the partition key; rank cast to LONG (DuckDB BIGINT).
+    */
+  def q7WindowRank(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
+  /** Running aggregate over an ordered frame, partitioned by customer —
+    * scales as one shuffle on o_custkey, frames evaluated streamingly.
+    */
+  def q8RunningSum(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .withColumn("running_spend", sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Multi-distinct aggregation: Spark expands to a two-phase
+    * (expand + partial) plan; distinct counts stay exact.
+    */
+  def q9DistinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Post-aggregation filter (HAVING). */
+  def q10Having(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("o_custkey"))
+
+  /** Conditional aggregation / manual pivot: per-nation segment counts
+    * in one pass (no per-segment scans).
+    */
+  def q11CasePivot(customer: DataFrame, nation: DataFrame): DataFrame = {
+    def seg(s: String) =
+      sum(when(col("c_mktsegment") === s, 1).otherwise(0)).cast("long")
+    customer.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        seg("BUILDING").as("n_building"),
+        seg("MACHINERY").as("n_machinery"),
+        seg("AUTOMOBILE").as("n_automobile"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Rollup hierarchy aggregation; grouping nulls coalesced to a
+    * sentinel so null-ordering differences can't bite the oracle.
+    */
+  def q12Rollup(customer: DataFrame, nation: DataFrame,
+                region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region_name"),
+        coalesce(col("n_name"), lit("(all)")).as("nation_name"),
+        col("total_bal"), col("n"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  /** Union + dedup across branches (hash-distinct on the merged key). */
+  def q13Union(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("cust_key"))
+      .union(orders.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("cust_key")))
+      .distinct()
+      .orderBy(col("cust_key"))
+
+  /** Scalar subquery (global aggregate vs per-row comparison): the
+    * 1-row aggregate is broadcast, the fact side streams past it.
+    * Exact-decimal average ⇒ both engines see the same threshold.
+    */
+  def q14ScalarSubquery(part: DataFrame): DataFrame = {
+    val avgPrice = part.agg(
+      (sum(dec2(col("p_retailprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    part.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Exact percentiles per group (sort-based). Rounded to 6 dp so the
+    * interpolation arithmetic can't drift across engines.
+    */
+  def q15Percentiles(customer: DataFrame): DataFrame =
+    customer.groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 6).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Small-dim cross product with a non-equi predicate → broadcast
+    * nested-loop join (both sides tiny; never shuffles the cluster).
+    */
+  def q16CrossJoin(nation: DataFrame, region: DataFrame): DataFrame =
+    nation.crossJoin(broadcast(region))
+      .filter(col("n_regionkey") =!= col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"), col("r_name"))
+
+  /** TPC-H Q17 shape: correlated subquery decorrelated into a join
+    * against per-part aggregates. The agg side is tiny relative to the
+    * fact table and shares the l_partkey shuffle key.
+    * Threshold arithmetic mirrored operation-for-operation in the
+    * oracle so float comparisons bit-match.
+    */
+  def q17CorrSubquery(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sq"),
+        count(lit(1)).as("cnt"))
+    lineitem.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * lit(5) * col("cnt") < col("sq"))
+      .agg(
+        (sum(dec2(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q18 shape: large-group aggregation feeding a join + top-k.
+    * The HAVING prunes before the join; top-k is TakeOrdered.
+    */
+  def q18GroupJoinTopK(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables.
+  *
+  * Plain `spark.read.parquet` so Catalyst keeps full pushdown freedom:
+  * filters and projections applied by downstream operators reach the
+  * scan (verify via `PushedFilters` / `ReadSchema` in explain output).
+  * At cluster scale the same loaders work over a directory of many
+  * files; nothing here assumes a single file.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    * natively. Read nanos as long and floor-convert to a micros
+    * timestamp (matches DuckDB's ns→us truncation semantics).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

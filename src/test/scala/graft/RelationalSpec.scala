@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks each DataFrame query against an independent Spark SQL
+  * formulation — catches aliasing, ordering and arithmetic drift before
+  * the driver's DuckDB oracle does.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  /** Register all tables as temp views and run the oracle SQL in Spark
+    * itself (ANSI subset shared with DuckDB), then compare collected
+    * rows as sorted string lists.
+    */
+  private def sqlCross(name: String): Unit = {
+    val tb = graft.sources.Tables(spark, TestSpark.sfDir)
+    Seq("region" -> tb.region, "nation" -> tb.nation, "customer" -> tb.customer,
+      "supplier" -> tb.supplier, "part" -> tb.part, "orders" -> tb.orders,
+      "lineitem" -> tb.lineitem, "events" -> tb.events,
+      "documents" -> tb.documents, "embeddings" -> tb.embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val got = run(name)
+    val exp = spark.sql(SparkEntry.oracleSql(name))
+    assert(got.columns.toSeq == exp.columns.toSeq, s"$name column names/order")
+    val g = got.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val e = exp.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(g == e, s"$name rows differ\n got=${g.take(5)}\n exp=${e.take(5)}")
+  }
+
+  test("q1_agg matches its SQL formulation and is non-empty") {
+    assert(run("q1_agg").count() > 0)
+    sqlCross("q1_agg")
+  }
+
+  test("every oracleSql key has a queries entry and vice versa (SQL-expressible ones)") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
