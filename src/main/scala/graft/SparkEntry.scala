@@ -86,7 +86,37 @@ object SparkEntry {
     "ev_pending_stats" -> ((s, dir) => EventOps.pendingStats(Tables(s, dir).events)),
     "ev_top_users" -> ((s, dir) => EventOps.topUsers(Tables(s, dir).events)),
     "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
-    "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events))
+    "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
+    // ---- §2.3 LLM-training-data pipeline ----
+    "txt_tokens" -> ((s, dir) => TextOps.tokens(Tables(s, dir).documents)),
+    "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
+    "txt_langid" -> ((s, dir) => TextOps.langId(Tables(s, dir).documents)),
+    "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables(s, dir).documents)),
+    "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
+    "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
+    "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
+    "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
+    "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
+    "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
+    "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
+    "ev_parse_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val superset = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType),
+        StructField("event", StringType)))
+      val registry = Seq(
+        graft.model.MessageSchema("keyed", Seq("k")),
+        graft.model.MessageSchema("generic", Seq.empty))
+      graft.model.MessageParser
+        .parse(Tables(s, dir).events, org.apache.spark.sql.functions.col("props"),
+          registry, superset)
+        .groupBy(org.apache.spark.sql.functions.col("schema_name"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("schema_name"))
+    }),
+    "mm_meta" -> ((s, dir) => Multimodal.meta(Tables(s, dir).documents))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,6 +463,124 @@ object SparkEntry {
         |  COUNT(*) AS dup_count
         |FROM events
         |GROUP BY user_id, event_type, props, value
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id, n_words, n_stop,
+        |  ROUND(stop_ratio, 6) AS stop_ratio,
+        |  ROUND(CAST(length(text) - n_words + 1 AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  ROUND(LEAST(1.0, n_words / 100.0) * 0.5 + (1.0 - stop_ratio) * 0.5, 6) AS score
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      """SELECT doc_id, predicted_lang,
+        |  CAST(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |         WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+        |         WHEN c_es >= c_de THEN 'es'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      (length(text) - length(replace(text, ' the ', ''))) // 5 AS c_en,
+        |      (length(text) - length(replace(text, ' le ', ''))) // 4 AS c_fr,
+        |      (length(text) - length(replace(text, ' el ', ''))) // 4 AS c_es,
+        |      (length(text) - length(replace(text, ' der ', ''))) // 5 AS c_de
+        |    FROM documents) x) t
+        |ORDER BY doc_id""".stripMargin,
+    "dd_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY h""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= (s1.s + s2.s - inter) * 50
+        |ORDER BY doc1, doc2""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, cv) /
+        |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN p)
+        |SELECT probe_id, rnk, vec_id, ROUND(cos, 6) AS cos FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM s) t
+        |WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "ann_knn_vote" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (
+        |  SELECT probe_id, vec_id, label,
+        |    list_dot_product(pv, cv) /
+        |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN p),
+        |votes AS (
+        |  SELECT probe_id, label, COUNT(*) AS n_votes FROM (
+        |    SELECT probe_id, label,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM s) t
+        |  WHERE rnk <= 10
+        |  GROUP BY probe_id, label)
+        |SELECT probe_id, label AS predicted_label, n_votes FROM (
+        |  SELECT probe_id, label, n_votes,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS r
+        |  FROM votes) v
+        |WHERE r = 1
+        |ORDER BY probe_id""".stripMargin,
+    "ev_parse_weighted" ->
+      """SELECT CASE WHEN regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |    THEN 'keyed' ELSE 'generic' END AS schema_name,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY schema_name""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(LEAST(length(text), 16) AS BIGINT) AS n_bytes,
+        |  (['jpeg', 'png', 'mp4', 'wav'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+        |  CAST(doc_id % 640 + 64 AS INT) AS width,
+        |  CAST(doc_id % 480 + 48 AS INT) AS height,
+        |  CAST(doc_id % 120 + 1 AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

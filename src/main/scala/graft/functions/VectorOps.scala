@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns, built on
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs,
+  * so they inline into whole-stage codegen.
+  *
+  * Determinism contract: elements are cast to double *before* any
+  * arithmetic and accumulated strictly left-to-right (aggregate is a
+  * sequential fold), which bit-matches DuckDB's list_dot_product on
+  * DOUBLE[] — that is what makes a SQL oracle possible for cosine
+  * results.
+  */
+object VectorOps {
+
+  def toDoubleArray(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine(a,b) = a·b / (√(a·a)·√(b·b)) — formula mirrored
+    * operation-for-operation by the oracle SQL.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane j is
+    * derived from xxhash64("hp_<j>_<d>") scaled to [-1, 1). No RNG
+    * state, so executors regenerate identical planes — nothing to
+    * broadcast.
+    */
+  private def planeComponent(j: Int): String =
+    s"transform(sequence(0, 63), d -> pmod(xxhash64(concat('hp_${j}_', d)), 2001) / 1000.0 - 1.0)"
+
+  /** 16-bit random-hyperplane signature of a double-array vector: bit j
+    * = sign(v · plane_j). Buckets vectors so near-dup / ANN candidate
+    * generation shuffles on a small int key instead of comparing n².
+    */
+  def hyperplaneSignature(vd: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      when(dot(vd, expr(planeComponent(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deduplication operators for the LLM-training-data pipeline
+  * (SURVEY.md §2.3): exact, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): exact dedup keys on md5 (uniform ⇒ no skew).
+  * The near-dup family never goes n²: shingling/minhashing/simhashing
+  * are narrow maps; the only shuffles key on (band, bucket-hash) or
+  * bit-chunk buckets, and pair verification happens strictly within
+  * buckets (candidate set ≪ n²). Exact n-gram Jaccard — inherently a
+  * shingle self-join — is the *verification oracle*, not the scale
+  * path; at 100 TB you run `minhashLsh` and verify candidates only.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles per document (docs shorter than 3 words
+    * drop out, mirroring the SQL oracle's generate_series emptiness).
+    */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w) - 3)," +
+          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("g"))
+
+  /** Exact dedup: hash-groupBy on md5 of the text. Emitting every
+    * group (not just dups) doubles as an md5-parity check against the
+    * oracle; the key is uniform so the shuffle cannot skew.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+      .orderBy(col("h"))
+
+  /** Exact n-gram Jaccard pairs ≥ τ via shingle explode + equi-join.
+    * Pure integer arithmetic: `inter · denom ≥ num · union` instead of
+    * a float threshold, so the cut is engine-exact.
+    */
+  def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
+    val tri = shingles(documents)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val pairs = tri.select(col("doc_id").as("doc1"), col("g"))
+      .join(tri.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
+      .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Per-doc 128-perm MinHash signature. Permutations are the classic
+    * universal-hash family (aᵢ·h + bᵢ) mod p with (aᵢ,bᵢ) derived
+    * deterministically from xxhash64(i) — no state to ship to
+    * executors. One narrow map per doc.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", expr(
+        "transform(array_distinct(transform(sequence(0, size(w) - 3)," +
+          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))), s -> hash(s))"))
+      .withColumn("mh", expr(
+        "transform(transform(sequence(0, 127), i -> named_struct(" +
+          "'a', pmod(xxhash64(concat('mh_a_', i)), 2147483646) + 1," +
+          "'b', pmod(xxhash64(concat('mh_b_', i)), 2147483647)))," +
+          " p -> array_min(transform(hs, h -> pmod(p.a * cast(h as bigint) + p.b, 2147483647))))"))
+      .select(col("doc_id"), col("mh"))
+
+  /** MinHash + LSH near-dup candidates: 16 bands × 8 rows. The only
+    * shuffles are (band, band-hash) bucketing and the per-pair
+    * signature lookups — candidate pairs ≪ n². Estimated Jaccard =
+    * matching signature fraction.
+    */
+  def minhashLsh(documents: DataFrame, minEst: Double = 0.2): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    val bucketed = sigs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 15), b -> hash(slice(mh, b * 8 + 1, 8)))")))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val pairs = bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+      .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
+      .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))
+      .withColumn("est_jaccard", expr(
+        "aggregate(zip_with(mh1, mh2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        .cast("double") / 128.0)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc1"), col("doc2"), col("est_jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** 64-bit SimHash per doc: majority vote of each hash bit across the
+    * doc's words (term frequency = weight). Narrow map.
+    */
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+      .withColumn("sim", expr(
+        "aggregate(transform(sequence(0, 63), j -> if(" +
+          "aggregate(hs, 0L, (acc, h) -> acc + (h >> j & 1) * 2 - 1) > 0," +
+          " shiftleft(1L, j), 0L)), 0L, (acc, b) -> acc + b)"))
+      .select(col("doc_id"), col("sim"))
+
+  /** SimHash hamming near-dup pairs (≤ maxDist) via the pigeonhole
+    * band trick: split 64 bits into 4 chunks of 16; any pair within
+    * hamming 3 shares ≥1 exact chunk, so candidates come from 4
+    * chunk-keyed buckets, verified with bit_count(xor).
+    */
+  def simhashNearDup(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(documents)
+    val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
+        "transform(sequence(0, 3), c -> sim >> (c * 16) & 65535)")))
+      .toDF("doc_id", "sim", "chunk_idx", "chunk")
+    chunked.select(col("doc_id").as("doc1"), col("sim").as("sim1"),
+        col("chunk_idx"), col("chunk"))
+      .join(chunked.select(col("doc_id").as("doc2"), col("sim").as("sim2"),
+        col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        expr("bit_count(sim1 ^ sim2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ tau via random-hyperplane LSH
+    * buckets; exact cosine verified only within buckets. The scale
+    * path for `dd_embed_neardup` — never materializes n² pairs.
+    */
+  def embedNearDup(embeddings: DataFrame, tau: Double = 0.95): DataFrame = {
+    val sig = embeddings.withColumn("vd", VectorOps.toDoubleArray(col("embedding")))
+      .withColumn("bucket", VectorOps.hyperplaneSignature(col("vd")))
+    val pairs = sig.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
+      .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+    pairs
+      .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}

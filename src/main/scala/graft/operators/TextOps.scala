@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline
+  * (SURVEY.md §2.3): token counting, quality scoring, language ID,
+  * document fingerprinting. Every operator is a narrow per-row map —
+  * no shuffle at all — so at 100 TB these run at scan speed and
+  * pipeline into whatever dedup/filter stage follows.
+  */
+object TextOps {
+
+  /** Occurrences of a marker substring via the replace-length trick —
+    * portable exact integer arithmetic (identical in ANSI SQL).
+    */
+  private def markerCount(marker: String): Column =
+    expr(s"(length(text) - length(replace(text, ' $marker ', ''))) div ${marker.length + 2}")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alnum symbols — the
+    * pre-tokenizer split most BPE vocabularies assume).
+    */
+  def tokens(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length / word-shape / stopword-ratio features
+    * combined into a bounded score. Counts are exact ints; the ratios
+    * divide those ints identically in both engines.
+    */
+  def quality(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(split(text, ' '), w -> w in ('the', 'a')))").cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words"))
+      .withColumn("mean_word_len",
+        (length(col("text")) - col("n_words") + 1).cast("double") / col("n_words"))
+      .withColumn("score",
+        round(least(lit(1.0), col("n_words") / 100.0) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.5, 6))
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("mean_word_len"), 6).as("mean_word_len"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID by marker-word frequency (the classic n-gram/stopword
+    * heuristic, scored per language with a deterministic argmax).
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val cEn = markerCount("the")
+    val cFr = markerCount("le")
+    val cEs = markerCount("el")
+    val cDe = markerCount("der")
+    documents
+      .withColumn("c_en", cEn).withColumn("c_fr", cFr)
+      .withColumn("c_es", cEs).withColumn("c_de", cDe)
+      .withColumn("predicted_lang",
+        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es") &&
+          col("c_en") >= col("c_de"), "en")
+          .when(col("c_fr") >= col("c_es") && col("c_fr") >= col("c_de"), "fr")
+          .when(col("c_es") >= col("c_de"), "es")
+          .otherwise("de"))
+      .select(col("doc_id"), col("predicted_lang"),
+        when(col("predicted_lang") === col("lang"), 1).otherwise(0)
+          .cast("long").as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit rolling polynomial fingerprint over the document's
+    * characters (Karp–Rabin style): two independent 31-bit-prime
+    * rolling hashes packed into one long. Each step stays < 2^51 so
+    * the arithmetic is exact (and ANSI-overflow-safe) everywhere.
+    * Rows-only (no portable SQL fold). A narrow map — scan-speed at
+    * 100 TB.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        (expr("aggregate(split(text, ''), 0L," +
+          " (acc, ch) -> pmod(acc * 1000003L + ascii(ch), 2147483647))") * lit(4294967296L)
+          + expr("aggregate(split(text, ''), 0L," +
+            " (acc, ch) -> pmod(acc * 1000003L + ascii(ch), 2147483629))")).as("fp"))
+      .orderBy(col("doc_id"))
+}

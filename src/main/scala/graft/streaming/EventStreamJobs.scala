@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A live event on the bus (the reference's message envelope,
+  * `messages/base.py:490`, mapped per SURVEY.md §3).
+  */
+final case class LiveEvent(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed session emitted by the stateful sessionizer. */
+final case class SessionOut(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Mutable-per-group sessionizer state (kept tiny: three longs). */
+final case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+/** Structured-Streaming equivalents of the reference's live loop
+  * (reference `streams/reader.py:151` poll-dispatch,
+  * `streams/bus.py:41` routing, stateful handlers).
+  *
+  * Scale notes: routing is a stateless map (broadcast registry);
+  * windowed counts shuffle on (window, event_type) with watermark-
+  * bounded state; sessionization keys state by user_id — state size is
+  * O(active users), eviction via processing-time timeout. All three
+  * run identically on a 1000-executor cluster — state is partitioned
+  * by the grouping key and checkpointed incrementally.
+  */
+object EventStreamJobs {
+
+  /** The routing bus: each event joined (broadcast) to its registered
+    * handlers; unhandled events flagged rather than dropped, like the
+    * reference's warning path (`streams/bus.py:77`).
+    */
+  def route(stream: DataFrame, registry: DataFrame): DataFrame =
+    stream.join(broadcast(registry), col("event_type") === col("r_event"), "left")
+      .withColumn("handler", coalesce(col("handler"), lit("unhandled")))
+      .drop("r_event")
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+
+  /** Stateful gap sessionization (30 min), the streaming twin of
+    * `EventOps.sessionGap`: per-user state advanced event-by-event,
+    * sessions emitted when the gap is exceeded (or, with
+    * `useTimeout = true`, evicted by a processing-time timeout — the
+    * production setting; kept off by default so micro-batch tests
+    * stay deterministic and `processAllAvailable` terminates).
+    */
+  def sessionize(events: Dataset[LiveEvent], gapUs: Long = 1800000000L,
+                 useTimeout: Boolean = false)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[LiveEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = us, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration("30 minutes")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

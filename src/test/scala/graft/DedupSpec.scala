@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Planted-duplicate tests: the synthetic corpus contains real near-dups
+  * but these specs control ground truth exactly.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // 1-word edit
+  private val distinct1 =
+    "spark engines shuffle partitions across executors and broadcast small dimension tables for joins"
+  private val distinct2 =
+    "language models train on deduplicated corpora filtered by quality classifiers and heuristics"
+
+  private def docs(texts: (Long, String)*): DataFrame =
+    texts.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val out = Dedup.exact(docs(1L -> base, 2L -> base, 3L -> distinct1)).collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) == 1L) // canonical = min doc_id
+  }
+
+  test("ngram jaccard finds the planted near-dup and not the distinct pair") {
+    val out = Dedup.ngramJaccard(
+      docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces the planted near-dup with high estimated jaccard") {
+    val out = Dedup.minhashLsh(
+      docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2))
+      .collect()
+    val pair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, "planted near-dup not found by LSH")
+    assert(pair.get.getDouble(2) > 0.5)
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("simhash hamming distance is small for near-dups, large for distinct docs") {
+    val sigs = Dedup.simhashSignatures(
+      docs(1L -> base, 2L -> nearDup, 3L -> distinct1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    val pairs = Dedup.simhashNearDup(docs(1L -> base, 2L -> nearDup, 3L -> distinct1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup finds planted almost-identical vectors via LSH buckets") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vDup = v.clone(); vDup(0) = (v(0) + 1e-4f)
+    val vFar = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((1L, v.toSeq, 0), (2L, vDup.toSeq, 0), (3L, vFar.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embedNearDup(emb).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out.head.getDouble(2) > 0.999)
+  }
+
+  test("minhash signatures are 128 wide and deterministic across plans") {
+    val a = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
+    val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
+    assert(a.length == 128 && a == b)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  /** (event_id, minute, user, type, value) */
+  private def events(rows: (Long, Long, Long, String, Double)*): DataFrame =
+    rows.map { case (id, m, u, t, v) => (id, ts(m), u, t, v, s"""{"k": $id}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionGap splits on >30min gaps per user") {
+    val out = EventOps.sessionGap(events(
+      (1L, 0, 1, "view", 1.0), (2L, 10, 1, "click", 1.0),
+      (3L, 60, 1, "view", 1.0),                       // new session (50min gap)
+      (4L, 0, 2, "view", 1.0))).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("responseAsof pairs each view with the next purchase of the same user") {
+    val out = EventOps.responseAsof(events(
+      (1L, 0, 1, "view", 1.0), (2L, 5, 1, "purchase", 1.0),
+      (3L, 10, 1, "view", 1.0), (4L, 50, 1, "purchase", 1.0),
+      (5L, 0, 2, "view", 1.0))).collect() // user 2 never purchases
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((1L, 5L * 60000000L), (3L, 50L * 60000000L)))
+  }
+
+  test("trimLastN keeps exactly the N newest per user; overflow is the complement") {
+    val ev = events((1L to 10L).map(i => (i, i, 1L, "view", 1.0)): _*)
+    val kept = EventOps.trimLastN(ev, 3).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(8L, 9L, 10L))
+    val over = EventOps.trimOverflow(ev, 3).collect().head
+    assert(over.getLong(1) == 7L) // archived count
+  }
+
+  test("funnel counts ordered view→click→purchase progressions") {
+    val out = EventOps.funnel(events(
+      (1L, 0, 1, "view", 1.0), (2L, 1, 1, "click", 1.0), (3L, 2, 1, "purchase", 1.0),
+      (4L, 0, 2, "view", 1.0), (5L, 1, 2, "click", 1.0),
+      (6L, 0, 3, "click", 1.0), (7L, 1, 3, "view", 1.0))).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("routeDispatch fans purchase out to both handlers and flags unhandled") {
+    val out = EventOps.routeDispatch(
+      events((1L, 0, 1, "purchase", 1.0), (2L, 1, 1, "error", 1.0)),
+      EventOps.handlerRegistry(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(
+      ("error", "unhandled", 1L),
+      ("purchase", "audit_handler", 1L), ("purchase", "billing_handler", 1L)))
+  }
+
+  test("firstLast resolves ties by event_id deterministically") {
+    val out = EventOps.firstLast(events(
+      (2L, 0, 1, "click", 1.0), (1L, 0, 1, "view", 1.0), // same ts
+      (3L, 9, 1, "purchase", 1.0))).collect().head
+    assert(out.getString(1) == "view")     // first by (ts, event_id)
+    assert(out.getString(3) == "purchase") // last
+  }
+}

