@@ -28,20 +28,22 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane j is
-    * derived from xxhash64("hp_<j>_<d>") scaled to [-1, 1). No RNG
-    * state, so executors regenerate identical planes — nothing to
-    * broadcast.
+  /** Deterministic pseudo-random hyperplanes, generated once on the
+    * driver from a fixed seed (java.util.Random's LCG is specified, so
+    * identical everywhere) and inlined as array literals — no per-row
+    * plane construction, nothing to broadcast.
     */
-  private def planeComponent(j: Int): String =
-    s"transform(sequence(0, 63), d -> pmod(xxhash64(concat('hp_${j}_', d)), 2001) / 1000.0 - 1.0)"
+  private val planes: IndexedSeq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20240801L)
+    IndexedSeq.fill(16)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+  }
 
-  /** 16-bit random-hyperplane signature of a double-array vector: bit j
-    * = sign(v · plane_j). Buckets vectors so near-dup / ANN candidate
+  /** Random-hyperplane signature of a double-array vector: bit j =
+    * sign(v · plane_j). Buckets vectors so near-dup / ANN candidate
     * generation shuffles on a small int key instead of comparing n².
     */
   def hyperplaneSignature(vd: Column, bits: Int = 16): Column =
     (0 until bits).map { j =>
-      when(dot(vd, expr(planeComponent(j))) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(vd, typedlit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }

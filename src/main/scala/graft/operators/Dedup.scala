@@ -59,24 +59,34 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Per-doc 128-perm MinHash signature. Permutations are the classic
-    * universal-hash family (aᵢ·h + bᵢ) mod p with (aᵢ,bᵢ) derived
-    * deterministically from xxhash64(i) — no state to ship to
-    * executors. One narrow map per doc.
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** The (aᵢ, bᵢ) universal-hash permutation constants, generated once
+    * on the driver from a fixed seed (java.util.Random's LCG is
+    * specified, so every JVM derives the same family) and inlined as
+    * literals — nothing recomputed per row, nothing broadcast.
     */
-  def minhashSignatures(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("hs", expr(
-        "transform(array_distinct(transform(sequence(0, size(w) - 3)," +
-          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))), s -> hash(s))"))
-      .withColumn("mh", expr(
-        "transform(transform(sequence(0, 127), i -> named_struct(" +
-          "'a', pmod(xxhash64(concat('mh_a_', i)), 2147483646) + 1," +
-          "'b', pmod(xxhash64(concat('mh_b_', i)), 2147483647)))," +
-          " p -> array_min(transform(hs, h -> pmod(p.a * cast(h as bigint) + p.b, 2147483647))))"))
-      .select(col("doc_id"), col("mh"))
+  private val minhashPerms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(128)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-doc 128-perm MinHash signature via explode + one codegen'd
+    * hash-aggregate of 128 `min` columns: map-side partial mins do the
+    * work, the only shuffle keys on doc_id. This is the 100 TB shape —
+    * no interpreted array lambdas, no n² anything.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val tri = shingles(documents).withColumn("h", hash(col("g")).cast("long"))
+    val minCols = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    tri.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 128).map(i => col(s"m$i")): _*).as("mh"))
+  }
 
   /** MinHash + LSH near-dup candidates: 16 bands × 8 rows. The only
     * shuffles are (band, band-hash) bucketing and the per-pair
@@ -84,7 +94,10 @@ object Dedup {
     * matching signature fraction.
     */
   def minhashLsh(documents: DataFrame, minEst: Double = 0.2): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    // signatures feed three plan branches (bucketing + both pair-join
+    // sides); persist = the batch analog of materializing a signature
+    // table, which is what a 100 TB run would do on storage
+    val sigs = minhashSignatures(documents).persist()
     val bucketed = sigs
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 15), b -> hash(slice(mh, b * 8 + 1, 8)))")))
@@ -107,16 +120,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: majority vote of each hash bit across the
-    * doc's words (term frequency = weight). Narrow map.
+    * doc's words (term frequency = weight). Explode + 64 codegen'd
+    * conditional sums (map-side combine), recombined into one long —
+    * the same one-shuffle shape as any grouped aggregation.
     */
-  def simhashSignatures(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .withColumn("sim", expr(
-        "aggregate(transform(sequence(0, 63), j -> if(" +
-          "aggregate(hs, 0L, (acc, h) -> acc + (h >> j & 1) * 2 - 1) > 0," +
-          " shiftleft(1L, j), 0L)), 0L, (acc, b) -> acc + b)"))
-      .select(col("doc_id"), col("sim"))
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
+    }
+    words.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
 
   /** SimHash hamming near-dup pairs (≤ maxDist) via the pigeonhole
     * band trick: split 64 bits into 4 chunks of 16; any pair within
@@ -124,7 +144,7 @@ object Dedup {
     * chunk-keyed buckets, verified with bit_count(xor).
     */
   def simhashNearDup(documents: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(documents)
+    val sigs = simhashSignatures(documents).persist()
     val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 3), c -> sim >> (c * 16) & 65535)")))
       .toDF("doc_id", "sim", "chunk_idx", "chunk")
@@ -147,6 +167,7 @@ object Dedup {
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.95): DataFrame = {
     val sig = embeddings.withColumn("vd", VectorOps.toDoubleArray(col("embedding")))
       .withColumn("bucket", VectorOps.hyperplaneSignature(col("vd")))
+      .persist()
     val pairs = sig.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
       .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
         Seq("bucket"))
