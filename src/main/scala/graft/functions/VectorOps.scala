@@ -18,9 +18,14 @@ object VectorOps {
   def toDoubleArray(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd [[graft.expressions.DotProduct]]
+    * expression — same strict left-to-right double accumulation as a
+    * fold, minus per-row array allocation and boxing.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    column(graft.expressions.DotProduct(expression(a), expression(b)))
+  }
 
   /** cosine(a,b) = a·b / (√(a·a)·√(b·b)) — formula mirrored
     * operation-for-operation by the oracle SQL.
