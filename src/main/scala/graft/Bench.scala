@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
+  *
+  * Each query is forced through the `noop` sink so the full plan
+  * (projections, sorts, windows) executes — a bare `count()` would let
+  * Catalyst prune most of the work for narrow queries. One synthetic
+  * warm-up query runs first (untimed) so the first timed query doesn't
+  * pay JVM/codegen warm-up.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,12 +18,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warm-up on synthetic data only — never the bench tables
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** Session-extension entry point: registers graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
+  * works anywhere the extension is configured:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b) takes exactly two arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}
