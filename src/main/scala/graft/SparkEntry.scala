@@ -87,6 +87,10 @@ object SparkEntry {
     "ev_top_users" -> ((s, dir) => EventOps.topUsers(Tables(s, dir).events)),
     "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
     "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
+    "ev_close_streams" -> ((s, dir) =>
+      EventOps.closeStreams(Tables(s, dir).events, EventOps.targetInstances(s))),
+    "ev_purge_consumers" -> ((s, dir) =>
+      EventOps.purgeConsumers(Tables(s, dir).events, EventOps.targetInstances(s))),
     // ---- §2.3 LLM-training-data pipeline ----
     "txt_tokens" -> ((s, dir) => TextOps.tokens(Tables(s, dir).documents)),
     "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
@@ -463,6 +467,21 @@ object SparkEntry {
         |  COUNT(*) AS dup_count
         |FROM events
         |GROUP BY user_id, event_type, props, value
+        |ORDER BY event_id""".stripMargin,
+    "ev_close_streams" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |FROM events
+        |WHERE user_id IN (3, 7, 11)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "ev_purge_consumers" ->
+      """SELECT event_id, user_id, event_type, 'inbox' AS destination FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IN (3, 7, 11)) t
+        |WHERE rn <= 10
         |ORDER BY event_id""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,

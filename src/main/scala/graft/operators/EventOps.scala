@@ -309,6 +309,46 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** The default close/purge target list (application instances the
+    * master message addresses).
+    */
+  def targetInstances(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(3L, 7L, 11L).toDF("target_user")
+  }
+
+  /** close_streams (reference `handlers/master.py` close semantics):
+    * a close message targets application instances by exact match;
+    * every matched stream reports its final state. Targets broadcast,
+    * fact side left_semi — no row duplication.
+    */
+  def closeStreams(events: DataFrame, targets: DataFrame): DataFrame =
+    withTsUs(events)
+      .join(broadcast(targets), col("user_id") === col("target_user"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("user_id"))
+
+  /** purge_consumers (reference `handlers/master.py:72`): tear down a
+    * consumer group and transfer its pending messages to an inbox
+    * stream. Pending here = the target consumers' newest-N window (the
+    * unacked tail); each transferred message is re-addressed.
+    */
+  def purgeConsumers(events: DataFrame, targets: DataFrame,
+                     pendingN: Int = 10): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    withTsUs(events)
+      .join(broadcast(targets), col("user_id") === col("target_user"), "left_semi")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= pendingN)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lit("inbox").as("destination"))
+      .orderBy(col("event_id"))
+  }
+
   /** At-least-once delivery dedup: collapse redelivered payloads
     * (same user/type/props/value) to the first delivery.
     */

@@ -50,6 +50,33 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** At-least-once delivery dedup on the live bus (consumers may see
+    * redeliveries): exact once-per-id within the watermark horizon, so
+    * state stays bounded — the streaming twin of `EventOps.dedupExact`.
+    */
+  def dedupStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Live request/response correlation (reference `streams/reader.py`
+    * waits for the response to a message_id): stream-stream interval
+    * join — each view matched to purchases by the same user within an
+    * hour. Both sides watermarked so join state is bounded.
+    */
+  def responseJoin(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      expr("v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"))
+  }
+
   /** Stateful gap sessionization (30 min), the streaming twin of
     * `EventOps.sessionGap`: per-user state advanced event-by-event,
     * sessions emitted when the gap is exceeded (or, with

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.{Sinks, Tables}
+
+/** Archive sink + JSONL source roundtrip (the reference's trim-archive
+  * file and JSON wire format, distributed).
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("trim overflow archives to partitioned jsonl and restores losslessly") {
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, TestSpark.sfDir).events
+    val overflow = EventOps.withTsUs(events)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .filter(col("user_id") < 5)
+    val dir = Files.createTempDirectory("graft-archive").toString
+    Sinks.archiveJsonl(overflow, dir)
+
+    val restored = Sinks.eventsFromJsonl(spark, dir)
+    assert(restored.count() == overflow.count())
+    val a = overflow.select("event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val b = restored.select("event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // partitioned layout: one directory per stream
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("user_id=")) == 5)
+  }
+}

@@ -15,8 +15,12 @@ import graft.streaming.{EventStreamJobs, LiveEvent}
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // minute 0 sits on the initial watermark (epoch 0) and gets treated
+  // as late by watermarked stateful operators — keep test times clear
+  // of the boundary
+  private val base = 100020L // hour-aligned (100020 min = 1667 h)
   private def ev(id: Long, min: Long, user: Long, tpe: String) =
-    LiveEvent(id, new Timestamp(min * 60000L), user, tpe, 1.0)
+    LiveEvent(id, new Timestamp((base + min) * 60000L), user, tpe, 1.0)
 
   test("streaming bus routes events to registered handlers, unhandled flagged") {
     import spark.implicits._
@@ -45,6 +49,39 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("windowed").collect()
         .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
       assert(rows == Set(("view", 2L), ("click", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "view"), ev(1, 0, 1, "view"), ev(2, 1, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(2, 1, 1, "click")) // redelivery in a later batch
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs views with purchases within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.responseJoin(in.toDF())
+      .writeStream.format("memory").queryName("paired").outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 0, 1, "view"), ev(2, 30, 1, "purchase"),   // within the hour → pair
+        ev(3, 0, 2, "view"), ev(4, 200, 2, "purchase"))  // 200min later → no pair
+      q.processAllAvailable()
+      val pairs = spark.table("paired").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id")))
+      assert(pairs.toSeq == Seq((1L, 2L)))
     } finally q.stop()
   }
 
