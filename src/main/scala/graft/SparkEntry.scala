@@ -66,6 +66,8 @@ object SparkEntry {
       val t = Tables(s, dir)
       Relational.q18GroupJoinTopK(t.lineitem, t.orders, t.customer)
     }),
+    "q19_approx_distinct" -> ((s, dir) => Relational.q19ApproxDistinct(Tables(s, dir).lineitem)),
+    "q20_approx_percentile" -> ((s, dir) => Relational.q20ApproxPercentile(Tables(s, dir).lineitem)),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
     "ev_route_dispatch" -> ((s, dir) =>

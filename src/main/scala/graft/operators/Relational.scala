@@ -263,6 +263,30 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Sketch-based distinct counts (HyperLogLog++): the at-scale
+    * variant of [[q9DistinctAgg]] — one pass, mergeable partial
+    * sketches, no expand. Rows-only (sketch values are
+    * implementation-defined); the spec bounds error vs exact.
+    */
+  def q19ApproxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch-based percentiles: the at-scale variant of
+    * [[q15Percentiles]] — bounded-memory mergeable summaries instead
+    * of a per-group sort. Rows-only; spec bounds error vs exact.
+    */
+  def q20ApproxPercentile(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** TPC-H Q18 shape: large-group aggregation feeding a join + top-k.
     * The HAVING prunes before the join; top-k is TakeOrdered.
     */

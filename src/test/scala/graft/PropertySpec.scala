@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EventOps, Relational}
+import graft.sources.Tables
+
+/** Property-style invariants over seeded random inputs: the statistical
+  * operators' estimates must track ground truth, and the window-based
+  * operators must satisfy their defining recurrences.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+
+  test("minhash estimate tracks true shingle jaccard within 3 sigma (128 perms)") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      // pairs share a common prefix so true jaccard spans low..high
+      val shared = Seq.fill(10 + 4 * trial)(vocab(rnd.nextInt(vocab.size)))
+      def tail() = Seq.fill(30 - 4 * trial)(vocab(rnd.nextInt(vocab.size)))
+      val t1 = (shared ++ tail()).mkString(" ")
+      val t2 = (shared ++ tail()).mkString(" ")
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (s1, s2) = (sh(t1), sh(t2))
+      val trueJ = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      val sigs = Dedup.minhashSignatures(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+      // sigma = sqrt(j(1-j)/128) <= 0.0442; allow 3 sigma + slack
+      assert(math.abs(est - trueJ) <= 0.15,
+        s"trial $trial: true=$trueJ est=$est")
+    }
+  }
+
+  test("session count = 1 + number of >30min gaps, for random gap sequences") {
+    val rnd = new scala.util.Random(99)
+    (1 to 8).foreach { _ =>
+      val gaps = List.fill(12)(1L + rnd.nextInt(90))
+      val times = gaps.scanLeft(1000L)(_ + _)
+      val events = times.zipWithIndex.map { case (m, i) =>
+        (i.toLong, new Timestamp(m * 60000L), 1L, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val nSessions = EventOps.sessionGap(events).count()
+      val expected = 1 + gaps.count(_ > 30)
+      assert(nSessions == expected, s"gaps=$gaps")
+    }
+  }
+
+  test("approx distinct within 5% of exact; approx p50 within 5% of exact") {
+    val li = Tables(spark, TestSpark.sfDir).lineitem
+    val exact = Relational.q9DistinctAgg(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Relational.q19ApproxDistinct(li).collect().foreach { r =>
+      val (ep, es) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - ep).toDouble / ep < 0.05)
+      assert(math.abs(r.getLong(2) - es).toDouble / es < 0.05)
+    }
+    val approxP = Relational.q20ApproxPercentile(li).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    li.groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().foreach { r =>
+        val exactP50 = r.getDouble(1)
+        assert(math.abs(approxP(r.getString(0)) - exactP50) / exactP50 < 0.05)
+      }
+  }
+}
