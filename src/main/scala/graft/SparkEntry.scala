@@ -87,6 +87,7 @@ object SparkEntry {
     "ev_first_last" -> ((s, dir) => EventOps.firstLast(Tables(s, dir).events)),
     "ev_pending_stats" -> ((s, dir) => EventOps.pendingStats(Tables(s, dir).events)),
     "ev_top_users" -> ((s, dir) => EventOps.topUsers(Tables(s, dir).events)),
+    "ev_topk_per_type" -> ((s, dir) => EventOps.topKPerType(Tables(s, dir).events)),
     "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
     "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
     "ev_close_streams" -> ((s, dir) =>
@@ -452,6 +453,17 @@ object SparkEntry {
         |GROUP BY user_id
         |ORDER BY total_value DESC, user_id
         |LIMIT 10""".stripMargin,
+    "ev_topk_per_type" ->
+      """SELECT event_type, rank, user_id, total_value FROM (
+        |  SELECT event_type, user_id, total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC, user_id) AS rank
+        |  FROM (
+        |    SELECT event_type, user_id,
+        |      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |    FROM events GROUP BY event_type, user_id) t) w
+        |WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
     "ev_zscore_outliers" ->
       """WITH m AS (
         |  SELECT event_type AS m_type,

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded per-group top-k as a custom typed [[Aggregator]]: each
+  * map-side partial keeps only k candidates, so a grouped top-k never
+  * sorts a whole group — the at-scale alternative to a rank() window
+  * (which shuffles and sorts every row of every group).
+  *
+  * Deterministic ordering: score descending, id ascending on ties —
+  * mirrored by the oracle's `ORDER BY total DESC, id`.
+  */
+object TopK {
+
+  case class Scored(id: Long, score: Double)
+  case class TopBuf(items: Seq[Scored])
+
+  class TopKAggregator(k: Int) extends Aggregator[Scored, TopBuf, Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
+
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, a: Scored): TopBuf = TopBuf(trim(b.items :+ a))
+    override def merge(x: TopBuf, y: TopBuf): TopBuf = TopBuf(trim(x.items ++ y.items))
+    override def finish(r: TopBuf): Seq[Scored] = trim(r.items)
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+}

@@ -39,21 +39,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
       .orderBy(col("h"))
 
-  /** Exact n-gram Jaccard pairs ≥ τ via shingle explode + equi-join.
-    * Pure integer arithmetic: `inter · denom ≥ num · union` instead of
-    * a float threshold, so the cut is engine-exact.
+  /** Exact n-gram Jaccard pairs ≥ τ (= tauNum/tauDenom) with
+    * PPJoin-style prefix filtering: each doc's shingles are put in a
+    * global canonical order and only the first `s − ⌈τ·s⌉ + 1` join —
+    * any pair with J ≥ τ provably shares a prefix shingle, so
+    * candidates shrink ~(1−τ)² while the result stays exact (the full
+    * intersection is recomputed per candidate with array_intersect).
+    * Pure integer threshold arithmetic ⇒ the cut is engine-exact.
     */
   def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
     val tri = shingles(documents)
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val pairs = tri.select(col("doc_id").as("doc1"), col("g"))
-      .join(tri.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
+    val docSets = tri.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("garr"),
+        count(lit(1)).as("s"))
+      .withColumn("prefix_len",
+        col("s") - expr(s"(s * $tauNum + $tauDenom - 1) div $tauDenom") + 1)
+      .persist()
+    val prefixes = docSets
+      .select(col("doc_id"),
+        explode(slice(col("garr"), lit(1), col("prefix_len").cast("int"))).as("g"))
+    val cand = prefixes.select(col("doc_id").as("doc1"), col("g"))
+      .join(prefixes.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
       .filter(col("doc1") < col("doc2"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
-      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+    cand
+      .join(docSets.select(col("doc_id").as("doc1"),
+        col("garr").as("garr1"), col("s").as("s1")), Seq("doc1"))
+      .join(docSets.select(col("doc_id").as("doc2"),
+        col("garr").as("garr2"), col("s").as("s2")), Seq("doc2"))
+      .withColumn("inter", size(array_intersect(col("garr1"), col("garr2"))).cast("long"))
       .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
       .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
       .orderBy(col("doc1"), col("doc2"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -277,6 +277,25 @@ object EventOps {
         bucket(col("value") >= 200).as("n_big"),
         count(lit(1)).as("n_total"))
       .orderBy(col("event_type"))
+  }
+
+  /** Per-event-type top-k producers via the custom bounded
+    * [[graft.functions.TopK.TopKAggregator]]: map-side partials carry
+    * at most k candidates per type, so no per-group sort ever happens —
+    * the grouped-top-k shape that survives 100 TB groups.
+    */
+  def topKPerType(events: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.TopK
+    val tk = udaf(new TopK.TopKAggregator(k), Encoders.product[TopK.Scored])
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(dec2(col("value"))).cast("double").as("total_value"))
+      .groupBy(col("event_type"))
+      .agg(tk(col("user_id"), col("total_value")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("user_id"), col("col.score").as("total_value"))
+      .orderBy(col("event_type"), col("rank"))
   }
 
   /** Heaviest producers: agg + top-k (TakeOrdered — no global sort). */
