@@ -67,6 +67,7 @@ object SparkEntry {
       Relational.q18GroupJoinTopK(t.lineitem, t.orders, t.customer)
     }),
     "q19_approx_distinct" -> ((s, dir) => Relational.q19ApproxDistinct(Tables(s, dir).lineitem)),
+    "q21_salted_agg" -> ((s, dir) => Relational.q21SaltedAgg(Tables(s, dir).lineitem)),
     "q20_approx_percentile" -> ((s, dir) => Relational.q20ApproxPercentile(Tables(s, dir).lineitem)),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
@@ -291,6 +292,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q21_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "ev_route_counts" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -287,6 +287,24 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Skew-resilient two-phase aggregation: explicit salting splits any
+    * hot group across `salts` reducers before the final combine —
+    * the manual fallback when AQE skew handling can't apply (e.g.
+    * single extreme key in a groupBy). Result provably identical to
+    * the direct aggregation (decimal sums are associative), which the
+    * oracle checks with a plain GROUP BY.
+    */
+  def q21SaltedAgg(lineitem: DataFrame, salts: Int = 16): DataFrame =
+    lineitem
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("partial_rev"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("partial_rev")).cast("double").as("revenue"),
+        sum(col("partial_n")).cast("long").as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** TPC-H Q18 shape: large-group aggregation feeding a join + top-k.
     * The HAVING prunes before the join; top-k is TakeOrdered.
     */

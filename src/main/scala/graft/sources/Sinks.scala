@@ -22,6 +22,18 @@ object Sinks {
       .option("compression", "gzip")
       .json(path)
 
+  /** Write events as date-partitioned parquet: queries filtered on
+    * `event_date` prune whole directories at the scan (the
+    * time-partitioned layout any 100 TB event store uses).
+    */
+  def writeEventsPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
   /** The events JSON-lines schema (the wire format of the bus). */
   val eventJsonSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

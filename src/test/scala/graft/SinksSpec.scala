@@ -33,4 +33,20 @@ class SinksSpec extends AnyFunSuite {
     // partitioned layout: one directory per stream
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("user_id=")) == 5)
   }
+
+  test("date-partitioned event store prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, TestSpark.sfDir).events
+    val dir = Files.createTempDirectory("graft-events-part").toString
+    Sinks.writeEventsPartitioned(events, dir)
+
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_date") === lit("2024-01-05").cast("date"))
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition pruning, got:\n$scan")
+    // pruned read matches a full-scan filter
+    val expected = events.filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
+    assert(filtered.count() == expected && expected > 0)
+  }
 }
