@@ -39,18 +39,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
       .orderBy(col("h"))
 
-  /** Exact n-gram Jaccard pairs ≥ τ (= tauNum/tauDenom) with
-    * PPJoin-style prefix filtering: each doc's shingles are put in a
-    * global canonical order and only the first `s − ⌈τ·s⌉ + 1` join —
-    * any pair with J ≥ τ provably shares a prefix shingle, so
-    * candidates shrink ~(1−τ)² while the result stays exact (the full
-    * intersection is recomputed per candidate with array_intersect).
+  /** Exact n-gram Jaccard pairs ≥ τ via shingle explode + count-join:
+    * intersections come out of a single (doc1, doc2) hash aggregate
+    * over the shingle equi-join — small fixed-width rows all the way.
     * Pure integer threshold arithmetic ⇒ the cut is engine-exact.
+    * See [[ngramJaccardPrefix]] for the PPJoin variant and PLANS.md
+    * for when each wins.
     */
   def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
     val tri = shingles(documents)
-    val docSets = tri.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("g"))).as("garr"),
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val pairs = tri.select(col("doc_id").as("doc1"), col("g"))
+      .join(tri.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
+      .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** PPJoin-style exact Jaccard: rarest-first canonical order, only the
+    * `s − ⌈τ·s⌉ + 1` prefix shingles join, full intersections
+    * recomputed per candidate. Same result as [[ngramJaccard]]
+    * (spec-checked). Wins when shingle vocabulary is large and skewed
+    * (real corpora: candidates ≪ join pairs); loses on dense tiny
+    * vocabularies where hauling the per-doc shingle arrays through the
+    * candidate join costs more than the count-join saves.
+    */
+  def ngramJaccardPrefix(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
+    val tri = shingles(documents)
+    // canonical order = global document frequency ascending (tie: text):
+    // prefixes then hold each doc's *rarest* shingles, so prefix-join
+    // collisions only happen between docs sharing rare features — this
+    // ordering is what keeps PPJoin candidates small
+    val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val docSets = tri.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(df, g))), x -> x.g)").as("garr"),
         count(lit(1)).as("s"))
       .withColumn("prefix_len",
         col("s") - expr(s"(s * $tauNum + $tauDenom - 1) div $tauDenom") + 1)

@@ -271,8 +271,8 @@ object Relational {
   def q19ApproxDistinct(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 

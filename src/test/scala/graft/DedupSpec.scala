@@ -37,6 +37,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("PPJoin prefix variant computes exactly the same pairs as the count-join") {
+    val corpus = docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2,
+      5L -> (distinct1 + " " + distinct2), 6L -> (base + " extra words here"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Dedup.ngramJaccard(corpus, 20, 100)) ==
+      rows(Dedup.ngramJaccardPrefix(corpus, 20, 100)))
+    assert(rows(Dedup.ngramJaccard(corpus, 50, 100)) ==
+      rows(Dedup.ngramJaccardPrefix(corpus, 50, 100)))
+  }
+
   test("minhash LSH surfaces the planted near-dup with high estimated jaccard") {
     val out = Dedup.minhashLsh(
       docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2))
