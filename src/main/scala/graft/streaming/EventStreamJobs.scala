@@ -50,6 +50,19 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** Tail a JSONL event archive directory as a live stream (the
+    * file-drop ingestion path: producers append files, the bus picks
+    * them up). Explicit schema — no inference pass; `maxFilesPerTrigger`
+    * bounds batch size so backfills don't produce one giant batch.
+    */
+  def archiveStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Sinks.eventJsonSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
   /** At-least-once delivery dedup on the live bus (consumers may see
     * redeliveries): exact once-per-id within the watermark horizon, so
     * state stays bounded — the streaming twin of `EventOps.dedupExact`.
