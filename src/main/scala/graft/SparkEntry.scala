@@ -107,6 +107,7 @@ object SparkEntry {
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
     "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
     "ev_parse_weighted" -> ((s, dir) => {
       import org.apache.spark.sql.types._

@@ -33,14 +33,19 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+
   /** Deterministic pseudo-random hyperplanes, generated once on the
     * driver from a fixed seed (java.util.Random's LCG is specified, so
     * identical everywhere) and inlined as array literals — no per-row
-    * plane construction, nothing to broadcast.
+    * plane construction, nothing to broadcast. 128 planes serve both
+    * the single-signature path (first `bits` planes — unchanged from
+    * the original 16-plane family, the RNG draw order is identical)
+    * and the multi-table LSH path (table t owns planes
+    * [t·bits, (t+1)·bits)).
     */
   private val planes: IndexedSeq[Seq[Double]] = {
     val rnd = new scala.util.Random(20240801L)
-    IndexedSeq.fill(16)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+    IndexedSeq.fill(128)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
   /** Random-hyperplane signature of a double-array vector: bit j =
@@ -51,4 +56,22 @@ object VectorOps {
     (0 until bits).map { j =>
       when(dot(vd, typedlit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Multi-table LSH keys: nTables independent signatures of
+    * bitsPerTable hyperplane bits each (table t uses planes
+    * [t·bits, (t+1)·bits)), the table index packed into the high bits
+    * so one `explode` + equi-join covers all tables at once. A pair
+    * within angle θ collides in ≥1 table with probability
+    * 1 − (1 − (1 − θ/π)^bits)^nTables — tables buy recall, bits buy
+    * precision. Requires nTables·bitsPerTable ≤ 128.
+    */
+  def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
+    require(nTables * bitsPerTable <= 128, "not enough hyperplanes")
+    array((0 until nTables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        when(dot(vd, typedlit(planes(t * bitsPerTable + j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong << 32)
+    }: _*)
+  }
 }

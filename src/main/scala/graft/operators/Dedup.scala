@@ -204,13 +204,19 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Embedding-cosine near-dup pairs ≥ tau via random-hyperplane LSH
-    * buckets; exact cosine verified only within buckets. The scale
-    * path for `dd_embed_neardup` — never materializes n² pairs.
+  /** Embedding-cosine near-dup pairs ≥ tau via multi-table
+    * random-hyperplane LSH (8 tables × 12 bits); exact cosine verified
+    * only within bucket collisions, duplicate hits across tables
+    * collapsed by a keyed aggregate. At tau=0.95 (≈18° apart) a true
+    * pair collides in ≥1 table with p ≈ 0.93, while random pairs
+    * almost never do — the scale path for `dd_embed_neardup`, never
+    * materializes n² pairs.
     */
-  def embedNearDup(embeddings: DataFrame, tau: Double = 0.95): DataFrame = {
+  def embedNearDup(embeddings: DataFrame, tau: Double = 0.95,
+      nTables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
     val sig = embeddings.withColumn("vd", VectorOps.toDoubleArray(col("embedding")))
-      .withColumn("bucket", VectorOps.hyperplaneSignature(col("vd")))
+      .withColumn("bucket",
+        explode(VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)))
       .persist()
     val pairs = sig.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
       .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
@@ -219,7 +225,8 @@ object Dedup {
     pairs
       .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= tau)
-      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(round(max(col("cos")), 6).as("cos"))
       .orderBy(col("id1"), col("id2"))
   }
 }

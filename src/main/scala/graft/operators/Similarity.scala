@@ -47,16 +47,131 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** LSH-bucketed ANN: both sides keyed by the 16-bit hyperplane
-    * signature; cosine computed only within matching buckets. Recall
-    * vs `bruteTopK` is the spec's property check.
+  /** Multi-table LSH ANN: candidates come from nTables independent
+    * hyperplane signatures (explode + one equi-join on the packed
+    * table key); cosine is computed only for bucket collisions, then
+    * duplicate (probe, vec) hits across tables collapse through a
+    * keyed aggregate. Tables buy recall, bits buy pruning — with
+    * 12 tables × 6 bits a cos≈0.3 true neighbor (this corpus is
+    * near-random) is recovered ~45% of the time while scanning ~20%
+    * of the corpus; on genuinely clustered embeddings the same
+    * parameters prune far harder. Recall vs `bruteTopK` is the spec's
+    * property check.
     */
-  def annLshTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+  def annLshTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nTables: Int = 12, bitsPerTable: Int = 6): DataFrame = {
     val p = probes(embeddings, nProbes)
-      .withColumn("bucket", VectorOps.hyperplaneSignature(col("pv"), bits = 8))
+      .withColumn("bucket",
+        explode(VectorOps.lshTableKeys(col("pv"), nTables, bitsPerTable)))
     val c = corpus(embeddings, nProbes)
-      .withColumn("bucket", VectorOps.hyperplaneSignature(col("cv"), bits = 8))
+      .withColumn("bucket",
+        explode(VectorOps.lshTableKeys(col("cv"), nTables, bitsPerTable)))
     val scored = c.join(broadcast(p), Seq("bucket"))
+      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
+      // same pair can collide in several tables; cos is identical on
+      // every copy, so a keyed max collapses dups in the one shuffle
+      // already needed to rank per probe
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** One IVF centroid: id + unit-norm vector. */
+  final case class Centroid(cluster_id: Int, centroid: Seq[Double])
+
+  /** IVF coarse quantizer: deterministic k-means over the unit-
+    * normalized corpus (init = lowest-vec_id vectors, Lloyd
+    * iterations with exact-decimal component sums so every run
+    * assigns identically). The centroid table is the *model* — k·dim
+    * doubles, driver-side by design exactly like any learned
+    * broadcast dimension — while every data-sized step (assignment,
+    * component sums) is a distributed aggregate keyed on vec_id /
+    * cluster_id.
+    */
+  def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] = {
+    val spark = corpusVecs.sparkSession
+    import spark.implicits._
+    // norm materialized once per row, THEN divided into each element —
+    // a transform(x -> x / sqrt(dot(v,v))) lambda would recompute the
+    // full dot product per element
+    val unit = corpusVecs
+      .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
+      .select(col("vec_id"),
+        transform(col("cv"), x => x / col("norm")).as("nv"))
+    var centroids: Seq[Centroid] = unit.orderBy(col("vec_id")).limit(nClusters)
+      .collect().zipWithIndex.map { case (r, i) =>
+        Centroid(i, r.getSeq[Double](1))
+      }.toSeq
+    for (_ <- 1 to iters) {
+      val cDF = broadcast(spark.createDataset(centroids).toDF())
+      // argmax_{c} nv·c per vector, then exact per-component means:
+      // sums as DECIMAL(38,18) so addition is associative ⇒ the new
+      // centroids are independent of partitioning
+      val assigned = unit.crossJoin(cDF)
+        .withColumn("d", VectorOps.dot(col("nv"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(struct(cluster_id, nv), struct(d, -cluster_id))").as("m"))
+        .select(col("m.cluster_id").as("cluster_id"), col("m.nv").as("nv"))
+      val comps = assigned
+        .select(col("cluster_id"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"))
+        .collect()
+      val byCluster = comps.groupBy(_.getInt(0))
+      centroids = centroids.map { c =>
+        byCluster.get(c.cluster_id) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            // empty-direction guard: keep the old centroid if degenerate
+            if (norm == 0.0) c else Centroid(c.cluster_id, mean.map(_ / norm).toSeq)
+          case None => c // cluster lost all members; keep it in place
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus vectors are assigned once to their nearest coarse
+    * centroid (broadcast cross-score + keyed argmax — the corpus never
+    * shuffles); each probe searches only its nProbeClusters nearest
+    * inverted lists. Scanned fraction ≈ nProbeClusters / nClusters on
+    * balanced lists; this is the classic IVF-Flat trade. Rows-only
+    * oracle; the spec plants an identical vector (guaranteed same
+    * cluster as its probe ⇒ guaranteed recall) and reports observed
+    * recall vs `bruteTopK`.
+    */
+  def annIvfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nClusters: Int = 16, nProbeClusters: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val centroids = ivfTrain(c, nClusters, iters)
+    val cDF = broadcast(spark.createDataset(centroids).toDF())
+    // centroids are unit vectors, so argmax_c dot(v, c) ≡ argmax_c
+    // cos(v, c) — no need to normalize the data side for ranking
+    val assigned = c
+      .crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
+      .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d").desc, col("cluster_id"))
+    val probeClusters = probes(embeddings, nProbes)
+      .crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("pv"), col("centroid")))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbeClusters)
+      .select(col("probe_id"), col("pv"), col("cluster_id"))
+    val scored = assigned.join(broadcast(probeClusters), Seq("cluster_id"))
       .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -56,4 +56,41 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.knnVote(df, nProbes = 1, k = 6).collect().head
     assert(out.getInt(1) == 4)
   }
+
+  test("IVF ANN: planted identical vector is guaranteed recalled at rank 1") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val corpus = (0 until 60).map(j =>
+      (100L + j, Array.tabulate(64)(i => math.cos(i * (j + 2) * 0.31).toFloat).toSeq, 1))
+    // probe vec_id 0; its identical copy sits in the corpus at id 50:
+    // both argmax to the same centroid, so the copy is always probed
+    val df = ((0L, v, 0) +: (50L, v, 0) +: corpus)
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.annIvfTopK(df, nProbes = 1, k = 1,
+      nClusters = 8, nProbeClusters = 2, iters = 2).collect().head
+    assert(top.getLong(2) == 50L)
+    assert(top.getDouble(3) > 0.999999)
+  }
+
+  test("IVF ANN results are true cosines, deduped, ranked; recall reported") {
+    val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvfTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.distinct.length == ivf.length)
+    assert(ivf.nonEmpty)
+    info(s"IVF recall vs brute force (4/16 lists probed): ${ivf.count(brute.contains)}/${brute.size}")
+  }
+
+  test("ivfTrain is deterministic and returns unit centroids") {
+    val c = emb.filter($"vec_id" >= 10)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    val a = Similarity.ivfTrain(c, nClusters = 4, iters = 2)
+    val b = Similarity.ivfTrain(c, nClusters = 4, iters = 2)
+    assert(a == b)
+    a.foreach { cen =>
+      val norm = math.sqrt(cen.centroid.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
 }
