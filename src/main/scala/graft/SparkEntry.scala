@@ -69,6 +69,10 @@ object SparkEntry {
     "q19_approx_distinct" -> ((s, dir) => Relational.q19ApproxDistinct(Tables(s, dir).lineitem)),
     "q21_salted_agg" -> ((s, dir) => Relational.q21SaltedAgg(Tables(s, dir).lineitem)),
     "q20_approx_percentile" -> ((s, dir) => Relational.q20ApproxPercentile(Tables(s, dir).lineitem)),
+    "q22_antijoin_scalar" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q22AntijoinScalar(t.customer, t.orders)
+    }),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
     "ev_route_dispatch" -> ((s, dir) =>
@@ -91,6 +95,8 @@ object SparkEntry {
     "ev_topk_per_type" -> ((s, dir) => EventOps.topKPerType(Tables(s, dir).events)),
     "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
     "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
+    "ev_asof_join" -> ((s, dir) => EventOps.asofViewMatch(Tables(s, dir).events)),
+    "ev_range_join" -> ((s, dir) => EventOps.rangeViewsBeforePurchase(Tables(s, dir).events)),
     "ev_close_streams" -> ((s, dir) =>
       EventOps.closeStreams(Tables(s, dir).events, EventOps.targetInstances(s))),
     "ev_purge_consumers" -> ((s, dir) =>
@@ -300,6 +306,49 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q22_antijoin_scalar" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "ev_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_us,
+        |  COALESCE(v.v_event_id, -1) AS v_event_id,
+        |  COALESCE(v.v_us, -1) AS v_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
+        |ORDER BY p.event_id""".stripMargin,
+    "ev_range_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_us,
+        |  COUNT(*) AS n_views,
+        |  MIN(v.v_us) AS first_v_us,
+        |  MAX(v.v_us) AS last_v_us
+        |FROM p JOIN v
+        |  ON p.user_id = v.user_id
+        |  AND v.v_us >= p.p_us - 3600000000
+        |  AND v.v_us < p.p_us
+        |GROUP BY p.event_id, p.user_id, p.p_us
+        |ORDER BY p.event_id""".stripMargin,
     "ev_route_counts" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -378,4 +378,46 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("dup_count"))
       .orderBy(col("event_id"))
+
+  /** Generic backward as-of match (reference `messages/base.py:593`:
+    * a response correlates to the *latest* matching request): every
+    * purchase picks up the most recent preceding view of the same
+    * user via [[Temporal.asofBackward]]. View ties per (user, ts)
+    * pre-aggregate to the max event_id so the match is deterministic;
+    * unmatched purchases surface with −1 (hash-stable null encoding).
+    */
+  def asofViewMatch(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
+    Temporal.asofBackward(purchases, "p_us", views, "v_us",
+        key = "user_id", carry = Seq("v_event_id", "v_us"))
+      .select(col("event_id"), col("user_id"), col("p_us"),
+        coalesce(col("asof.v_event_id"), lit(-1L)).as("v_event_id"),
+        coalesce(col("asof.v_us"), lit(-1L)).as("v_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: per purchase, the views of the same user in the
+    * preceding hour ([[Temporal.rangeJoinAgg]] — equi-key join with
+    * an in-partition range predicate). Inner semantics: purchases
+    * with a quiet preceding hour drop out.
+    */
+  def rangeViewsBeforePurchase(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
+    Temporal.rangeJoinAgg(purchases, "event_id", "p_us",
+        views, "v_us", key = "user_id", lookbackUs = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("p_us"),
+        col("n_matched").as("n_views"),
+        col("first_match_us").as("first_v_us"),
+        col("last_match_us").as("last_v_us"))
+      .orderBy(col("event_id"))
+  }
 }

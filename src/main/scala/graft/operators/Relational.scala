@@ -305,6 +305,28 @@ object Relational {
         sum(col("partial_n")).cast("long").as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q22 shape: global-aggregate scalar filter + anti-join.
+    * The positive-balance average is one tiny broadcast row (exact
+    * decimal mean, the double division mirrored by the oracle); the
+    * anti-join discards customers holding any high-value order
+    * (pushed filter on the orders scan, key column only); the final
+    * rollup groups by nation.
+    */
+  def q22AntijoinScalar(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_totalprice") > 350000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** TPC-H Q18 shape: large-group aggregation feeding a join + top-k.
     * The HAVING prunes before the join; top-k is TakeOrdered.
     */

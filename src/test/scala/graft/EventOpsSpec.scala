@@ -62,6 +62,29 @@ class EventOpsSpec extends AnyFunSuite {
       ("purchase", "audit_handler", 1L), ("purchase", "billing_handler", 1L)))
   }
 
+  test("asofViewMatch: each purchase matches the most recent view at or before it") {
+    val out = EventOps.asofViewMatch(events(
+      (1L, 0, 1, "view", 1.0), (2L, 5, 1, "view", 1.0),
+      (3L, 7, 1, "purchase", 1.0),   // → view 2 (minute 5)
+      (4L, 9, 1, "purchase", 1.0),   // → still view 2
+      (5L, 3, 2, "purchase", 1.0),   // user 2 has no views → -1
+      (6L, 4, 3, "view", 1.0),
+      (7L, 4, 3, "purchase", 1.0))). // same-ts view matches (≤)
+      collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((3L, 2L), (4L, 2L), (5L, -1L), (7L, 6L)))
+  }
+
+  test("rangeViewsBeforePurchase: counts views in the preceding hour only") {
+    val out = EventOps.rangeViewsBeforePurchase(events(
+      (1L, 0, 1, "view", 1.0),        // 70 min before → outside lookback
+      (2L, 40, 1, "view", 1.0),       // inside
+      (3L, 65, 1, "view", 1.0),       // inside
+      (4L, 70, 1, "purchase", 1.0),   // → 2 views
+      (5L, 70, 2, "purchase", 1.0))). // no views → dropped (inner)
+      collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((4L, 2L)))
+  }
+
   test("firstLast resolves ties by event_id deterministically") {
     val out = EventOps.firstLast(events(
       (2L, 0, 1, "click", 1.0), (1L, 0, 1, "view", 1.0), // same ts
