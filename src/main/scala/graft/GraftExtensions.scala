@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{ArrayMatchCount, DotProduct}
 
 /** Session-extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(a, b) takes exactly two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_match_count"),
+      new ExpressionInfo(classOf[ArrayMatchCount].getName, "graft_match_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_match_count(a, b) takes exactly two arguments")
+        ArrayMatchCount(children.head, children(1))
       }))
   }
 }

@@ -155,9 +155,14 @@ object Dedup {
     pairs
       .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
       .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))
-      .withColumn("est_jaccard", expr(
-        "aggregate(zip_with(mh1, mh2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-        .cast("double") / 128.0)
+      .withColumn("est_jaccard", {
+        // codegen'd positional match count — the interpreted
+        // aggregate(zip_with(...)) fold allocates + boxes per pair
+        import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+        column(graft.expressions.ArrayMatchCount(
+          expression(col("mh1")), expression(col("mh2"))))
+          .cast("double") / 128.0
+      })
       .filter(col("est_jaccard") >= minEst)
       .select(col("doc1"), col("doc2"), col("est_jaccard"))
       .orderBy(col("doc1"), col("doc2"))

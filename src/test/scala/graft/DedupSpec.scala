@@ -85,4 +85,14 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
     assert(a.length == 128 && a == b)
   }
+
+  test("graft_match_count equals the interpreted zip_with fold") {
+    val out = spark.sql(
+      """SELECT graft_match_count(a, b) AS m,
+        |  aggregate(zip_with(a, b, (x, y) -> if(x = y, 1L, 0L)), 0L,
+        |            (acc, v) -> acc + v) AS f
+        |FROM VALUES (array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 0L)) AS t(a, b)
+        |""".stripMargin).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
+  }
 }
