@@ -62,13 +62,19 @@ object Temporal {
     */
   def rangeJoinAgg(left: DataFrame, leftId: String, leftTs: String,
       right: DataFrame, rightTs: String,
-      key: String, lookbackUs: Long): DataFrame =
-    left.join(right,
-        left(key) === right(key) &&
-          right(rightTs) >= left(leftTs) - lookbackUs &&
-          right(rightTs) < left(leftTs))
-      .groupBy(left(leftId), left(key), left(leftTs))
+      key: String, lookbackUs: Long): DataFrame = {
+    // rename the right side up front: left and right often derive from
+    // the same scan (events vs events), and df(col) disambiguation of
+    // a self-join is fragile — distinct names make the equi-key
+    // unambiguous by construction
+    val r = right.select(col(key).as("__rk"), col(rightTs).as("__rt"))
+    left.join(r,
+        col(key) === col("__rk") &&
+          col("__rt") >= col(leftTs) - lookbackUs &&
+          col("__rt") < col(leftTs))
+      .groupBy(col(leftId), col(key), col(leftTs))
       .agg(count(lit(1)).as("n_matched"),
-        min(right(rightTs)).as("first_match_us"),
-        max(right(rightTs)).as("last_match_us"))
+        min(col("__rt")).as("first_match_us"),
+        max(col("__rt")).as("last_match_us"))
+  }
 }

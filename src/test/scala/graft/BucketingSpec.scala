@@ -38,4 +38,20 @@ class BucketingSpec extends AnyFunSuite {
     val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expected)
   }
+
+  test("user-bucketed event store runs sessionization without a shuffle") {
+    val t = Tables(spark, TestSpark.sfDir)
+    Bucketing.writeBucketed(t.events, "events_b", "user_id", 4)
+    val sessions = graft.operators.EventOps.sessionGap(
+      Bucketing.table(spark, "events_b"))
+    // the user-keyed window AND the (user, session) groupBy both ride
+    // the bucket partitioning — the only exchange left is the final
+    // presentation orderBy (rangepartitioning), never a hash shuffle
+    val plan = sessions.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed sessionization, got:\n$plan")
+    val expected = graft.operators.EventOps.sessionGap(t.events)
+      .collect().map(_.toSeq).toSeq
+    assert(sessions.collect().map(_.toSeq).toSeq == expected)
+  }
 }
