@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_match_count(a, b) takes exactly two arguments")
         ArrayMatchCount(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

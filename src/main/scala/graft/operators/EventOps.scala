@@ -382,9 +382,12 @@ object EventOps {
   /** Generic backward as-of match (reference `messages/base.py:593`:
     * a response correlates to the *latest* matching request): every
     * purchase picks up the most recent preceding view of the same
-    * user via [[Temporal.asofBackward]]. View ties per (user, ts)
-    * pre-aggregate to the max event_id so the match is deterministic;
-    * unmatched purchases surface with −1 (hash-stable null encoding).
+    * user via the custom [[graft.plans.AsofJoinExec]] operator
+    * ([[Temporal.asofBackwardExec]] — the declarative
+    * [[Temporal.asofBackward]] is the spec's cross-check). View ties
+    * per (user, ts) pre-aggregate to the max event_id so the match is
+    * deterministic; unmatched purchases surface with −1 (hash-stable
+    * null encoding).
     */
   def asofViewMatch(events: DataFrame): DataFrame = {
     val e = withTsUs(events)
@@ -393,11 +396,11 @@ object EventOps {
       .agg(max(col("event_id")).as("v_event_id"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
-    Temporal.asofBackward(purchases, "p_us", views, "v_us",
+    Temporal.asofBackwardExec(purchases, "p_us", views, "v_us",
         key = "user_id", carry = Seq("v_event_id", "v_us"))
       .select(col("event_id"), col("user_id"), col("p_us"),
-        coalesce(col("asof.v_event_id"), lit(-1L)).as("v_event_id"),
-        coalesce(col("asof.v_us"), lit(-1L)).as("v_us"))
+        coalesce(col("v_event_id"), lit(-1L)).as("v_event_id"),
+        coalesce(col("v_us"), lit(-1L)).as("v_us"))
       .orderBy(col("event_id"))
   }
 

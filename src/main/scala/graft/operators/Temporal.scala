@@ -54,6 +54,45 @@ object Temporal {
       .select(Seq(col("__row.*"), col("__m").as("asof")): _*)
   }
 
+  /** Backward as-of join on the custom [[graft.plans.AsofJoinExec]]
+    * operator — same semantics as [[asofBackward]], but as a
+    * first-class Catalyst plan: one exchange per side (none over a
+    * store already partitioned on the key), per-partition streaming
+    * merge holding a single buffered right row. Right rows must be
+    * unique per (key, ts). Returns every left column plus the aliased
+    * carry columns (null on no match).
+    *
+    * Self-registers the planner strategy through
+    * `spark.experimental.extraStrategies`, so it works in sessions
+    * without `spark.sql.extensions=graft.GraftExtensions` too.
+    */
+  def asofBackwardExec(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      key: String, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    require(carry.forall(c => !left.columns.contains(c)),
+      "carry column names must not collide with left columns")
+    // project-with-alias gives the right side fresh exprIds, so both
+    // sides may derive from the same scan (self-as-of) without
+    // attribute ambiguity
+    val rSel = right.select(
+      col(key).as("__asof_k") +: col(rightTs).as("__asof_t") +:
+        carry.map(c => col(c).as(c)): _*)
+    val lPlan = ColumnBridge.analyzed(left)
+    val rPlan = ColumnBridge.analyzed(rSel)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsofJoin(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, "__asof_k"),
+      attr(lPlan, leftTs), attr(rPlan, "__asof_t"))
+    ColumnBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
+  }
+
   /** Range (interval) join, aggregated: for every left row, aggregate
     * the right rows of the same `key` whose ts falls in
     * [left ts − lookback, left ts). Returns left ids + count and

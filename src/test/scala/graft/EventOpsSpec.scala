@@ -74,6 +74,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((3L, 2L), (4L, 2L), (5L, -1L), (7L, 6L)))
   }
 
+  test("custom AsofJoinExec matches the declarative union-window as-of on real data") {
+    import graft.operators.Temporal
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    val e = EventOps.withTsUs(Tables(spark, TestSpark.sfDir).events)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
+    val exec = Temporal.asofBackwardExec(purchases, "p_us", views, "v_us",
+        "user_id", Seq("v_event_id", "v_us"))
+      .select(col("event_id"), coalesce(col("v_event_id"), lit(-1L)),
+        coalesce(col("v_us"), lit(-1L)))
+    // SparkPlan.nodeName strips the Exec suffix in plan display
+    assert(exec.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val declarative = Temporal.asofBackward(purchases, "p_us", views, "v_us",
+        "user_id", Seq("v_event_id", "v_us"))
+      .select(col("event_id"), coalesce(col("asof.v_event_id"), lit(-1L)),
+        coalesce(col("asof.v_us"), lit(-1L)))
+    val a = exec.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = declarative.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("rangeViewsBeforePurchase: counts views in the preceding hour only") {
     val out = EventOps.rangeViewsBeforePurchase(events(
       (1L, 0, 1, "view", 1.0),        // 70 min before → outside lookback
