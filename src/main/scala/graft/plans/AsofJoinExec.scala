@@ -61,7 +61,10 @@ case class AsofJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind with right-side nullability forced on, or the projection
+      // codegen skips null checks and reads 0 from the null-fill row
+      val proj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
       // one-row lookahead over the right side; the last right row that

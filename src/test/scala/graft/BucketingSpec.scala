@@ -54,4 +54,25 @@ class BucketingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(sessions.collect().map(_.toSeq).toSeq == expected)
   }
+
+  test("custom as-of join over the user-bucketed store is exchange-free") {
+    import graft.operators.{EventOps, Temporal}
+    val t = Tables(spark, TestSpark.sfDir)
+    Bucketing.writeBucketed(t.events, "events_asof_b", "user_id", 4)
+    val e = EventOps.withTsUs(Bucketing.table(spark, "events_asof_b"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
+    val out = Temporal.asofBackwardExec(purchases, "p_us", views, "v_us",
+      "user_id", Seq("v_event_id"))
+    // both children ride the bucket partitioning: the view dedup agg,
+    // the purchase filter, AND the as-of itself — zero hash exchanges
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected exchange-free bucketed as-of join, got:\n$plan")
+    assert(out.count() > 0)
+  }
 }

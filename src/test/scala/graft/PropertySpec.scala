@@ -39,6 +39,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoinExec matches a reference model on random keyed timelines") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 5).foreach { trial =>
+      // right side unique per (key, ts) by construction; ts collisions
+      // with the left side are common (small ts domain)
+      val rightRows = (0 until 6).flatMap { k =>
+        rnd.shuffle((0 until 50).toList).take(10 + rnd.nextInt(20))
+          .map(t => (k.toLong, t.toLong, rnd.nextLong(1000000)))
+      }
+      val leftRows = (0 until 8).flatMap { k => // keys 6,7 have no right rows
+        (0 until 15).map(i => (100L * k + i, k.toLong, rnd.nextInt(50).toLong))
+      }
+      val right = rightRows.toDF("k", "t", "payload")
+      val left = leftRows.toDF("lid", "k", "lt")
+      val got = graft.operators.Temporal
+        .asofBackwardExec(left, "lt", right, "t", "k", Seq("payload"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSet
+      val byKey = rightRows.groupBy(_._1)
+      val expected = leftRows.map { case (lid, k, lt) =>
+        val m = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lt)
+        (lid, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("session count = 1 + number of >30min gaps, for random gap sequences") {
     val rnd = new scala.util.Random(99)
     (1 to 8).foreach { _ =>
