@@ -73,6 +73,10 @@ object SparkEntry {
       val t = Tables(s, dir)
       Relational.q22AntijoinScalar(t.customer, t.orders)
     }),
+    "q23_or_pushdown" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q23OrPushdown(t.lineitem, t.part)
+    }),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
     "ev_route_dispatch" -> ((s, dir) =>
@@ -318,6 +322,19 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q23_or_pushdown" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "ev_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id

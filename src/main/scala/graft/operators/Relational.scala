@@ -327,6 +327,30 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q19 shape: disjunction of conjunctive range predicates
+    * across a join. Catalyst extracts the common `l_partkey` equi-key,
+    * pushes the brand/size disjunction to the part scan and the
+    * quantity bounds to the lineitem scan (CNF conversion), and the
+    * small filtered part side broadcasts — the classic test that
+    * OR-of-ANDs doesn't defeat pushdown.
+    */
+  def q23OrPushdown(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val j = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+    j.filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
   /** TPC-H Q18 shape: large-group aggregation feeding a join + top-k.
     * The HAVING prunes before the join; top-k is TakeOrdered.
     */

@@ -20,6 +20,16 @@ final case class SessionOut(
 /** Mutable-per-group sessionizer state (kept tiny: three longs). */
 final case class SessionState(start_us: Long, last_us: Long, n: Long)
 
+/** Bounded keep-last-N state for the live trim handler: the kept
+  * (ts_us, event_id) pairs, ascending — at most N entries per user.
+  */
+final case class TrimState(kept: Seq[(Long, Long)])
+
+/** An overflow record evicted by the live trim (archived downstream —
+  * the reference writes these to the archive file, `handlers/master.py:58`).
+  */
+final case class Evicted(user_id: Long, event_id: Long, ts_us: Long)
+
 /** Structured-Streaming equivalents of the reference's live loop
   * (reference `streams/reader.py:151` poll-dispatch,
   * `streams/bus.py:41` routing, stateful handlers).
@@ -135,6 +145,30 @@ object EventStreamJobs {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Live keep-last-N trim (reference `handlers/master.py:27`
+    * trim_streams): per-user bounded state of the N newest records;
+    * everything pushed out is emitted as an [[Evicted]] overflow
+    * record for the archive sink — the streaming twin of
+    * `EventOps.trimLastN`/`trimOverflow`. State is O(N) per active
+    * user regardless of stream length.
+    */
+  def trimStream(events: Dataset[LiveEvent], n: Int = 50)
+      (implicit spark: SparkSession): Dataset[Evicted] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrimState, Evicted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[LiveEvent], state: GroupState[TrimState]) =>
+          val incoming = rows.map(e => (e.ts.getTime * 1000L, e.event_id)).toSeq
+          val all = (state.getOption.map(_.kept).getOrElse(Seq.empty) ++ incoming)
+            .sortBy(identity)
+          val (evicted, kept) = all.splitAt(math.max(0, all.size - n))
+          state.update(TrimState(kept))
+          evicted.iterator.map { case (us, id) => Evicted(userId, id, us) }
       }
   }
 }

@@ -102,4 +102,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((1L, 2L)))
     } finally q.stop()
   }
+
+  test("live trim keeps the N newest per user and emits evicted overflow") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.trimStream(in.toDS(), n = 3)
+      .writeStream.format("memory").queryName("trimmed").outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, 1, "view"), ev(2, 2, 1, "view"),
+        ev(3, 3, 1, "view"), ev(4, 4, 1, "view"))
+      q.processAllAvailable() // 4 kept→3, oldest (1) evicted
+      in.addData(ev(5, 5, 1, "view"), ev(6, 6, 1, "view"),
+        ev(10, 1, 2, "view"))
+      q.processAllAvailable() // user 1: 2,3 evicted; user 2 under N
+      val rows = spark.table("trimmed").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+      assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
 }
