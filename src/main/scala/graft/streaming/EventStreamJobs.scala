@@ -73,6 +73,17 @@ object EventStreamJobs {
       .json(path)
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
+  /** Live weighted-model parsing (reference `messages/base.py:122`
+    * applied in the poll loop, `streams/reader.py`): every message on
+    * the bus deserializes as the most specific registered shape —
+    * stateless narrow map, composes with any downstream routing or
+    * windowing. `jsonCol` is the raw payload column.
+    */
+  def parsedStream(stream: DataFrame, jsonCol: String,
+      schemas: Seq[graft.model.MessageSchema],
+      superset: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.model.MessageParser.parse(stream, col(jsonCol), schemas, superset)
+
   /** At-least-once delivery dedup on the live bus (consumers may see
     * redeliveries): exact once-per-id within the watermark horizon, so
     * state stays bounded — the streaming twin of `EventOps.dedupExact`.

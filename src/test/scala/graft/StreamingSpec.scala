@@ -122,4 +122,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L)))
     } finally q.stop()
   }
+
+  test("weighted-model parsing runs live on the bus") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val superset = StructType(Seq(
+      StructField("k", LongType), StructField("event", StringType)))
+    val registry = Seq(
+      graft.model.MessageSchema("keyed", Seq("k")),
+      graft.model.MessageSchema("generic", Seq.empty))
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreamJobs.parsedStream(
+        in.toDF().toDF("event_id", "payload"), "payload", registry, superset)
+      .select("event_id", "schema_name")
+      .writeStream.format("memory").queryName("parsed_live").outputMode("append").start()
+    try {
+      in.addData((1L, """{"k": 7}"""), (2L, """{"event": "x"}"""), (3L, "not json"))
+      q.processAllAvailable()
+      val rows = spark.table("parsed_live").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "keyed"), (2L, "generic"), (3L, "unparseable")))
+    } finally q.stop()
+  }
 }
