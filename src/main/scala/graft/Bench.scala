@@ -38,22 +38,29 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench:warm] $name: ${e.getMessage}") }
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val timings = (1 to passes).map { _ =>
       spark.catalog.clearCache()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    // a failing query must read as a failure, not as the suite's
+    // fastest entry: excluded from timings, surfaced in "errors"
+    val results = SparkEntry.queries.keys.filterNot(failed.contains).map { name =>
       name -> timings.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))

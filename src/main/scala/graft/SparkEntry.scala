@@ -683,7 +683,7 @@ object SparkEntry {
         |ORDER BY schema_name""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
-        |  CAST(LEAST(length(text), 16) AS BIGINT) AS n_bytes,
+        |  CAST(OCTET_LENGTH(ENCODE(SUBSTRING(text, 1, 16))) AS BIGINT) AS n_bytes,
         |  (['jpeg', 'png', 'mp4', 'wav'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
         |  CAST(doc_id % 640 + 64 AS INT) AS width,
         |  CAST(doc_id % 480 + 48 AS INT) AS height,

@@ -37,25 +37,13 @@ object VectorOps {
   /** Deterministic pseudo-random hyperplanes, generated once on the
     * driver from a fixed seed (java.util.Random's LCG is specified, so
     * identical everywhere) and inlined as array literals — no per-row
-    * plane construction, nothing to broadcast. 128 planes serve both
-    * the single-signature path (first `bits` planes — unchanged from
-    * the original 16-plane family, the RNG draw order is identical)
-    * and the multi-table LSH path (table t owns planes
-    * [t·bits, (t+1)·bits)).
+    * plane construction, nothing to broadcast. Table t of the
+    * multi-table LSH owns planes [t·bits, (t+1)·bits).
     */
   private val planes: IndexedSeq[Seq[Double]] = {
     val rnd = new scala.util.Random(20240801L)
     IndexedSeq.fill(128)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
   }
-
-  /** Random-hyperplane signature of a double-array vector: bit j =
-    * sign(v · plane_j). Buckets vectors so near-dup / ANN candidate
-    * generation shuffles on a small int key instead of comparing n².
-    */
-  def hyperplaneSignature(vd: Column, bits: Int = 16): Column =
-    (0 until bits).map { j =>
-      when(dot(vd, typedlit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
 
   /** Multi-table LSH keys: nTables independent signatures of
     * bitsPerTable hyperplane bits each (table t uses planes

@@ -28,19 +28,20 @@ final case class MessageSchema(
 object MessageParser {
 
   /** Adds `parsed` (superset struct) and `schema_name` (winning shape,
-    * or 'unparseable' when the JSON doesn't parse at all).
+    * or 'unparseable' when the payload isn't JSON at all).
     *
-    * Malformed detection: PERMISSIVE `from_json` yields an all-null
-    * struct (not NULL) for bad JSON, so the superset is extended with
-    * a corrupt-record column — non-null there ⇒ 'unparseable'.
+    * Malformed detection: `try_parse_json` (null ⇔ not valid JSON)
+    * rather than PERMISSIVE from_json's corrupt-record column — the
+    * corrupt column also fires on mere type-coercion failures
+    * (`{"k": "7"}` against k: LONG), which the reference's
+    * json-then-rank semantics classify as a *less specific* shape
+    * (the bad field nulls out and the ranking falls through), not as
+    * unparseable.
     */
   def parse(df: DataFrame, jsonCol: Column, schemas: Seq[MessageSchema],
             superset: StructType): DataFrame = {
-    val corrupt = "_corrupt_record"
-    val withCorrupt = superset.add(corrupt, org.apache.spark.sql.types.StringType)
     val withParsed = df.withColumn("parsed",
-      from_json(jsonCol, withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+      from_json(jsonCol, superset, Map("mode" -> "PERMISSIVE")))
     val ranked = schemas.sortBy(s => (-s.weight, s.name))
     val chosen = ranked.foldLeft[Column](lit(null).cast("string")) { (acc, s) =>
       val satisfied = s.required
@@ -54,8 +55,7 @@ object MessageParser {
       coalesce(acc, when(satisfied && eventOk, s.name))
     }
     withParsed.withColumn("schema_name",
-      when(col("parsed").isNull || col("parsed").getField(corrupt).isNotNull,
-        "unparseable")
+      when(col("parsed").isNull || try_parse_json(jsonCol).isNull, "unparseable")
         .otherwise(coalesce(chosen, lit("generic"))))
   }
 }

@@ -16,6 +16,13 @@ import graft.functions.VectorOps
   * buckets (candidate set ≪ n²). Exact n-gram Jaccard — inherently a
   * shingle self-join — is the *verification oracle*, not the scale
   * path; at 100 TB you run `minhashLsh` and verify candidates only.
+  *
+  * Caching contract: the near-dup operators `persist()` their
+  * signature tables (several plan branches read them). The cache
+  * lives until the session drops it — long-lived sessions running
+  * many of these should `spark.catalog.clearCache()` between jobs
+  * (Bench does), or at 100 TB materialize signatures to storage
+  * instead.
   */
 object Dedup {
 

@@ -42,9 +42,13 @@ object Temporal {
       struct(left.columns.map(col): _*).as("__row"),
       lit(null).cast(carryType).as("__carry"))
     val rU = right.select(
-      col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
-      lit(null).cast(rowType).as("__row"),
-      struct(carry.map(col): _*).as("__carry"))
+        col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
+        lit(null).cast(rowType).as("__row"),
+        struct(carry.map(col): _*).as("__carry"))
+      // null key/ts right rows never match (same contract as
+      // AsofJoinExec); without this they'd sort first and leak their
+      // payload into last(ignoreNulls)
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -89,7 +89,10 @@ case class AsofJoinExec(
             if (consume) {
               if (rk != null && rt != null) {
                 lastMatch = rHead.copy() // rows are reused by the iterator
-                lastMatchKey = rk
+                // re-evaluate the key from the COPY: for buffer-backed
+                // types (UTF8String, binary) rk is a view into the
+                // reused row and would mutate on the next advance
+                lastMatchKey = rKeyB.eval(lastMatch)
               }
               rHead = if (rIter.hasNext) rIter.next() else null
               continue = rHead != null

@@ -30,6 +30,16 @@ final case class TrimState(kept: Seq[(Long, Long)])
   */
 final case class Evicted(user_id: Long, event_id: Long, ts_us: Long)
 
+/** Exact microseconds from a java.sql.Timestamp: getTime() alone
+  * truncates to milliseconds (the nanos field holds the full
+  * fractional second), which would diverge from the batch twins'
+  * `unix_micros` ordering for same-millisecond events.
+  */
+private[streaming] object TsUs {
+  def apply(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+}
+
 /** Structured-Streaming equivalents of the reference's live loop
   * (reference `streams/reader.py:151` poll-dispatch,
   * `streams/bus.py:41` routing, stateful handlers).
@@ -135,11 +145,11 @@ object EventStreamJobs {
             state.remove()
             Iterator(SessionOut(userId, s.start_us, s.last_us, s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = TsUs(e.ts)
               cur match {
                 case Some(s) if us - s.last_us <= gapUs =>
                   cur = Some(s.copy(last_us = us, n = s.n + 1))
@@ -174,7 +184,7 @@ object EventStreamJobs {
       .flatMapGroupsWithState[TrimState, Evicted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[LiveEvent], state: GroupState[TrimState]) =>
-          val incoming = rows.map(e => (e.ts.getTime * 1000L, e.event_id)).toSeq
+          val incoming = rows.map(e => (TsUs(e.ts), e.event_id)).toSeq
           val all = (state.getOption.map(_.kept).getOrElse(Seq.empty) ++ incoming)
             .sortBy(identity)
           val (evicted, kept) = all.splitAt(math.max(0, all.size - n))

@@ -51,4 +51,22 @@ class MessageParserSpec extends AnyFunSuite {
     assert(parse("""{"message_id": "only"}""", "not json at all") ==
       Seq("generic", "unparseable"))
   }
+
+  test("type-coercion failure demotes to a less specific shape, not unparseable") {
+    // valid JSON whose `data` field can't coerce to the superset type:
+    // the reference's json-then-rank semantics null the bad field and
+    // fall through the ranking; only non-JSON is unparseable
+    val typed = StructType(Seq(
+      StructField("event", StringType), StructField("data", LongType)))
+    val reg = Seq(
+      MessageSchema("keyed", Seq("event", "data")),
+      MessageSchema("bare", Seq("event")))
+    val out = MessageParser.parse(
+        Seq((0, """{"event": "x", "data": {"nested": true}}"""),
+          (1, """{"event": "y", "data": 5}""")).toDF("id", "js"),
+        col("js"), reg, typed)
+      .orderBy(col("id")).select(col("schema_name"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("bare", "keyed"))
+  }
 }
