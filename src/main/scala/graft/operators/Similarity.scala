@@ -183,6 +183,63 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Materialize an IVF index on storage: the tiny centroid table plus
+    * the corpus partitioned by cluster_id (one directory per inverted
+    * list). Build once, search many — at 100 TB this is the only
+    * sane shape: search reads ONLY the probed lists' files via
+    * partition pruning, never the full corpus.
+    */
+  def buildIvfIndex(embeddings: DataFrame, dir: String, nProbes: Int = 10,
+      nClusters: Int = 16, iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val centroids = ivfTrain(c, nClusters, iters)
+    val cDF = broadcast(spark.createDataset(centroids).toDF())
+    c.crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
+      .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
+    spark.createDataset(centroids).toDF()
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a stored IVF index: probes rank the (collected, tiny)
+    * centroid table, and the list scan is filtered to the probed
+    * cluster_ids — partition pruning keeps the read at
+    * ~nProbeClusters/nClusters of the corpus (the spec asserts the
+    * pruned scan). Same output contract as [[annIvfTopK]].
+    */
+  def searchIvfIndex(embeddings: DataFrame, dir: String, nProbes: Int = 10,
+      k: Int = 5, nProbeClusters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cDF = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d").desc, col("cluster_id"))
+    val probeClusters = probes(embeddings, nProbes)
+      .crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("pv"), col("centroid")))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbeClusters)
+      .select(col("probe_id"), col("pv"), col("cluster_id"))
+    val probedIds = probeClusters.select(col("cluster_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("cluster_id").isin(probedIds: _*)) // partition pruning
+    val scored = lists.join(broadcast(probeClusters), Seq("cluster_id"))
+      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** k-NN majority-label classification of the probes: the k nearest
     * corpus vectors vote; ties break toward the smaller label.
     */

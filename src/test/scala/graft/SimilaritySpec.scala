@@ -81,6 +81,20 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF recall vs brute force (4/16 lists probed): ${ivf.count(brute.contains)}/${brute.size}")
   }
 
+  test("stored IVF index: pruned-partition search equals the inline operator") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(emb, dir, nProbes = 10, nClusters = 16, iters = 3)
+    val stored = Similarity.searchIvfIndex(emb, dir, nProbes = 10, k = 5,
+      nProbeClusters = 4)
+    // the list scan must be partition-pruned to the probed clusters
+    val scan = stored.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [cluster_id"))
+    val inline = Similarity.annIvfTopK(emb, nProbes = 10, k = 5,
+      nClusters = 16, nProbeClusters = 4, iters = 3)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inline.collect().map(_.toSeq).toSeq)
+  }
+
   test("ivfTrain is deterministic and returns unit centroids") {
     val c = emb.filter($"vec_id" >= 10)
       .select($"vec_id",
