@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayMatchCount(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }
 }

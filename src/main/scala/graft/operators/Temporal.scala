@@ -78,6 +78,10 @@ object Temporal {
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsofJoin
     require(carry.forall(c => !left.columns.contains(c)),
       "carry column names must not collide with left columns")
     // project-with-alias gives the right side fresh exprIds, so both

@@ -99,6 +99,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("filters push through the custom as-of join to both parquet scans") {
+    import graft.operators.Temporal
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, max}
+    val e = EventOps.withTsUs(Tables(spark, TestSpark.sfDir).events)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_us"))
+    val joined = Temporal.asofBackwardExec(purchases, "p_us", views, "v_us",
+      "user_id", Seq("v_event_id"))
+    val filtered = joined.filter(col("user_id") < 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the user_id predicate reaches BOTH sides' parquet scans: the
+    // left directly, the right via the mirrored join-key conjunct
+    assert(plan.split("LessThan\\(user_id,5\\)").length - 1 >= 2,
+      s"expected the key predicate pushed to both scans, got:\n$plan")
+    // and semantics are unchanged vs filtering above the join
+    val expect = joined.collect().filter(_.getLong(1) < 5).map(_.toSeq).toSet
+    assert(filtered.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("rangeViewsBeforePurchase: counts views in the preceding hour only") {
     val out = EventOps.rangeViewsBeforePurchase(events(
       (1L, 0, 1, "view", 1.0),        // 70 min before → outside lookback
