@@ -67,6 +67,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoinExec handles buffer-backed string keys (no stale key views)") {
+    val rnd = new scala.util.Random(777)
+    val keys = Vector("alpha", "beta", "gamma", "delta")
+    val rightRows = keys.flatMap { k =>
+      rnd.shuffle((0 until 40).toList).take(12).map(t => (k, t.toLong, s"$k-$t"))
+    }
+    val leftRows = keys.zipWithIndex.flatMap { case (k, ki) =>
+      (0 until 10).map(i => (100L * ki + i, k, rnd.nextInt(40).toLong))
+    }
+    val got = graft.operators.Temporal
+      .asofBackwardExec(leftRows.toDF("lid", "k", "lt"),
+        "lt", rightRows.toDF("k", "t", "tag"), "t", "k", Seq("tag"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSet
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (lid, k, lt) =>
+      val m = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lt)
+      (lid, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+    }.toSet
+    assert(got == expected)
+    // every matched tag must carry ITS OWN key prefix — a stale key
+    // view would stitch one key's payload onto another key's rows
+    got.foreach { case (lid, tag) =>
+      val k = leftRows.find(_._1 == lid).get._2
+      tag.foreach(t => assert(t.startsWith(k + "-"), s"$lid: $t vs $k"))
+    }
+  }
+
   test("session count = 1 + number of >30min gaps, for random gap sequences") {
     val rnd = new scala.util.Random(99)
     (1 to 8).foreach { _ =>
