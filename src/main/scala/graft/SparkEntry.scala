@@ -77,6 +77,10 @@ object SparkEntry {
       val t = Tables(s, dir)
       Relational.q23OrPushdown(t.lineitem, t.part)
     }),
+    "q24_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q24SaltedJoin(t.lineitem, t.orders)
+    }),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
     "ev_route_dispatch" -> ((s, dir) =>
@@ -335,6 +339,12 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "q24_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "ev_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id

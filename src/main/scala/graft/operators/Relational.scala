@@ -327,6 +327,27 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Skew-resilient salted join: every fact row gets a random-ish salt
+    * (hash of a secondary column — deterministic), the dimension side
+    * replicates once per salt, and the join key becomes
+    * (key, salt) — a single hot orderkey spreads across `salts`
+    * reducers. The manual fallback when AQE's skew-join split can't
+    * apply (e.g. the skewed side feeds a co-partitioned downstream
+    * op). Result provably identical to the plain join, which the
+    * oracle checks.
+    */
+  def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8): DataFrame = {
+    val l = lineitem
+      .withColumn("salt", pmod(hash(col("l_linenumber")), lit(salts)))
+    val o = orders
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** TPC-H Q19 shape: disjunction of conjunctive range predicates
     * across a join. Catalyst extracts the common `l_partkey` equi-key,
     * pushes the brand/size disjunction to the part scan and the
