@@ -337,8 +337,12 @@ object Relational {
     * oracle checks.
     */
   def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8): DataFrame = {
+    // salt from the (orderkey, linenumber) PK: l_linenumber alone has
+    // domain 1..7 whose murmur3 values collapse to 4 of 8 salts —
+    // per-row-unique hash input gives near-uniform spread
     val l = lineitem
-      .withColumn("salt", pmod(hash(col("l_linenumber")), lit(salts)))
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     val o = orders
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
