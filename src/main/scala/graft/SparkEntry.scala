@@ -104,6 +104,8 @@ object SparkEntry {
     "ev_zscore_outliers" -> ((s, dir) => EventOps.zscoreOutliers(Tables(s, dir).events)),
     "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
     "ev_asof_join" -> ((s, dir) => EventOps.asofViewMatch(Tables(s, dir).events)),
+    "ev_dead_letter" -> ((s, dir) => EventOps.deadLetter(Tables(s, dir).events)),
+    "ev_idle_messages" -> ((s, dir) => EventOps.idleMessages(Tables(s, dir).events)),
     "ev_range_join" -> ((s, dir) => EventOps.rangeViewsBeforePurchase(Tables(s, dir).events)),
     "ev_close_streams" -> ((s, dir) =>
       EventOps.closeStreams(Tables(s, dir).events, EventOps.targetInstances(s))),
@@ -376,6 +378,27 @@ object SparkEntry {
         |  AND v.v_us < p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us
         |ORDER BY p.event_id""".stripMargin,
+    "ev_dead_letter" ->
+      """SELECT MIN(event_id) AS event_id, user_id, event_type,
+        |  COUNT(*) AS delivery_count, 'dead_letter' AS destination
+        |FROM events
+        |GROUP BY user_id, event_type, CAST(FLOOR(value) AS BIGINT)
+        |HAVING COUNT(*) >= 3
+        |ORDER BY event_id""".stripMargin,
+    "ev_idle_messages" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |h AS (SELECT MAX(ts_us) AS head_us FROM e),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT event_id, user_id, event_type,
+        |  head_us - ts_us AS idle_us, 'claimable' AS status
+        |FROM r, h
+        |WHERE rn <= 10 AND head_us - ts_us > 86400000000
+        |ORDER BY event_id""".stripMargin,
     "ev_route_counts" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -379,6 +379,50 @@ object EventOps {
         col("value"), col("dup_count"))
       .orderBy(col("event_id"))
 
+  /** Dead-letter detection (reference `utilities/communication.py:810`
+    * get_dead_messages: delivery count past the threshold ⇒ the
+    * message is poison and moves to a dead-letter destination).
+    * Delivery count here = redelivered duplicates of the same payload;
+    * one keyed aggregate, uniform keys.
+    */
+  def deadLetter(events: DataFrame, maxDeliveries: Int = 3): DataFrame =
+    // delivery identity = (consumer, event, integral payload) — each
+    // occurrence is one delivery attempt of the same logical message
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        // floor, not cast: Spark casts double→long by truncation but
+        // DuckDB rounds — floor is identical in both engines
+        floor(col("value")).cast("long").as("value_key"))
+      .agg(min(col("event_id")).as("event_id"),
+        count(lit(1)).as("delivery_count"))
+      .filter(col("delivery_count") >= maxDeliveries)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("delivery_count"), lit("dead_letter").as("destination"))
+      .orderBy(col("event_id"))
+
+  /** Idle-message claim (reference `utilities/communication.py:756`
+    * get_idle_messages: pending entries idle past a threshold are
+    * claimable by another consumer). Pending set = the newest
+    * `pendingN` per user (the purge model); idleness measured against
+    * the stream head (global max ts) — one broadcast scalar, one
+    * user-keyed window.
+    */
+  def idleMessages(events: DataFrame, idleUs: Long = 86400000000L,
+      pendingN: Int = 10): DataFrame = {
+    val e = withTsUs(events)
+    val head = e.agg(max(col("ts_us")).as("head_us"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= pendingN)
+      .crossJoin(broadcast(head))
+      .withColumn("idle_us", col("head_us") - col("ts_us"))
+      .filter(col("idle_us") > idleUs)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("idle_us"), lit("claimable").as("status"))
+      .orderBy(col("event_id"))
+  }
+
   /** Generic backward as-of match (reference `messages/base.py:593`:
     * a response correlates to the *latest* matching request): every
     * purchase picks up the most recent preceding view of the same

@@ -133,6 +133,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((4L, 2L)))
   }
 
+  test("deadLetter flags payloads redelivered past the threshold") {
+    val out = EventOps.deadLetter(events(
+      (1L, 0, 1, "view", 7.2), (2L, 1, 1, "view", 7.9),
+      (3L, 2, 1, "view", 7.1),                 // 3 deliveries of (1,view,7)
+      (4L, 0, 1, "click", 7.2), (5L, 1, 1, "click", 7.4), // only 2
+      (6L, 0, 2, "view", 7.5)), maxDeliveries = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("idleMessages claims pending entries idle past the threshold") {
+    // head = minute 100; user 1's newest-2 pending at 10 and 20 are
+    // both > 30min idle; user 2's entry at 95 is fresh
+    val out = EventOps.idleMessages(events(
+      (1L, 5, 1, "view", 1.0), (2L, 10, 1, "view", 1.0),
+      (3L, 20, 1, "view", 1.0),
+      (4L, 95, 2, "view", 1.0), (5L, 100, 2, "view", 1.0)),
+      idleUs = 30L * 60000000L, pendingN = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("firstLast resolves ties by event_id deterministically") {
     val out = EventOps.firstLast(events(
       (2L, 0, 1, "click", 1.0), (1L, 0, 1, "view", 1.0), // same ts
