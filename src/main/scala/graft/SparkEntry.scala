@@ -105,6 +105,8 @@ object SparkEntry {
     "ev_dedup_exact" -> ((s, dir) => EventOps.dedupExact(Tables(s, dir).events)),
     "ev_asof_join" -> ((s, dir) => EventOps.asofViewMatch(Tables(s, dir).events)),
     "ev_dead_letter" -> ((s, dir) => EventOps.deadLetter(Tables(s, dir).events)),
+    "ev_applied_to_all" -> ((s, dir) =>
+      EventOps.universalStatus(Tables(s, dir).events, EventOps.handlerRegistry(s))),
     "ev_idle_messages" -> ((s, dir) => EventOps.idleMessages(Tables(s, dir).events)),
     "ev_range_join" -> ((s, dir) => EventOps.rangeViewsBeforePurchase(Tables(s, dir).events)),
     "ev_close_streams" -> ((s, dir) =>
@@ -378,6 +380,23 @@ object SparkEntry {
         |  AND v.v_us < p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us
         |ORDER BY p.event_id""".stripMargin,
+    "ev_applied_to_all" ->
+      """SELECT event_id, event_type,
+        |  COUNT(*) AS n_handlers,
+        |  CAST(SUM(CASE WHEN (event_id * 31 + length(handler)) % 10 <> 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_acked,
+        |  CASE WHEN CAST(SUM(CASE WHEN (event_id * 31 + length(handler)) % 10 <> 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) = COUNT(*)
+        |       THEN 'complete' ELSE 'pending' END AS status
+        |FROM events
+        |JOIN (VALUES
+        |    ('click', 'click_handler'),
+        |    ('purchase', 'billing_handler'),
+        |    ('purchase', 'audit_handler'),
+        |    ('signup', 'account_handler')) AS registry(r_event, handler)
+        |  ON event_type = r_event
+        |GROUP BY event_id, event_type
+        |ORDER BY event_id""".stripMargin,
     "ev_dead_letter" ->
       """SELECT MIN(event_id) AS event_id, user_id, event_type,
         |  COUNT(*) AS delivery_count, 'dead_letter' AS destination

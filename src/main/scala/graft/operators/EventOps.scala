@@ -423,6 +423,27 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Universal completion status (reference
+    * `utilities/communication.py:1029-1056` message_is_applied_to_all /
+    * get_universal_message_status: a message is complete once every
+    * consumer group has processed it). Handlers come from the
+    * broadcast registry; the per-handler ack is a deterministic
+    * engine-neutral integer predicate standing in for the ack store.
+    * One broadcast fan-out + one message-keyed aggregate.
+    */
+  def universalStatus(events: DataFrame, registry: DataFrame): DataFrame =
+    events
+      .join(broadcast(registry), col("event_type") === col("r_event"))
+      .withColumn("acked",
+        (col("event_id") * 31 + length(col("handler"))) % 10 =!= 0)
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_handlers"),
+        sum(col("acked").cast("long")).as("n_acked"))
+      .withColumn("status",
+        when(col("n_acked") === col("n_handlers"), "complete")
+          .otherwise("pending"))
+      .orderBy(col("event_id"))
+
   /** Generic backward as-of match (reference `messages/base.py:593`:
     * a response correlates to the *latest* matching request): every
     * purchase picks up the most recent preceding view of the same

@@ -153,6 +153,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("universalStatus: complete only when every registered handler acked") {
+    // purchase fans to 2 handlers; ack predicate: (id*31+len(handler))%10 != 0
+    // id=10: 10*31+15=325 → 5≠0 acked; 10*31+13=323 → 3≠0 acked ⇒ complete
+    // id=9: 9*31+15=294 → 4≠0; 9*31+13=292 → 2≠0 ⇒ complete
+    // find an id where one handler misses: id*31+15 ≡ 0 (mod 10) → id=5:
+    // 5*31+15=170 → 0 ⇒ billing_handler unacked ⇒ pending
+    val out = EventOps.universalStatus(
+      events((5L, 0, 1, "purchase", 1.0), (10L, 1, 1, "purchase", 1.0),
+        (11L, 2, 1, "error", 1.0)), // unregistered type drops out
+      EventOps.handlerRegistry(spark)).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(out.toSeq == Seq((5L, "pending"), (10L, "complete")))
+  }
+
   test("firstLast resolves ties by event_id deterministically") {
     val out = EventOps.firstLast(events(
       (2L, 0, 1, "click", 1.0), (1L, 0, 1, "view", 1.0), // same ts
