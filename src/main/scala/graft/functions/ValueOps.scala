@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column equivalents of the reference's raw-value interpretation
+  * utilities (`utilities/common.py`): the bus receives stringly-typed
+  * payload fields and coerces them on read. All branches are plain
+  * codegen'd expressions — scan-speed coercion of 100 TB of string
+  * columns, no UDFs.
+  */
+object ValueOps {
+
+  private val trueStrings = Seq(
+    "1", "t", "T", "True", "TRUE", "true",
+    "yes", "Y", "y", "Yes", "YES", "on", "On", "ON")
+
+  /** `is_true` (reference `utilities/common.py:138`) for a string
+    * column: null/"" ⇒ false; integer text ⇒ ≠ 0; float text ⇒
+    * > minimumTruth (reference default 0.3); otherwise membership in
+    * the TRUE_VALUES table (`utilities/constants.py:20`).
+    */
+  def isTrue(c: Column, minimumTruth: Double = 0.3): Column =
+    when(c.isNull || c === "", lit(false))
+      .when(c.rlike("^-?\\d+$"), c.cast("long") =!= 0)
+      .when(c.rlike("^-?\\d+\\.\\d*$"), c.cast("double") > minimumTruth)
+      .otherwise(c.isin(trueStrings: _*))
+
+  /** `interpret_value` (reference `utilities/common.py:366`) for a
+    * string column: classify into int/float/bool/null/json/string
+    * (same branch order as the reference) and surface the typed view.
+    * Returns struct(vtype, int_value, float_value, bool_value, raw).
+    */
+  def interpret(c: Column): Column = {
+    val lc = lower(c)
+    val vtype =
+      when(c.isNull, "null")
+        .when(c.rlike("^-?\\d+$"), "int")
+        .when(c.rlike("^-?\\d+\\.\\d*$"), "float")
+        .when(lc.isin("true", "false"), "bool")
+        .when(lc.isin("nan", "inf", "infinity", "-inf", "-infinity"), "float")
+        .when(c.isin("None", "Null", "null", "nil"), "null")
+        .when(try_parse_json(c).isNotNull &&
+          (ltrim(c).startsWith("{") || ltrim(c).startsWith("[")), "json")
+        .otherwise("string")
+    struct(
+      vtype.as("vtype"),
+      when(vtype === "int", c.cast("long")).as("int_value"),
+      when(vtype === "float",
+        when(lc === "nan", lit(Double.NaN))
+          .when(lc.isin("inf", "infinity"), lit(Double.PositiveInfinity))
+          .when(lc.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+          .otherwise(c.cast("double"))).as("float_value"),
+      when(vtype === "bool", lc === "true").as("bool_value"),
+      c.as("raw"))
+  }
+}

@@ -47,4 +47,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0) == out(1))
     assert(out(0) != out(2))
   }
+
+  test("isTrue mirrors the reference truthiness table") {
+    import graft.functions.ValueOps
+    import org.apache.spark.sql.functions.col
+    // cases straight from the reference doctests (common.py:138)
+    val cases = Seq(
+      "true" -> true, "False" -> false, "off" -> false, "ON" -> true,
+      "1" -> true, "0" -> false, "0.001" -> false, "0.97" -> true,
+      "" -> false, "-3" -> true, "y" -> true, "banana" -> false)
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), ValueOps.isTrue(col("v")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (v, want) => assert(got(v) == want, s"isTrue($v)") }
+  }
+
+  test("interpret classifies raw payload strings like the reference") {
+    import graft.functions.ValueOps
+    import org.apache.spark.sql.functions.col
+    val vals = Seq("42", "-7", "3.14", "true", "NaN", "null",
+      """{"a": 1}""", "[1, 2]", "plain words")
+    val got = vals.toDF("v")
+      .select(ValueOps.interpret(col("v")).as("i"))
+      .select("i.vtype", "i.int_value", "i.float_value", "i.bool_value")
+      .collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("int", "int", "float", "bool", "float", "null", "json", "json", "string"))
+    assert(got(0).getLong(1) == 42L && got(1).getLong(1) == -7L)
+    assert(got(2).getDouble(2) == 3.14)
+    assert(got(3).getBoolean(3))
+    assert(got(4).getDouble(2).isNaN)
+  }
 }
