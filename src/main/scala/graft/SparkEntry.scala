@@ -118,6 +118,8 @@ object SparkEntry {
     "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
     "txt_langid" -> ((s, dir) => TextOps.langId(Tables(s, dir).documents)),
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables(s, dir).documents)),
+    "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
+    "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
@@ -659,6 +661,30 @@ object SparkEntry {
         |      (length(text) - length(replace(text, ' el ', ''))) // 4 AS c_es,
         |      (length(text) - length(replace(text, ' der ', ''))) // 5 AS c_de
         |    FROM documents) x) t
+        |ORDER BY doc_id""".stripMargin,
+    "txt_vocab" ->
+      """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY word
+        |ORDER BY tf DESC, word
+        |LIMIT 100""".stripMargin,
+    "dd_clean_pipeline" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, norm_text,
+        |    CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(norm_text, ' '),
+        |      w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM n)
+        |SELECT MIN(doc_id) AS doc_id, md5(norm_text) AS h,
+        |  COUNT(*) AS n_dups, MIN(n_words) AS n_words
+        |FROM f
+        |WHERE n_words >= 5 AND n_stop * 100 <= n_words * 50
+        |GROUP BY md5(norm_text)
         |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS canonical

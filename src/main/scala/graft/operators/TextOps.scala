@@ -73,6 +73,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary: per-word total frequency and document
+    * frequency — the table every tokenizer build / stopword-induction
+    * step starts from. One explode + one word-keyed aggregate
+    * (map-side combined); word keys are near-uniform so the shuffle
+    * can't skew. Top terms only, deterministically tie-broken.
+    */
+  def vocab(documents: DataFrame, topN: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topN)
+
+  /** The composed cleaning pipeline every training-data run starts
+    * with: normalize → length cut → quality cut → exact-dedup keep-
+    * canonical. Each stage is the operator defined elsewhere in this
+    * module/Dedup; composition stays one scan + one dedup shuffle.
+    */
+  def cleanPipeline(documents: DataFrame, minWords: Int = 5,
+      maxStopRatio: Double = 0.5): DataFrame =
+    documents
+      .withColumn("norm_text",
+        regexp_replace(trim(lower(col("text"))), " +", " "))
+      .withColumn("n_words", size(split(col("norm_text"), " ")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(split(norm_text, ' '), w -> w in ('the', 'a')))").cast("long"))
+      .filter(col("n_words") >= minWords &&
+        col("n_stop") * 100 <= col("n_words") * (maxStopRatio * 100).toInt)
+      .groupBy(md5(col("norm_text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dups"),
+        min(col("n_words")).as("n_words"))
+      .select(col("doc_id"), col("h"), col("n_dups"), col("n_words"))
+      .orderBy(col("doc_id"))
+
   /** 64-bit rolling polynomial fingerprint over the document's
     * characters (Karp–Rabin style): two independent 31-bit-prime
     * rolling hashes packed into one long. Each step stays < 2^51 so
