@@ -683,7 +683,7 @@ object SparkEntry {
         |SELECT MIN(doc_id) AS doc_id, md5(norm_text) AS h,
         |  COUNT(*) AS n_dups, MIN(n_words) AS n_words
         |FROM f
-        |WHERE n_words >= 5 AND n_stop * 100 <= n_words * 50
+        |WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500
         |GROUP BY md5(norm_text)
         |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->

@@ -18,17 +18,26 @@ object ValueOps {
   /** `is_true` (reference `utilities/common.py:138`) for a string
     * column: null/"" ⇒ false; integer text ⇒ ≠ 0; float text ⇒
     * > minimumTruth (reference default 0.3); otherwise membership in
-    * the TRUE_VALUES table (`utilities/constants.py:20`).
+    * the TRUE_VALUES table (`utilities/constants.py:20`). Numeric text
+    * is recognized by the reference's exact INTEGER/FLOATING_POINT
+    * patterns (`constants.py:46-49`) — "1e3"/".5"/"+5" intentionally
+    * fall through to the membership test, as they do there.
+    * try_cast keeps out-of-Long-range digit strings from throwing
+    * under ANSI mode (arbitrary-precision ints are truthy ⇒ true).
     */
   def isTrue(c: Column, minimumTruth: Double = 0.3): Column =
     when(c.isNull || c === "", lit(false))
-      .when(c.rlike("^-?\\d+$"), c.cast("long") =!= 0)
-      .when(c.rlike("^-?\\d+\\.\\d*$"), c.cast("double") > minimumTruth)
+      .when(c.rlike("^-?\\d+$"),
+        coalesce(c.try_cast("long") =!= 0, lit(true)))
+      .when(c.rlike("^-?\\d+\\.\\d*$"), c.try_cast("double") > minimumTruth)
       .otherwise(c.isin(trueStrings: _*))
 
   /** `interpret_value` (reference `utilities/common.py:366`) for a
     * string column: classify into int/float/bool/null/json/string
-    * (same branch order as the reference) and surface the typed view.
+    * with the reference's exact branch order and numeric patterns
+    * (scientific notation / bare ".5" are "string" there too) and
+    * surface the typed view. int_value is null (not an error) for
+    * digit strings beyond Long range — try_cast, ANSI-safe.
     * Returns struct(vtype, int_value, float_value, bool_value, raw).
     */
   def interpret(c: Column): Column = {
@@ -45,7 +54,7 @@ object ValueOps {
         .otherwise("string")
     struct(
       vtype.as("vtype"),
-      when(vtype === "int", c.cast("long")).as("int_value"),
+      when(vtype === "int", c.try_cast("long")).as("int_value"),
       when(vtype === "float",
         when(lc === "nan", lit(Double.NaN))
           .when(lc.isin("inf", "infinity"), lit(Double.PositiveInfinity))

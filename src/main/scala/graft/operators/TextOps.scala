@@ -17,6 +17,16 @@ object TextOps {
   private def markerCount(marker: String): Column =
     expr(s"(length(text) - length(replace(text, ' $marker ', ''))) div ${marker.length + 2}")
 
+  /** Whitespace word count of a text column — shared by quality and
+    * the cleaning pipeline so the definition can't diverge.
+    */
+  private def wordCount(textCol: String): Column =
+    size(split(col(textCol), " ")).cast("long")
+
+  /** Stopword occurrences of a text column (single shared list). */
+  private def stopCount(textCol: String): Column =
+    expr(s"size(filter(split($textCol, ' '), w -> w in ('the', 'a')))").cast("long")
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum symbols — the
     * pre-tokenizer split most BPE vocabularies assume).
@@ -35,9 +45,8 @@ object TextOps {
     */
   def quality(documents: DataFrame): DataFrame =
     documents
-      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_stop",
-        expr("size(filter(split(text, ' '), w -> w in ('the', 'a')))").cast("long"))
+      .withColumn("n_words", wordCount("text"))
+      .withColumn("n_stop", stopCount("text"))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / col("n_words"))
       .withColumn("mean_word_len",
@@ -89,20 +98,22 @@ object TextOps {
       .limit(topN)
 
   /** The composed cleaning pipeline every training-data run starts
-    * with: normalize → length cut → quality cut → exact-dedup keep-
-    * canonical. Each stage is the operator defined elsewhere in this
-    * module/Dedup; composition stays one scan + one dedup shuffle.
+    * with: normalize → length cut → stopword-ratio cut (same word and
+    * stopword definitions as [[quality]], via the shared helpers) →
+    * exact-dedup keep-canonical (the [[Dedup.exact]] shape over the
+    * normalized text). Composition stays one scan + one dedup shuffle.
+    * The ratio threshold compares as scaled-by-1000 integers — exact
+    * in both engines, and per-mille precision on the parameter.
     */
   def cleanPipeline(documents: DataFrame, minWords: Int = 5,
       maxStopRatio: Double = 0.5): DataFrame =
     documents
       .withColumn("norm_text",
         regexp_replace(trim(lower(col("text"))), " +", " "))
-      .withColumn("n_words", size(split(col("norm_text"), " ")).cast("long"))
-      .withColumn("n_stop",
-        expr("size(filter(split(norm_text, ' '), w -> w in ('the', 'a')))").cast("long"))
+      .withColumn("n_words", wordCount("norm_text"))
+      .withColumn("n_stop", stopCount("norm_text"))
       .filter(col("n_words") >= minWords &&
-        col("n_stop") * 100 <= col("n_words") * (maxStopRatio * 100).toInt)
+        col("n_stop") * 1000 <= col("n_words") * math.round(maxStopRatio * 1000).toInt)
       .groupBy(md5(col("norm_text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("n_dups"),
