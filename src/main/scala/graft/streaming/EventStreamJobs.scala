@@ -30,6 +30,14 @@ final case class TrimState(kept: Seq[(Long, Long)])
   */
 final case class Evicted(user_id: Long, event_id: Long, ts_us: Long)
 
+/** Per-delivery-identity counter state for the live dead-letter check. */
+final case class DeliveryState(n: Long, dead: Boolean)
+
+/** A message routed to the dead-letter destination on its Kth delivery. */
+final case class DeadLettered(
+    user_id: Long, event_type: String, value_key: Long,
+    event_id: Long, delivery_count: Long)
+
 /** Exact microseconds from a java.sql.Timestamp: getTime() alone
   * truncates to milliseconds (the nanos field holds the full
   * fractional second), which would diverge from the batch twins'
@@ -166,6 +174,38 @@ object EventStreamJobs {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Live dead-letter routing (reference
+    * `utilities/communication.py:810` get_dead_messages as a standing
+    * query): per delivery identity (user, event, integral payload) a
+    * three-long state counts deliveries; the message dead-letters
+    * exactly once, on the delivery that reaches the threshold — the
+    * streaming twin of `EventOps.deadLetter`. State is O(1) per
+    * identity.
+    */
+  def deadLetterStream(events: Dataset[LiveEvent], maxDeliveries: Int = 3)
+      (implicit spark: SparkSession): Dataset[DeadLettered] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type, math.floor(e.value).toLong))
+      .flatMapGroupsWithState[DeliveryState, DeadLettered](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String, Long), rows: Iterator[LiveEvent],
+            state: GroupState[DeliveryState]) =>
+          val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(DeliveryState(0L, dead = false))
+          val out = Seq.newBuilder[DeadLettered]
+          sorted.foreach { e =>
+            s = s.copy(n = s.n + 1)
+            if (!s.dead && s.n >= maxDeliveries) {
+              s = s.copy(dead = true)
+              out += DeadLettered(key._1, key._2, key._3, e.event_id, s.n)
+            }
+          }
+          state.update(s)
+          out.result().iterator
       }
   }
 

@@ -123,6 +123,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live dead-letter fires exactly once, on the threshold delivery") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.deadLetterStream(in.toDS(), maxDeliveries = 3)
+      .writeStream.format("memory").queryName("dlq").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "view"), ev(2, 1, 1, "view")) // 2 deliveries
+      q.processAllAvailable()
+      assert(spark.table("dlq").count() == 0)
+      in.addData(ev(3, 2, 1, "view"), ev(4, 3, 1, "view")) // 3rd + 4th
+      q.processAllAvailable()
+      val rows = spark.table("dlq").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("delivery_count")))
+      assert(rows.toSeq == Seq((3L, 3L))) // fired once, at the 3rd, not again
+    } finally q.stop()
+  }
+
   test("weighted-model parsing runs live on the bus") {
     import spark.implicits._
     import org.apache.spark.sql.types._
