@@ -30,18 +30,22 @@ object MessageParser {
   /** Adds `parsed` (superset struct) and `schema_name` (winning shape,
     * or 'unparseable' when the payload isn't JSON at all).
     *
-    * Malformed detection: `try_parse_json` (null ⇔ not valid JSON)
-    * rather than PERMISSIVE from_json's corrupt-record column — the
-    * corrupt column also fires on mere type-coercion failures
-    * (`{"k": "7"}` against k: LONG), which the reference's
-    * json-then-rank semantics classify as a *less specific* shape
-    * (the bad field nulls out and the ranking falls through), not as
-    * unparseable.
+    * Malformed detection: the corrupt-record column fires on both
+    * non-JSON and mere type-coercion failures (`{"k": "7"}` against
+    * k: LONG); the reference's json-then-rank semantics treat the
+    * latter as a *less specific* shape (the bad field nulls out, the
+    * ranking falls through), not as unparseable. So only
+    * corrupt-flagged rows take a second, lazily-evaluated
+    * `try_parse_json` look (null ⇔ truly not JSON) — the hot path
+    * parses each payload exactly once.
     */
   def parse(df: DataFrame, jsonCol: Column, schemas: Seq[MessageSchema],
             superset: StructType): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = superset.add(corrupt, org.apache.spark.sql.types.StringType)
     val withParsed = df.withColumn("parsed",
-      from_json(jsonCol, superset, Map("mode" -> "PERMISSIVE")))
+      from_json(jsonCol, withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
     val ranked = schemas.sortBy(s => (-s.weight, s.name))
     val chosen = ranked.foldLeft[Column](lit(null).cast("string")) { (acc, s) =>
       val satisfied = s.required
@@ -55,7 +59,9 @@ object MessageParser {
       coalesce(acc, when(satisfied && eventOk, s.name))
     }
     withParsed.withColumn("schema_name",
-      when(col("parsed").isNull || try_parse_json(jsonCol).isNull, "unparseable")
+      when(col("parsed").isNull, "unparseable")
+        .when(col("parsed").getField(corrupt).isNotNull &&
+          try_parse_json(jsonCol).isNull, "unparseable")
         .otherwise(coalesce(chosen, lit("generic"))))
   }
 }

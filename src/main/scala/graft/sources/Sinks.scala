@@ -13,11 +13,13 @@ object Sinks {
   /** Archive records as gzipped JSON-lines, partitioned by stream
     * (user_id) — the distributed analog of the reference's per-stream
     * archive file: each partition directory is one stream's archive,
-    * writable concurrently by every executor.
+    * writable concurrently by every executor. Append mode: an archive
+    * is append-only (the reference appends to its archive file);
+    * overwrite would destroy earlier trim cycles' records.
     */
   def archiveJsonl(df: DataFrame, path: String): Unit =
     df.write
-      .mode("overwrite")
+      .mode("append")
       .partitionBy("user_id")
       .option("compression", "gzip")
       .json(path)

@@ -17,6 +17,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
     * natively. Read nanos as long and floor-convert to a micros
     * timestamp (matches DuckDB's ns→us truncation semantics).
+    *
+    * Session-level side effect, deliberate: `nanosAsLong` must be set
+    * when the relation resolves its schema, and the flag is needed by
+    * every events read in the session. It is idempotent (constant
+    * value ⇒ concurrent setters race benignly), but note that other
+    * TIMESTAMP(NANOS) parquet in the same session will then also read
+    * as long nanos.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

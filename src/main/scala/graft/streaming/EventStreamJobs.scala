@@ -45,7 +45,9 @@ final case class DeadLettered(
   */
 private[streaming] object TsUs {
   def apply(ts: Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    // floorDiv, not /: integer division truncates toward zero, which
+    // breaks pre-epoch timestamps (nanos always count forward)
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 }
 
 /** Structured-Streaming equivalents of the reference's live loop
@@ -70,13 +72,17 @@ object EventStreamJobs {
       .withColumn("handler", coalesce(col("handler"), lit("unhandled")))
       .drop("r_event")
 
-  /** Watermarked tumbling-window counts per event type. */
+  /** Watermarked tumbling-window counts per event type. Value sums go
+    * through DECIMAL(18,2) like the batch twin (`windowTumbling`) —
+    * exact and associative, so micro-batch merge order can't change
+    * the result.
+    */
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
   /** Tail a JSONL event archive directory as a live stream (the
     * file-drop ingestion path: producers append files, the bus picks
@@ -102,14 +108,15 @@ object EventStreamJobs {
       superset: org.apache.spark.sql.types.StructType): DataFrame =
     graft.model.MessageParser.parse(stream, col(jsonCol), schemas, superset)
 
-  /** At-least-once delivery dedup on the live bus (consumers may see
-    * redeliveries): exact once-per-id within the watermark horizon, so
-    * state stays bounded — the streaming twin of `EventOps.dedupExact`.
+  /** At-least-once delivery dedup on the live bus: duplicates are
+    * identical *payloads* (redeliveries carry fresh event_ids — the
+    * same identity `EventOps.dedupExact` collapses in batch), dropped
+    * within the watermark horizon so state stays bounded.
     */
   def dedupStream(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
   /** Live request/response correlation (reference `streams/reader.py`
     * waits for the response to a message_id): stream-stream interval
@@ -160,7 +167,10 @@ object EventStreamJobs {
               val us = TsUs(e.ts)
               cur match {
                 case Some(s) if us - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = us, n = s.n + 1))
+                  // late events may arrive out of order across batches:
+                  // widen the session bounds, never regress them
+                  cur = Some(SessionState(math.min(s.start_us, us),
+                    math.max(s.last_us, us), s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start_us, s.last_us, s.n)
                   cur = Some(SessionState(us, us, 1))
@@ -170,7 +180,8 @@ object EventStreamJobs {
             }
             cur.foreach { s =>
               state.update(s)
-              if (useTimeout) state.setTimeoutDuration("30 minutes")
+              // evict after the session gap itself (in processing time)
+              if (useTimeout) state.setTimeoutDuration(gapUs / 1000L)
             }
             closed.result().iterator
           }
@@ -180,32 +191,46 @@ object EventStreamJobs {
   /** Live dead-letter routing (reference
     * `utilities/communication.py:810` get_dead_messages as a standing
     * query): per delivery identity (user, event, integral payload) a
-    * three-long state counts deliveries; the message dead-letters
-    * exactly once, on the delivery that reaches the threshold — the
-    * streaming twin of `EventOps.deadLetter`. State is O(1) per
-    * identity.
+    * small state counts deliveries; the message dead-letters exactly
+    * once, on the delivery that reaches the threshold — the streaming
+    * twin of `EventOps.deadLetter`. Identity count is unbounded on a
+    * live bus, so the production setting (`ttlMs > 0`) evicts idle
+    * counter state via processing-time timeout (a redelivery after
+    * the TTL restarts its count — redeliveries that far apart are a
+    * new failure episode anyway). TTL defaults off so micro-batch
+    * tests stay deterministic.
     */
-  def deadLetterStream(events: Dataset[LiveEvent], maxDeliveries: Int = 3)
+  def deadLetterStream(events: Dataset[LiveEvent], maxDeliveries: Int = 3,
+      ttlMs: Long = 0L)
       (implicit spark: SparkSession): Dataset[DeadLettered] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(e => (e.user_id, e.event_type, math.floor(e.value).toLong))
       .flatMapGroupsWithState[DeliveryState, DeadLettered](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: (Long, String, Long), rows: Iterator[LiveEvent],
             state: GroupState[DeliveryState]) =>
-          val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
-          var s = state.getOption.getOrElse(DeliveryState(0L, dead = false))
-          val out = Seq.newBuilder[DeadLettered]
-          sorted.foreach { e =>
-            s = s.copy(n = s.n + 1)
-            if (!s.dead && s.n >= maxDeliveries) {
-              s = s.copy(dead = true)
-              out += DeadLettered(key._1, key._2, key._3, e.event_id, s.n)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(DeliveryState(0L, dead = false))
+            val out = Seq.newBuilder[DeadLettered]
+            sorted.foreach { e =>
+              s = s.copy(n = s.n + 1)
+              if (!s.dead && s.n >= maxDeliveries) {
+                s = s.copy(dead = true)
+                out += DeadLettered(key._1, key._2, key._3, e.event_id, s.n)
+              }
             }
+            state.update(s)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
       }
   }
 

@@ -52,19 +52,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming dedup drops redelivered event ids within the watermark") {
+  test("streaming dedup collapses redelivered payloads within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[LiveEvent]
     val q = EventStreamJobs.dedupStream(in.toDF())
       .writeStream.format("memory").queryName("deduped").outputMode("append").start()
     try {
-      in.addData(ev(1, 0, 1, "view"), ev(1, 0, 1, "view"), ev(2, 1, 1, "click"))
+      // redeliveries carry fresh event_ids but the same payload
+      // identity (user, type, value) — the batch dedupExact contract
+      in.addData(ev(1, 0, 1, "view"), ev(2, 0, 1, "view"), ev(3, 1, 1, "click"))
       q.processAllAvailable()
-      in.addData(ev(2, 1, 1, "click")) // redelivery in a later batch
+      in.addData(ev(4, 1, 1, "click")) // redelivery in a later batch
       q.processAllAvailable()
-      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).sorted
-      assert(ids.toSeq == Seq(1L, 2L))
+      val keys = spark.table("deduped").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).sorted
+      assert(keys.toSeq == Seq((1L, "click"), (1L, "view")))
     } finally q.stop()
   }
 
