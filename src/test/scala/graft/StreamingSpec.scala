@@ -126,6 +126,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionizer matches batch sessionGap on random in-order timelines") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(2026)
+    // random per-user gap sequences, globally sorted by ts (the
+    // in-order delivery contract), split across three micro-batches
+    var id = 0L
+    val timeline = (1 to 4).flatMap { u =>
+      var t = rnd.nextInt(30).toLong
+      (1 to 12).map { _ =>
+        t += 1 + rnd.nextInt(70) // gaps straddle the 30-min threshold
+        id += 1
+        ev(id, t, u.toLong, "view")
+      }
+    }.sortBy(e => e.ts.getTime)
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_x").outputMode("append").start()
+    try {
+      timeline.grouped((timeline.size + 2) / 3).foreach { batch =>
+        in.addData(batch: _*); q.processAllAvailable()
+      }
+      // batch twin over the same rows: compare the CLOSED sessions
+      // (streaming can't emit each user's final, still-open session)
+      val batchAll = graft.operators.EventOps
+        .sessionGap(timeline.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+      val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      val expectedClosed = batchAll.filterNot(r => lastPerUser(r._1) == r).toSet
+      val streamed = spark.table("sess_x").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+      assert(streamed == expectedClosed)
+    } finally q.stop()
+  }
+
   test("live dead-letter fires exactly once, on the threshold delivery") {
     import spark.implicits._
     implicit val s = spark
