@@ -40,6 +40,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("scan pushdown regression guard: filters reach the parquet scans") {
+    // pins the properties PLANS.md documents — a plan change that
+    // stops pushing these predicates should fail loudly here
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+    val q1 = plan("q1_agg")
+    assert(q1.contains("PushedFilters: [") &&
+      q1.contains("LessThanOrEqual(l_shipdate"))
+    val q6 = plan("q6_filter_agg")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity"))
+    val q23 = plan("q23_or_pushdown")
+    assert(q23.contains("Or(Or(And(")) // the CNF disjunction reached a scan
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

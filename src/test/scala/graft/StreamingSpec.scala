@@ -71,6 +71,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming window totals equal the batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_x").outputMode("complete").start()
+    try {
+      val rows = Seq(ev(1, 10, 1, "view"), ev(2, 20, 2, "view"),
+        ev(3, 50, 1, "click"), ev(4, 70, 1, "view"), ev(5, 95, 2, "click"))
+        .map(e => e.copy(value = e.event_id * 10.01)) // non-trivial sums
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_x").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime / 1000,
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.EventOps.windowTumbling(rows.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs views with purchases within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
