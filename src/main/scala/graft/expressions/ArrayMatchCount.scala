@@ -31,13 +31,19 @@ case class ArrayMatchCount(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_match_count"
 
+  // mirrors the aggregate(zip_with(...)) fold exactly: a null element
+  // or a length mismatch (zip_with null-pads) makes the result NULL
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       if (x.getLong(i) == y.getLong(i)) acc += 1L
       i += 1
     }
@@ -50,12 +56,17 @@ case class ArrayMatchCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getLong($i) == $y.getLong($i)) $acc++;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    if ($x.getLong($i) == $y.getLong($i)) $acc++;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

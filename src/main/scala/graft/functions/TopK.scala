@@ -17,12 +17,27 @@ object TopK {
   case class TopBuf(items: Seq[Scored])
 
   class TopKAggregator(k: Int) extends Aggregator[Scored, TopBuf, Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    /** Strict weak ordering even with NaN scores (NaN ranks last,
+      * ties broken by id) — a plain `a.score > b.score` comparator is
+      * intransitive around NaN and can throw TimSort's contract
+      * exception mid-job.
+      */
+    private def better(a: Scored, b: Scored): Boolean = {
+      val an = a.score.isNaN
+      val bn = b.score.isNaN
+      if (an != bn) bn
+      else if (!an && a.score != b.score) a.score > b.score
+      else a.id < b.id
+    }
     private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
 
     override def zero: TopBuf = TopBuf(Nil)
-    override def reduce(b: TopBuf, a: Scored): TopBuf = TopBuf(trim(b.items :+ a))
+    // hot path: rows that can't beat the current kth entry skip all
+    // sorting/allocation — the common case once the buffer is full
+    override def reduce(b: TopBuf, a: Scored): TopBuf =
+      if (b.items.size < k) TopBuf(trim(b.items :+ a))
+      else if (better(a, b.items.last)) TopBuf(trim(b.items.init :+ a))
+      else b
     override def merge(x: TopBuf, y: TopBuf): TopBuf = TopBuf(trim(x.items ++ y.items))
     override def finish(r: TopBuf): Seq[Scored] = trim(r.items)
     override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]

@@ -30,6 +30,9 @@ object ValueOps {
       .when(c.rlike("^-?\\d+$"),
         coalesce(c.try_cast("long") =!= 0, lit(true)))
       .when(c.rlike("^-?\\d+\\.\\d*$"), c.try_cast("double") > minimumTruth)
+      // interpret-then-is_true composition: "inf"/"infinity" become
+      // math.inf in the reference pipeline, and inf > minimumTruth
+      .when(lower(c).isin("inf", "infinity"), lit(true))
       .otherwise(c.isin(trueStrings: _*))
 
   /** `interpret_value` (reference `utilities/common.py:366`) for a
@@ -50,7 +53,10 @@ object ValueOps {
         .when(lc.isin("nan", "inf", "infinity", "-inf", "-infinity"), "float")
         .when(c.isin("None", "Null", "null", "nil"), "null")
         .when(try_parse_json(c).isNotNull &&
-          (ltrim(c).startsWith("{") || ltrim(c).startsWith("[")), "json")
+          (ltrim(c).startsWith("{") || ltrim(c).startsWith("[")) &&
+          // the reference falls back to the raw string when the parsed
+          // container is empty/falsy (json_to_dict_or_list → `if not data`)
+          !regexp_replace(c, "\\s", "").isin("{}", "[]"), "json")
         .otherwise("string")
     struct(
       vtype.as("vtype"),

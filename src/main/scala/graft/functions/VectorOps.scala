@@ -55,6 +55,8 @@ object VectorOps {
     */
   def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
     require(nTables * bitsPerTable <= 128, "not enough hyperplanes")
+    // the table index lives at bit 32 — wider signatures would alias it
+    require(bitsPerTable <= 32, "signature must fit below the table-index bits")
     array((0 until nTables).map { t =>
       (0 until bitsPerTable).map { j =>
         when(dot(vd, typedlit(planes(t * bitsPerTable + j))) > 0,

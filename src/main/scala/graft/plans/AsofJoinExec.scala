@@ -28,6 +28,11 @@ case class AsofJoinExec(
     leftTs: Expression, rightTs: Expression,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

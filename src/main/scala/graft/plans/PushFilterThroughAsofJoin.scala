@@ -27,8 +27,13 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
     case f @ Filter(cond, aj: AsofJoin) =>
       val leftOut = aj.left.outputSet
       val preds = splitConjunctivePredicates(cond)
-      val (leftOnly, rest) = preds.partition(p =>
-        p.deterministic && p.references.subsetOf(leftOut))
+      // only the deterministic PREFIX may move (SPARK-13473 semantics:
+      // pushing a later deterministic conjunct past an earlier
+      // non-deterministic one changes which rows the latter sees)
+      val (candidates, nonDetTail) = preds.span(_.deterministic)
+      val (leftOnly, candRest) = candidates.partition(p =>
+        p.references.subsetOf(leftOut))
+      val rest = candRest ++ nonDetTail
       if (leftOnly.isEmpty) f
       else {
         val newLeft = Filter(leftOnly.reduce(And), aj.left)

@@ -95,4 +95,16 @@ class DedupSpec extends AnyFunSuite {
         |""".stripMargin).collect().head
     assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
   }
+
+  test("graft_match_count and graft_dot propagate NULL like the fold") {
+    // null element or length mismatch → NULL (zip_with null-pads)
+    val out = spark.sql(
+      """SELECT
+        |  graft_match_count(array(1L, CAST(NULL AS BIGINT)), array(1L, 0L)) AS m1,
+        |  graft_match_count(array(1L, 2L), array(1L)) AS m2,
+        |  graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 5.0D)) AS d1,
+        |  graft_dot(array(1.0D, 2.0D), array(1.0D)) AS d2
+        |""".stripMargin).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
 }

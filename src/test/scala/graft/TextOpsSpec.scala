@@ -55,7 +55,8 @@ class TextOpsSpec extends AnyFunSuite {
     val cases = Seq(
       "true" -> true, "False" -> false, "off" -> false, "ON" -> true,
       "1" -> true, "0" -> false, "0.001" -> false, "0.97" -> true,
-      "" -> false, "-3" -> true, "y" -> true, "banana" -> false)
+      "" -> false, "-3" -> true, "y" -> true, "banana" -> false,
+      "inf" -> true, "-inf" -> false, "nan" -> false)
     val got = cases.map(_._1).toDF("v")
       .select(col("v"), ValueOps.isTrue(col("v")).as("t"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -66,13 +67,15 @@ class TextOpsSpec extends AnyFunSuite {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.col
     val vals = Seq("42", "-7", "3.14", "true", "NaN", "null",
-      """{"a": 1}""", "[1, 2]", "plain words")
+      """{"a": 1}""", "[1, 2]", "plain words", "{}", "[ ]")
     val got = vals.toDF("v")
       .select(ValueOps.interpret(col("v")).as("i"))
       .select("i.vtype", "i.int_value", "i.float_value", "i.bool_value")
       .collect()
     assert(got.map(_.getString(0)).toSeq ==
-      Seq("int", "int", "float", "bool", "float", "null", "json", "json", "string"))
+      Seq("int", "int", "float", "bool", "float", "null", "json", "json",
+        // empty containers are falsy in the reference → raw string
+        "string", "string", "string"))
     assert(got(0).getLong(1) == 42L && got(1).getLong(1) == -7L)
     assert(got(2).getDouble(2) == 3.14)
     assert(got(3).getBoolean(3))
