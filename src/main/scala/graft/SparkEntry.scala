@@ -525,7 +525,7 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY win_start_s""".stripMargin,
     "ev_props_extract" ->
-      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      """SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
@@ -603,7 +603,8 @@ object SparkEntry {
         |SELECT event_id, event_type, value,
         |  ROUND((value - mean) / sqrt(msq - mean * mean), 6) AS z
         |FROM events JOIN m ON event_type = m_type
-        |WHERE ABS((value - mean) / sqrt(msq - mean * mean)) > 2.5
+        |WHERE msq - mean * mean > 0
+        |  AND ABS((value - mean) / sqrt(msq - mean * mean)) > 2.5
         |ORDER BY event_id""".stripMargin,
     "ev_dedup_exact" ->
       """SELECT MIN(event_id) AS event_id, user_id, event_type, value,

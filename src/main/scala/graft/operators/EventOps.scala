@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec2(c: Column): Column = graft.functions.Parity.dec2(c)
 
   /** events + exact microsecond epoch column. */
   def withTsUs(events: DataFrame): DataFrame =
@@ -29,6 +29,19 @@ object EventOps {
   /** Per-user (ts, event_id) arrival order — the stream order. */
   private def byArrival = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_us"), col("event_id"))
+
+  /** Reverse arrival order (newest first) — single definition so the
+    * newest-N semantics of trim/purge/idle can't diverge.
+    */
+  private def byArrivalDesc = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_us").desc, col("event_id").desc)
+
+  /** Floor division of a nonnegative-or-negative long column — `div`
+    * truncates toward zero, but the DuckDB oracle's `//` floors, and
+    * the two differ for pre-epoch timestamps.
+    */
+  private def floorDiv(c: Column, n: Long): Column =
+    ((c - pmod(c, lit(n))) / lit(n)).cast("long")
 
   /** Event routing: per-event-type traffic counts (the bus's dispatch
     * table view; reference `streams/bus.py:41` routes on `event`).
@@ -94,8 +107,7 @@ object EventOps {
     * arrival-desc ≤ N.
     */
   def trimLastN(events: DataFrame, n: Int): DataFrame = {
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wDesc = byArrivalDesc
     withTsUs(events)
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") <= n)
@@ -108,8 +120,7 @@ object EventOps {
     * per stream.
     */
   def trimOverflow(events: DataFrame, n: Int): DataFrame = {
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wDesc = byArrivalDesc
     withTsUs(events)
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") > n)
@@ -127,7 +138,12 @@ object EventOps {
     * second shuffle.
     */
   def responseAsof(events: DataFrame): DataFrame = {
-    val following = byArrival.rowsBetween(1, Window.unboundedFollowing)
+    // running min over the REVERSED order: a (1, unboundedFollowing)
+    // frame re-scans to the partition end for every row (O(m²) per
+    // user); the desc-order (unboundedPreceding, -1) frame covers the
+    // identical row set and evaluates incrementally in O(m)
+    val following = byArrivalDesc
+      .rowsBetween(Window.unboundedPreceding, -1)
     withTsUs(events)
       .withColumn("next_purchase_us",
         min(when(col("event_type") === "purchase", col("ts_us"))).over(following))
@@ -178,7 +194,7 @@ object EventOps {
     */
   def windowTumbling(events: DataFrame): DataFrame =
     withTsUs(events)
-      .withColumn("hour_start_s", expr("ts_us div 3600000000") * 3600)
+      .withColumn("hour_start_s", floorDiv(col("ts_us"), 3600000000L) * 3600)
       .groupBy(col("hour_start_s"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
@@ -202,16 +218,23 @@ object EventOps {
     */
   def propsExtract(events: DataFrame): DataFrame =
     events
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      // try_cast: regexp_extract yields '' when props has no k, and
+      // ''.cast(long) throws under ANSI mode — un-keyed payloads are a
+      // legal generic-message shape
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("long"))
       .withColumn("k_bucket", col("k") % 10)
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
       .orderBy(col("k_bucket"))
 
-  /** Workflow funnel (reference workflow_id chains, `base.py:515`):
-    * how many users progressed view → click → purchase in order.
-    * Two-level aggregation, both keyed on user_id then global.
+  /** Workflow funnel (reference workflow_id chains, `base.py:515`),
+    * first-touch form: stage counted when each stage's EARLIEST event
+    * follows the previous stage's earliest (the standard min-timestamp
+    * funnel approximation — a user whose first click predates their
+    * first view does not count, even if a later ordered chain exists).
+    * Two-level aggregation, keyed on user_id then global.
     */
   def funnel(events: DataFrame): DataFrame = {
     val perUser = withTsUs(events).groupBy(col("user_id"))
@@ -233,7 +256,7 @@ object EventOps {
     */
   def retention(events: DataFrame): DataFrame = {
     val ud = withTsUs(events)
-      .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      .select(col("user_id"), floorDiv(col("ts_us"), 86400000000L).as("d"))
       .distinct()
     val b = ud.select(col("user_id").as("b_user"), col("d").as("b_d"))
     ud.join(b, col("user_id") === col("b_user") && col("b_d") === col("d") + 1, "left")
@@ -246,24 +269,20 @@ object EventOps {
 
   /** First/last message per consumer (consumer bookkeeping,
     * `utilities/communication.py`): deterministic first/last by
-    * (ts, event_id) arrival order — one window pass, one rollup.
+    * (ts, event_id) arrival order. One struct-min/max aggregate — no
+    * window sort at all (struct comparison is lexicographic, so the
+    * (ts_us, event_id) prefix IS the arrival tie-break).
     */
-  def firstLast(events: DataFrame): DataFrame = {
-    val wAsc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+  def firstLast(events: DataFrame): DataFrame =
     withTsUs(events)
-      .withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
       .groupBy(col("user_id"))
       .agg(
-        min(when(col("rn_a") === 1, col("event_type"))).as("first_type"),
-        min(when(col("rn_a") === 1, col("ts_us"))).as("first_us"),
-        min(when(col("rn_d") === 1, col("event_type"))).as("last_type"),
-        min(when(col("rn_d") === 1, col("ts_us"))).as("last_us"))
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("l"))
+      .select(col("user_id"),
+        col("f.event_type").as("first_type"), col("f.ts_us").as("first_us"),
+        col("l.event_type").as("last_type"), col("l.ts_us").as("last_us"))
       .orderBy(col("user_id"))
-  }
 
   /** XPENDING-style bucketed stats (consumer-group pending counts):
     * conditional aggregation into value buckets, one pass.
@@ -321,6 +340,10 @@ object EventOps {
       .withColumn("variance",
         col("sq").cast("double") / col("n") - col("mean") * col("mean"))
     events.join(broadcast(moments), col("event_type") === col("m_type"))
+      // zero/degenerate variance (constant or single-event groups)
+      // would make z NaN/Infinity — and Spark orders NaN above every
+      // number, so such groups would ALL flag as outliers
+      .filter(col("variance") > 0)
       .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -357,8 +380,7 @@ object EventOps {
     */
   def purgeConsumers(events: DataFrame, targets: DataFrame,
                      pendingN: Int = 10): DataFrame = {
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wDesc = byArrivalDesc
     withTsUs(events)
       .join(broadcast(targets), col("user_id") === col("target_user"), "left_semi")
       .withColumn("rn", row_number().over(wDesc))
@@ -411,8 +433,7 @@ object EventOps {
       pendingN: Int = 10): DataFrame = {
     val e = withTsUs(events)
     val head = e.agg(max(col("ts_us")).as("head_us"))
-    val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wDesc = byArrivalDesc
     e.withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") <= pendingN)
       .crossJoin(broadcast(head))

@@ -28,7 +28,7 @@ object Relational {
     * exact and associative, so aggregation order (shuffle layout) can't
     * change the result — required for hash-stable oracle comparison.
     */
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec2(c: Column): Column = graft.functions.Parity.dec2(c)
 
   private def revenue: Column =
     dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
@@ -369,9 +369,7 @@ object Relational {
         (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
           col("l_quantity").between(20, 40)))
       .groupBy(col("p_brand"))
-      .agg(
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast("double").as("revenue"),
+      .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("p_brand"))
   }
