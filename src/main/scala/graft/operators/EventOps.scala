@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operator suite (SURVEY.md §2.1) — the batch analogs of
   * the reference's event-bus semantics (routing, dispatch, trim,
