@@ -713,10 +713,12 @@ object SparkEntry {
     "ann_brute_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
-        |  FROM embeddings WHERE vec_id < 10),
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |c AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS cv
-        |  FROM embeddings WHERE vec_id >= 10),
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |s AS (
         |  SELECT probe_id, vec_id,
         |    list_dot_product(pv, cv) /
@@ -731,10 +733,12 @@ object SparkEntry {
     "ann_knn_vote" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
-        |  FROM embeddings WHERE vec_id < 10),
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |c AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS cv
-        |  FROM embeddings WHERE vec_id >= 10),
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |s AS (
         |  SELECT probe_id, vec_id, label,
         |    list_dot_product(pv, cv) /

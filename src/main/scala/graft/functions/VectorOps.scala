@@ -51,7 +51,9 @@ object VectorOps {
     * so one `explode` + equi-join covers all tables at once. A pair
     * within angle θ collides in ≥1 table with probability
     * 1 − (1 − (1 − θ/π)^bits)^nTables — tables buy recall, bits buy
-    * precision. Requires nTables·bitsPerTable ≤ 128.
+    * precision. Requires nTables·bitsPerTable ≤ 128 and 64-dim input
+    * vectors (the plane family is 64-dim; a longer vector would
+    * null the plane dot products and collapse every signature to 0).
     */
   def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
     require(nTables * bitsPerTable <= 128, "not enough hyperplanes")

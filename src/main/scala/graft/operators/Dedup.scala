@@ -200,6 +200,9 @@ object Dedup {
     * chunk-keyed buckets, verified with bit_count(xor).
     */
   def simhashNearDup(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    // 4 chunks of 16 bits pigeonhole-guarantee a shared chunk only up
+    // to hamming 3 — a larger threshold would silently lose pairs
+    require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
     val sigs = simhashSignatures(documents).persist()
     val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 3), c -> sim >> (c * 16) & 65535)")))
@@ -226,12 +229,15 @@ object Dedup {
     */
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.95,
       nTables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
-    val sig = embeddings.withColumn("vd", VectorOps.toDoubleArray(col("embedding")))
-      .withColumn("bucket",
-        explode(VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)))
+    // persist BEFORE the table explode: caching the exploded form
+    // would hold nTables copies of every vector
+    val sig = embeddings
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("vd"))
       .persist()
-    val pairs = sig.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
-      .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
+    val bucketed = sig.withColumn("bucket",
+      explode(VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)))
+    val pairs = bucketed.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
         Seq("bucket"))
       .filter(col("id1") < col("id2"))
     pairs

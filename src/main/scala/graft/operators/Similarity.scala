@@ -19,24 +19,27 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  // zero-norm vectors have no direction: cosine would be NaN, and
+  // Spark ranks NaN above every number — they are excluded up front
+  // (mirrored in the oracle SQL)
   private def probes(embeddings: DataFrame, nProbes: Int): DataFrame =
     embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"),
         VectorOps.toDoubleArray(col("embedding")).as("pv"))
+      .filter(VectorOps.dot(col("pv"), col("pv")) > 0)
 
   private def corpus(embeddings: DataFrame, nProbes: Int): DataFrame =
     embeddings.filter(col("vec_id") >= nProbes)
       .select(col("vec_id"), col("label"),
         VectorOps.toDoubleArray(col("embedding")).as("cv"))
+      .filter(VectorOps.dot(col("cv"), col("cv")) > 0)
 
-  /** Brute-force cosine top-k: exact baseline. Probes broadcast; one
-    * pass over the corpus; rank per probe with deterministic
-    * tie-break on vec_id.
+  /** The shared top-k epilogue: rank per probe by cosine desc with a
+    * deterministic vec_id tie-break — ONE definition, because the
+    * stored-index-equals-inline-operator spec depends on every ANN
+    * variant ranking and rounding identically.
     */
-  def bruteTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val scored = corpus(embeddings, nProbes)
-      .crossJoin(broadcast(probes(embeddings, nProbes)))
-      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -46,6 +49,16 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** Brute-force cosine top-k: exact baseline. Probes broadcast; one
+    * pass over the corpus; rank per probe with deterministic
+    * tie-break on vec_id.
+    */
+  def bruteTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame =
+    rankTopK(
+      corpus(embeddings, nProbes)
+        .crossJoin(broadcast(probes(embeddings, nProbes)))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
 
   /** Multi-table LSH ANN: candidates come from nTables independent
     * hyperplane signatures (explode + one equi-join on the packed
@@ -73,18 +86,38 @@ object Similarity {
       // already needed to rank per probe
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("probe_id"), col("rnk"))
+    rankTopK(scored, k)
   }
 
   /** One IVF centroid: id + unit-norm vector. */
   final case class Centroid(cluster_id: Int, centroid: Seq[Double])
+
+  /** Corpus → (cluster_id, vec_id, cv) by broadcast centroid argmax —
+    * shared by the inline operator and the index builder so stored
+    * and inline assignments are identical by construction. Centroids
+    * are unit vectors, so argmax_c dot(v, c) ≡ argmax_c cos(v, c):
+    * no need to normalize the data side for ranking.
+    */
+  private def assignClusters(c: DataFrame, cDF: DataFrame): DataFrame =
+    c.crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
+      .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
+
+  /** Each probe's nProbeClusters nearest centroids (broadcast score +
+    * per-probe rank) — shared by the inline operator and index search.
+    */
+  private def probeClusters(p: DataFrame, cDF: DataFrame,
+      nProbeClusters: Int): DataFrame = {
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d").desc, col("cluster_id"))
+    p.crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("pv"), col("centroid")))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbeClusters)
+      .select(col("probe_id"), col("pv"), col("cluster_id"))
+  }
 
   /** IVF coarse quantizer: deterministic k-means over the unit-
     * normalized corpus (init = lowest-vec_id vectors, Lloyd
@@ -155,32 +188,11 @@ object Similarity {
     val c = corpus(embeddings, nProbes)
     val centroids = ivfTrain(c, nClusters, iters)
     val cDF = broadcast(spark.createDataset(centroids).toDF())
-    // centroids are unit vectors, so argmax_c dot(v, c) ≡ argmax_c
-    // cos(v, c) — no need to normalize the data side for ranking
-    val assigned = c
-      .crossJoin(cDF)
-      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
-      .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
-    val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(col("d").desc, col("cluster_id"))
-    val probeClusters = probes(embeddings, nProbes)
-      .crossJoin(cDF)
-      .withColumn("d", VectorOps.dot(col("pv"), col("centroid")))
-      .withColumn("r", row_number().over(wp))
-      .filter(col("r") <= nProbeClusters)
-      .select(col("probe_id"), col("pv"), col("cluster_id"))
-    val scored = assigned.join(broadcast(probeClusters), Seq("cluster_id"))
-      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("probe_id"), col("rnk"))
+    val assigned = assignClusters(c, cDF)
+    val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
+    rankTopK(
+      assigned.join(broadcast(pc), Seq("cluster_id"))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
 
   /** Materialize an IVF index on storage: the tiny centroid table plus
@@ -196,11 +208,7 @@ object Similarity {
     val c = corpus(embeddings, nProbes)
     val centroids = ivfTrain(c, nClusters, iters)
     val cDF = broadcast(spark.createDataset(centroids).toDF())
-    c.crossJoin(cDF)
-      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
-      .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
+    assignClusters(c, cDF)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
     spark.createDataset(centroids).toDF()
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -216,28 +224,14 @@ object Similarity {
       k: Int = 5, nProbeClusters: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     val cDF = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(col("d").desc, col("cluster_id"))
-    val probeClusters = probes(embeddings, nProbes)
-      .crossJoin(cDF)
-      .withColumn("d", VectorOps.dot(col("pv"), col("centroid")))
-      .withColumn("r", row_number().over(wp))
-      .filter(col("r") <= nProbeClusters)
-      .select(col("probe_id"), col("pv"), col("cluster_id"))
-    val probedIds = probeClusters.select(col("cluster_id")).distinct()
+    val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
+    val probedIds = pc.select(col("cluster_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("cluster_id").isin(probedIds: _*)) // partition pruning
-    val scored = lists.join(broadcast(probeClusters), Seq("cluster_id"))
-      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("probe_id"), col("rnk"))
+    rankTopK(
+      lists.join(broadcast(pc), Seq("cluster_id"))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
 
   /** k-NN majority-label classification of the probes: the k nearest

@@ -34,14 +34,17 @@ object TextOps {
   def tokens(documents: DataFrame): DataFrame =
     documents.select(
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        wordCount("text").as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length / word-shape / stopword-ratio features
     * combined into a bounded score. Counts are exact ints; the ratios
-    * divide those ints identically in both engines.
+    * divide those ints identically in both engines. Counts run over
+    * the RAW text (mirrored by the oracle) — irregular whitespace
+    * splits into empty "words"; normalize first via [[cleanPipeline]]
+    * when scoring messy corpora.
     */
   def quality(documents: DataFrame): DataFrame =
     documents
