@@ -229,22 +229,28 @@ object Dedup {
     */
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.95,
       nTables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
-    // persist BEFORE the table explode: caching the exploded form
-    // would hold nTables copies of every vector
+    // the minhashLsh shape: persist vectors once, compute bucket keys
+    // once, haul only (id, bucket) through the self-join, and join
+    // the vectors back per deduplicated candidate pair — neither
+    // nTables vector copies in cache nor per-side signature recompute
     val sig = embeddings
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("vd"))
       .persist()
-    val bucketed = sig.withColumn("bucket",
-      explode(VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)))
-    val pairs = bucketed.select(col("vec_id").as("id1"), col("vd").as("v1"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("id2"), col("vd").as("v2"), col("bucket")),
-        Seq("bucket"))
+    val bucketed = sig
+      .select(col("vec_id"), explode(
+        VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)).as("bucket"))
+      .persist()
+    val pairs = bucketed.select(col("vec_id").as("id1"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id2"), col("bucket")), Seq("bucket"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
     pairs
+      .join(sig.select(col("vec_id").as("id1"), col("vd").as("v1")), Seq("id1"))
+      .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2")), Seq("id2"))
       .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= tau)
-      .groupBy(col("id1"), col("id2"))
-      .agg(round(max(col("cos")), 6).as("cos"))
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id1"), col("id2"))
   }
 }
