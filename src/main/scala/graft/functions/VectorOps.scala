@@ -51,19 +51,23 @@ object VectorOps {
     * so one `explode` + equi-join covers all tables at once. A pair
     * within angle θ collides in ≥1 table with probability
     * 1 − (1 − (1 − θ/π)^bits)^nTables — tables buy recall, bits buy
-    * precision. Requires nTables·bitsPerTable ≤ 128 and 64-dim input
-    * vectors (the plane family is 64-dim; a longer vector would
-    * null the plane dot products and collapse every signature to 0).
+    * precision. Requires nTables·bitsPerTable ≤ 128. The plane family
+    * is 64-dim: vectors of any other length get a NULL key array, so
+    * a downstream `explode` drops them from candidate generation
+    * instead of silently colliding every vector into one bucket
+    * (DotProduct returns null on length mismatch, which would fold
+    * each `when` to 0 and collapse all signatures to t<<32).
     */
   def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
     require(nTables * bitsPerTable <= 128, "not enough hyperplanes")
     // the table index lives at bit 32 — wider signatures would alias it
     require(bitsPerTable <= 32, "signature must fit below the table-index bits")
-    array((0 until nTables).map { t =>
+    val keys = array((0 until nTables).map { t =>
       (0 until bitsPerTable).map { j =>
         when(dot(vd, typedlit(planes(t * bitsPerTable + j))) > 0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _) + lit(t.toLong << 32)
     }: _*)
+    when(size(vd) === 64, keys)
   }
 }

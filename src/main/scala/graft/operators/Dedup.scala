@@ -18,13 +18,26 @@ import graft.functions.VectorOps
   * path; at 100 TB you run `minhashLsh` and verify candidates only.
   *
   * Caching contract: the near-dup operators `persist()` their
-  * signature tables (several plan branches read them). The cache
-  * lives until the session drops it — long-lived sessions running
-  * many of these should `spark.catalog.clearCache()` between jobs
-  * (Bench does), or at 100 TB materialize signatures to storage
-  * instead.
+  * signature tables (several plan branches read them), eagerly
+  * materialize the (small) pair result, and unpersist the signature
+  * tables before returning — no cached state outlives the call. The
+  * returned frame holds the materialized result (lineage truncated);
+  * its blocks are freed by the ContextCleaner once the caller drops
+  * the reference. At 100 TB the equivalent move is materializing the
+  * signature table to storage and reading it back per branch.
   */
 object Dedup {
+
+  /** Eagerly materializes `result` (localCheckpoint truncates lineage,
+    * so the returned frame no longer references the cached
+    * intermediates), then unpersists the intermediates. Keeps the
+    * near-dup operators leak-free in long-lived sessions.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words
     * drop out, mirroring the SQL oracle's generate_series emptiness).
@@ -99,7 +112,7 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"))
       .distinct()
-    cand
+    materializeAndRelease(cand
       .join(docSets.select(col("doc_id").as("doc1"),
         col("garr").as("garr1"), col("s").as("s1")), Seq("doc1"))
       .join(docSets.select(col("doc_id").as("doc2"),
@@ -107,7 +120,8 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("garr1"), col("garr2"))).cast("long"))
       .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
       .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
-      .orderBy(col("doc1"), col("doc2"))
+      .orderBy(col("doc1"), col("doc2")),
+      docSets)
   }
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
@@ -159,7 +173,7 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"))
       .distinct()
-    pairs
+    materializeAndRelease(pairs
       .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
       .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))
       .withColumn("est_jaccard", {
@@ -172,7 +186,8 @@ object Dedup {
       })
       .filter(col("est_jaccard") >= minEst)
       .select(col("doc1"), col("doc2"), col("est_jaccard"))
-      .orderBy(col("doc1"), col("doc2"))
+      .orderBy(col("doc1"), col("doc2")),
+      sigs)
   }
 
   /** 64-bit SimHash per doc: majority vote of each hash bit across the
@@ -207,7 +222,7 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 3), c -> sim >> (c * 16) & 65535)")))
       .toDF("doc_id", "sim", "chunk_idx", "chunk")
-    chunked.select(col("doc_id").as("doc1"), col("sim").as("sim1"),
+    materializeAndRelease(chunked.select(col("doc_id").as("doc1"), col("sim").as("sim1"),
         col("chunk_idx"), col("chunk"))
       .join(chunked.select(col("doc_id").as("doc2"), col("sim").as("sim2"),
         col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
@@ -216,7 +231,8 @@ object Dedup {
         expr("bit_count(sim1 ^ sim2)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy(col("doc1"), col("doc2"))
+      .orderBy(col("doc1"), col("doc2")),
+      sigs)
   }
 
   /** Embedding-cosine near-dup pairs ≥ tau via multi-table
@@ -245,12 +261,13 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
-    pairs
+    materializeAndRelease(pairs
       .join(sig.select(col("vec_id").as("id1"), col("vd").as("v1")), Seq("id1"))
       .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2")), Seq("id2"))
       .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= tau)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2")),
+      sig, bucketed)
   }
 }

@@ -104,7 +104,7 @@ case class AsofJoinExec(
             } else continue = false
           }
         }
-        val matched = lk != null && lastMatchKey != null &&
+        val matched = lk != null && lt != null && lastMatchKey != null &&
           keyOrd.compare(lastMatchKey, lk) == 0
         if (matched) numMatched += 1
         numOutputRows += 1

@@ -95,6 +95,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoinExec never matches a left row with null timestamp") {
+    // regression: a null-ts left row must not inherit lastMatch buffered
+    // from an earlier same-key left row — the declarative twin (null ts
+    // sorts first, no preceding right rows) and DuckDB ASOF both yield
+    // no match, so the exec must agree
+    val right = Seq((1L, 5L, 900L), (1L, 20L, 901L), (2L, 3L, 902L))
+      .toDF("k", "t", "payload")
+    val left = Seq(
+      (10L, 1L, Some(25L)), // matches t=20
+      (11L, 1L, None),      // null ts: NO match, even though key 1 has history
+      (12L, 1L, Some(6L)),  // matches t=5 (and must not be poisoned by row 11)
+      (13L, 2L, None),      // null ts on key 2: no match
+      (14L, 3L, Some(9L))   // key with no right rows: no match
+    ).toDF("lid", "k", "lt")
+    val got = graft.operators.Temporal
+      .asofBackwardExec(left, "lt", right, "t", "k", Seq("payload"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(got == Set(
+      (10L, Some(901L)), (11L, None), (12L, Some(900L)),
+      (13L, None), (14L, None)))
+  }
+
+  test("lshTableKeys nulls the bucket array for non-64-dim vectors") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq.fill(64)(0.1)),
+      (2L, Seq.fill(32)(0.1)), // wrong dim: must get NULL keys, not t<<32
+      (3L, Seq.fill(64)(-0.2))
+    ).toDF("vec_id", "vd")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.lshTableKeys(col("vd"), 4, 8).as("keys"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L) && !rows(3L))
+    // and explode drops the mismatched vector from candidate generation
+    val exploded = df.select(col("vec_id"), explode(col("keys")))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exploded == Set(1L, 3L))
+  }
+
   test("session count = 1 + number of >30min gaps, for random gap sequences") {
     val rnd = new scala.util.Random(99)
     (1 to 8).foreach { _ =>
