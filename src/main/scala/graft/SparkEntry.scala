@@ -125,6 +125,17 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
     "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
+    "dd_cluster_cc" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.connectedComponents(docs, Dedup.ngramJaccard(docs))
+    }),
+    "txt_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables(s, dir).documents)),
+    "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
+    "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
+    "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
+    "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
+    "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir).embeddings)),
+    "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
@@ -710,6 +721,140 @@ object SparkEntry {
         |JOIN sizes s2 ON doc2 = s2.doc_id
         |WHERE inter * 100 >= (s1.s + s2.s - inter) * 50
         |ORDER BY doc1, doc2""".stripMargin,
+    "dd_cluster_cc" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pr AS (
+        |  SELECT doc1, doc2 FROM (
+        |    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sizes s1 ON doc1 = s1.doc_id
+        |  JOIN sizes s2 ON doc2 = s2.doc_id
+        |  WHERE inter * 100 >= (s1.s + s2.s - inter) * 50),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM pr
+        |      UNION SELECT doc2, doc1 FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+        |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+        |  CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        |ORDER BY d.doc_id""".stripMargin,
+    "txt_pii_redact" ->
+      """WITH wp AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |    || ' or +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS with_pii
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, with_pii,
+        |    regexp_replace(regexp_replace(with_pii,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g') AS part_red
+        |  FROM wp)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(with_pii,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(with_pii,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(part_red,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(part_red,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')) AS redacted_md5
+        |FROM r2
+        |ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS n FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY doc_id, w),
+        |words AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct_words, CAST(MAX(n) AS BIGINT) AS top_word_n
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, b, COUNT(*) AS n FROM (
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |          WHERE len(string_split(text, ' ')) >= 2) x,
+        |         UNNEST(generate_series(1, len(w) - 1)) AS t(i)) y
+        |  GROUP BY doc_id, b),
+        |bigrams AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |    COUNT(*) AS n_distinct_bigrams
+        |  FROM bg GROUP BY doc_id)
+        |SELECT w.doc_id, n_words, n_distinct_words, top_word_n,
+        |  n_bigrams, n_distinct_bigrams,
+        |  (n_bigrams - n_distinct_bigrams) * 100 // n_bigrams AS dup_bigram_pct,
+        |  CAST(CASE WHEN (n_bigrams - n_distinct_bigrams) * 100 // n_bigrams >= 20
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        |FROM words w JOIN bigrams USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "samp_stratified" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '28' ELSE '50' END
+        |ORDER BY doc_id""".stripMargin,
+    "samp_domain_mix" ->
+      """SELECT doc_id, source, pick_rank FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS pick_rank
+        |  FROM documents) t
+        |WHERE pick_rank <= 40
+        |ORDER BY doc_id""".stripMargin,
+    "samp_pack" ->
+      """SELECT doc_id, source, n_tokens, cum_prev // 2048 AS bin_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    COALESCE(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "ann_range_search" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, cv) /
+        |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN p)
+        |SELECT probe_id, vec_id, ROUND(cos, 6) AS cos
+        |FROM s
+        |WHERE cos >= 0.25
+        |ORDER BY probe_id, vec_id""".stripMargin,
+    "emb_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    UNNEST(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9) AS mean,
+        |  COUNT(*) AS n
+        |FROM ex
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
     "ann_brute_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

@@ -190,6 +190,55 @@ object Dedup {
       sigs)
   }
 
+  /** Connected components over a near-dup pair graph → duplicate
+    * *clusters*: every doc labeled with the smallest doc_id reachable
+    * through pair edges (singletons label themselves), and the
+    * canonical flag a keep-one-per-cluster dedup actually drops rows
+    * by. Iterative min-label propagation: per round, one edge⋈label
+    * join + a dst-keyed min — all shuffles key on doc ids, nothing
+    * driver-sized. Rounds ≈ cluster diameter; near-dup clusters are
+    * shallow (they are cliques-ish), so this converges in 2-3 rounds
+    * where the general-graph alternative (large-star/small-star,
+    * O(log n) rounds) isn't worth the extra passes. Labels are
+    * localCheckpoint'ed per round so the plan doesn't grow with the
+    * iteration count.
+    *
+    * `pairs` must expose doc1/doc2 (any extra columns ignored) —
+    * compose with [[ngramJaccard]], [[minhashLsh]], [[simhashNearDup]]
+    * or [[embedNearDup]] output.
+    */
+  def connectedComponents(documents: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // push each node's current label to its neighbors, take the min
+      val pushed = edges
+        .join(labels.select(col("doc_id").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("comp")).as("nbr_min"))
+      val next = labels
+        .join(pushed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "old_comp"), Seq("doc_id"))
+        .filter(col("comp") < col("old_comp")).isEmpty
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels
+      .select(col("doc_id"), col("comp").as("component"),
+        when(col("doc_id") === col("comp"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per doc: majority vote of each hash bit across the
     * doc's words (term frequency = weight). Explode + 64 codegen'd
     * conditional sums (map-side combine), recombined into one long —

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / mixing / packing operators for assembling training sets
+  * from a cleaned corpus (SURVEY.md §2.3): deterministic stratified
+  * sampling, per-domain quota mixing, and token-budget sequence
+  * packing.
+  *
+  * Scale design (100 TB): every sampling decision is a pure function
+  * of the row (md5 of the primary key vs a threshold) — no global
+  * coordination, no reservoir state, no second pass, reproducible
+  * across cluster sizes and re-runs. Quota mixing and packing key
+  * their single shuffle on the (low-cardinality but bounded) source
+  * shard; within a shard the window sort is the same external sort
+  * any top-N takes.
+  */
+object Sampling {
+
+  /** The deterministic per-row coin: first two hex chars of
+    * md5(doc_id) compared against a per-stratum threshold — "hash
+    * sampling", the reproducible alternative to rand(). 256 buckets
+    * ⇒ thresholds quantize to 1/256 ≈ 0.4% steps.
+    */
+  private def hashBucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+
+  /** Stratified sample: per-language acceptance thresholds (en is
+    * down-sampled harder than the tail languages — the typical
+    * data-mixing move). Emits the sampled rows themselves; the
+    * decision never leaves the scan (narrow map, no shuffle).
+    */
+  def stratifiedSample(documents: DataFrame,
+      thresholds: Map[String, String] = Map("en" -> "28"),
+      defaultThreshold: String = "50"): DataFrame = {
+    val thr = thresholds.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (lang, t)) => acc.when(col("lang") === lang, lit(t))
+    }.otherwise(lit(defaultThreshold))
+    documents
+      .filter(hashBucket < thr)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain-mix quota: at most `quota` docs per source, chosen by the
+    * deterministic hash order (hash rank ⇒ an unbiased, reproducible
+    * "random" subset; doc_id tie-break). One shuffle on source; the
+    * per-shard top-N is rank-limited, so a huge domain costs a bigger
+    * external sort, never memory.
+    */
+  def domainMixQuota(documents: DataFrame, quota: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hashBucket, col("doc_id"))
+    documents
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= quota)
+      .select(col("doc_id"), col("source"), col("pick_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget sequence packing: within each source shard, docs in
+    * doc_id order fill bins of `budget` whitespace tokens — bin id =
+    * (running token count before this doc) div budget, the streaming
+    * packing a sharded training-data writer does. One window per
+    * shard; bin boundaries are a pure function of the prefix sums, so
+    * the assignment is partition-count-independent.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer div, not `/` (Column./ on longs is double division)
+      .withColumn("bin_id", expr(s"cum_prev div $budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+}

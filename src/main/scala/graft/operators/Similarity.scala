@@ -234,6 +234,41 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
 
+  /** Range search: every corpus vector within cosine ≥ tau of each
+    * probe (the "all near neighbors" companion to top-k — what a
+    * contamination / near-dup-against-eval check runs). Probes
+    * broadcast, corpus streamed once, no shuffle at all: the filter
+    * runs where the scan runs. Same exact-cosine contract as
+    * [[bruteTopK]]; swap the corpus side to LSH buckets exactly as
+    * `annLshTopK` does when the probe set outgrows a broadcast.
+    */
+  def rangeSearch(embeddings: DataFrame, nProbes: Int = 10, tau: Double = 0.25): DataFrame =
+    corpus(embeddings, nProbes)
+      .crossJoin(broadcast(probes(embeddings, nProbes)))
+      .withColumn("cos", VectorOps.cosine(col("pv"), col("cv")))
+      .filter(col("cos") >= tau)
+      .select(col("probe_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("probe_id"), col("vec_id"))
+
+  /** Per-label centroids in long form (label, dim, mean, n): the
+    * class-prototype table behind nearest-centroid classification and
+    * cluster drift monitoring. One posexplode + one (label, dim)-keyed
+    * aggregate — map-side combined, dim×labels keys ⇒ skew-free.
+    * Component sums accumulate as DECIMAL(38,15) (exact, associative)
+    * so the means are independent of partitioning, then divide out as
+    * doubles.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(VectorOps.toDoubleArray(col("embedding")))
+        .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,15)")).as("sx"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("sx").cast("double") / col("n"), 9).as("mean"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
   /** k-NN majority-label classification of the probes: the k nearest
     * corpus vectors vote; ties break toward the smaller label.
     */

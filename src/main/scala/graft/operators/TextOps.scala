@@ -124,6 +124,77 @@ object TextOps {
       .select(col("doc_id"), col("h"), col("n_dups"), col("n_words"))
       .orderBy(col("doc_id"))
 
+  /** PII detection + redaction: emails / phone numbers / IPv4
+    * addresses found by regex, counted, and replaced with typed
+    * placeholder tags. A narrow per-row map — scan-speed at 100 TB,
+    * pipelines into the cleaning stage. The synthetic corpus carries
+    * no PII, so the operator first *plants* deterministic PII derived
+    * from doc_id (mirrored by the oracle) — the regexes then run over
+    * text that genuinely contains what they must find. Patterns stick
+    * to the regex subset Java and RE2 interpret identically
+    * (character classes + bounded repetition, no lookaround).
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    documents
+      .withColumn("with_pii", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" or +1-555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("with_pii"),
+          email, "[EMAIL]"), phone, "[PHONE]"), ipv4, "[IP]"))
+      .select(col("doc_id"),
+        regexp_count(col("with_pii"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("with_pii"), lit(phone)).cast("long").as("n_phones"),
+        // count IPs on the phone-redacted text so the two patterns
+        // can't overlap-claim the same digits in either engine
+        regexp_count(regexp_replace(regexp_replace(col("with_pii"),
+          email, "[EMAIL]"), phone, "[PHONE]"), lit(ipv4)).cast("long").as("n_ips"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition features: distinct-word and duplicate-
+    * bigram fractions plus the heaviest single word's share — the
+    * signals repetition quality filters cut on. Two explode +
+    * word-keyed aggregates (map-side combined, near-uniform keys),
+    * joined back on doc_id; thresholds compare scaled integers so the
+    * cut is engine-exact. Docs need ≥ 2 words (mirrored by the
+    * oracle).
+    */
+  def repetitionStats(documents: DataFrame, maxDupBigramPct: Int = 20): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("n")).as("top_word_n"))
+    val bigrams = documents
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    words.join(bigrams, Seq("doc_id"))
+      .withColumn("dup_bigram_pct",
+        expr("(n_bigrams - n_distinct_bigrams) * 100 div n_bigrams"))
+      .withColumn("is_repetitive",
+        when(col("dup_bigram_pct") >= maxDupBigramPct, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_n"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("dup_bigram_pct"), col("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit rolling polynomial fingerprint over the document's
     * characters (Karp–Rabin style): two independent 31-bit-prime
     * rolling hashes packed into one long. Each step stays < 2^51 so

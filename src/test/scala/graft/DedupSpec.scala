@@ -80,6 +80,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) > 0.999)
   }
 
+  test("connected components labels every doc with the min reachable id through pairs") {
+    // clusters: {1,2,3} via chain edges, {5,6}; 4 and 7 are singletons
+    val docsDf = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(docsDf, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 4L, 1L),
+      (5L, 5L, 1L), (6L, 5L, 0L), (7L, 7L, 1L)))
+  }
+
+  test("connected components converges on a long chain (diameter > 2 rounds)") {
+    // path 10-11-12-...-19: min label must traverse the whole chain
+    val docsDf = (10L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (10L until 19L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(docsDf, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 19L).forall(got(_) == 10L))
+  }
+
   test("minhash signatures are 128 wide and deterministic across plans") {
     val a = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
     val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)

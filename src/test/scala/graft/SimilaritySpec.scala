@@ -95,6 +95,31 @@ class SimilaritySpec extends AnyFunSuite {
       inline.collect().map(_.toSeq).toSeq)
   }
 
+  test("range search returns exactly the pairs with cosine above tau") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val near = v.map(x => (x * 1.01f + 0.001f))         // cos ≈ 1
+    val anti = v.map(x => -x)                            // cos = -1
+    val df = Seq((0L, v, 0), (10L, near, 0), (11L, anti, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.rangeSearch(df, nProbes = 1, tau = 0.9).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L))
+    assert(got.head.getDouble(2) > 0.99)
+  }
+
+  test("label centroids compute exact per-dimension means") {
+    val df = Seq(
+      (0L, Seq(1.0f, 3.0f), 7),
+      (1L, Seq(3.0f, 5.0f), 7),
+      (2L, Seq(10.0f, 20.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got((7, 0L)) == (2.0, 2L))
+    assert(got((7, 1L)) == (4.0, 2L))
+    assert(got((8, 0L)) == (10.0, 1L))
+    assert(got((8, 1L)) == (20.0, 1L))
+  }
+
   test("ivfTrain is deterministic and returns unit centroids") {
     val c = emb.filter($"vec_id" >= 10)
       .select($"vec_id",

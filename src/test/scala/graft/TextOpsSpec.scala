@@ -63,6 +63,38 @@ class TextOpsSpec extends AnyFunSuite {
     cases.foreach { case (v, want) => assert(got(v) == want, s"isTrue($v)") }
   }
 
+  test("pii redaction counts and strips planted emails, phones and IPs") {
+    import org.apache.spark.sql.functions.col
+    // doc 42 gets planted user42@mail.example.com, +1-555-0142-0042, 10.42.0.1;
+    // the text itself carries one extra email and one extra ip
+    val d = docs((42L, "reach me at someone@corp.example.org or 192.168.1.10 ok", "en"))
+      .select("doc_id", "text")
+    val out = TextOps.piiRedact(d).collect().head
+    assert(out.getLong(1) == 2) // emails: in-text + planted
+    assert(out.getLong(2) == 1) // phone: planted
+    assert(out.getLong(3) == 2) // ips: in-text + planted
+    // and the redacted text really lost them
+    val red = TextOps.piiRedact(d)
+    assert(red.columns.toSeq ==
+      Seq("doc_id", "n_emails", "n_phones", "n_ips", "redacted_md5"))
+  }
+
+  test("repetition stats: distinct/duplicate fractions are exact") {
+    val out = TextOps.repetitionStats(
+      docs((1L, "a a a a b", "en"), (2L, "x y z w v u", "en"))
+        .select("doc_id", "text")).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 5)  // n_words
+    assert(r1.getLong(2) == 2)  // distinct words
+    assert(r1.getLong(3) == 4)  // top word count
+    assert(r1.getLong(4) == 4)  // bigrams: "a a" x3, "a b"
+    assert(r1.getLong(5) == 2)  // distinct bigrams
+    assert(r1.getLong(6) == 50) // dup pct
+    assert(r1.getLong(7) == 1)  // repetitive
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(6) == 0 && r2.getLong(7) == 0)
+  }
+
   test("interpret classifies raw payload strings like the reference") {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.col
