@@ -45,6 +45,10 @@ object VectorOps {
     IndexedSeq.fill(128)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
+  // one shared matrix instance so repeated lshTableKeys calls build
+  // reference-equal (canonicalizable) expression trees
+  private val planeMatrix: Array[Array[Double]] = planes.map(_.toArray).toArray
+
   /** Multi-table LSH keys: nTables independent signatures of
     * bitsPerTable hyperplane bits each (table t uses planes
     * [t·bits, (t+1)·bits)), the table index packed into the high bits
@@ -62,12 +66,8 @@ object VectorOps {
     require(nTables * bitsPerTable <= 128, "not enough hyperplanes")
     // the table index lives at bit 32 — wider signatures would alias it
     require(bitsPerTable <= 32, "signature must fit below the table-index bits")
-    val keys = array((0 until nTables).map { t =>
-      (0 until bitsPerTable).map { j =>
-        when(dot(vd, typedlit(planes(t * bitsPerTable + j))) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(t.toLong << 32)
-    }: _*)
-    when(size(vd) === 64, keys)
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    column(graft.expressions.LshSignatures(
+      expression(vd), planeMatrix, nTables, bitsPerTable))
   }
 }

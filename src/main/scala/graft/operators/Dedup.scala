@@ -212,9 +212,22 @@ object Dedup {
     val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("comp"))
+    // only pair-graph vertices can ever change label — iterate over
+    // them alone (the pair graph is tiny next to the corpus; at 100 TB
+    // this is what keeps each round off the full document set), then
+    // left-join the labels back so singletons label themselves
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint()
-    var converged = false
+    // labels only ever decrease, so the (exact, decimal) label total
+    // strictly decreases until the fixpoint — a one-aggregate
+    // convergence test, no self-join needed
+    def labelTotal(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevTotal = labelTotal(labels)
+    var converged = prevTotal.signum == 0 && labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       iter += 1
@@ -228,14 +241,18 @@ object Dedup {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "old_comp"), Seq("doc_id"))
-        .filter(col("comp") < col("old_comp")).isEmpty
+      val nextTotal = labelTotal(next)
+      converged = nextTotal.compareTo(prevTotal) == 0
+      prevTotal = nextTotal
       labels = next
     }
     edges.unpersist(blocking = false)
-    labels
-      .select(col("doc_id"), col("comp").as("component"),
-        when(col("doc_id") === col("comp"), 1L).otherwise(0L).as("is_canonical"))
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"),
+        when(col("doc_id") === coalesce(col("comp"), col("doc_id")), 1L)
+          .otherwise(0L).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 

@@ -202,7 +202,17 @@ object TextOps {
     * Rows-only (no portable SQL fold). A narrow map — scan-speed at
     * 100 TB.
     */
-  def fingerprint(documents: DataFrame): DataFrame =
+  def fingerprint(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents.select(col("doc_id"),
+        column(graft.expressions.RollingFingerprint(expression(col("text")))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The interpreted declarative twin of [[fingerprint]]'s custom
+    * expression — kept (package-private) as the spec's parity oracle.
+    */
+  private[graft] def fingerprintDeclarative(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
         (expr("aggregate(split(text, ''), 0L," +
           " (acc, ch) -> pmod(acc * 1000003L + ascii(ch), 2147483647))") * lit(4294967296L)

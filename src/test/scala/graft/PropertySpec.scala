@@ -136,6 +136,29 @@ class PropertySpec extends AnyFunSuite {
     assert(exploded == Set(1L, 3L))
   }
 
+  test("fused LshSignatures expression equals the declarative when-chain bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(31337)
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "vd")
+    val fused = df.select(col("vec_id"),
+        VectorOps.lshTableKeys(col("vd"), 8, 12).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the declarative twin, built inline exactly as lshTableKeys used to
+    val planesField = VectorOps.getClass.getDeclaredField("planes")
+    planesField.setAccessible(true)
+    val planes = planesField.get(VectorOps).asInstanceOf[IndexedSeq[Seq[Double]]]
+    val declarative = df.select(col("vec_id"), array((0 until 8).map { t =>
+        (0 until 12).map { j =>
+          when(VectorOps.dot(col("vd"), typedlit(planes(t * 12 + j))) > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _) + lit(t.toLong << 32)
+      }: _*).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, _) => assert(fused(id) == declarative(id), s"vec $id") }
+  }
+
   test("session count = 1 + number of >30min gaps, for random gap sequences") {
     val rnd = new scala.util.Random(99)
     (1 to 8).foreach { _ =>

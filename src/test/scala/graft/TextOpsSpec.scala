@@ -63,6 +63,18 @@ class TextOpsSpec extends AnyFunSuite {
     cases.foreach { case (v, want) => assert(got(v) == want, s"isTrue($v)") }
   }
 
+  test("codegen'd fingerprint equals the declarative fold, incl. non-ASCII") {
+    val d = docs(
+      (1L, "key agg row scan slow fast table value part hash", "en"),
+      (2L, "héllo wörld ünïcode façade", "fr"),
+      (3L, "", "en"),
+      (4L, "a", "en")).select("doc_id", "text")
+    val fast = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = TextOps.fingerprintDeclarative(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("pii redaction counts and strips planted emails, phones and IPs") {
     import org.apache.spark.sql.functions.col
     // doc 42 gets planted user42@mail.example.com, +1-555-0142-0042, 10.42.0.1;
