@@ -223,7 +223,7 @@ object Dedup {
     // strictly decreases until the fixpoint — a one-aggregate
     // convergence test, no self-join needed
     def labelTotal(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     var prevTotal = labelTotal(labels)
@@ -233,7 +233,7 @@ object Dedup {
       iter += 1
       // push each node's current label to its neighbors, take the min
       val pushed = edges
-        .join(labels.select(col("doc_id").as("src"), col("comp")), Seq("src"))
+        .join(broadcast(labels.select(col("doc_id").as("src"), col("comp"))), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("comp")).as("nbr_min"))
       val next = labels
@@ -247,8 +247,12 @@ object Dedup {
       labels = next
     }
     edges.unpersist(blocking = false)
+    // labels cover only pair-graph vertices — broadcast them so the
+    // corpus-sized document side never shuffles for this join (if the
+    // pair graph ever approached corpus size, near-dup thresholds are
+    // wrong long before this hint is)
     documents.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("component"),
         when(col("doc_id") === coalesce(col("comp"), col("doc_id")), 1L)
