@@ -13,10 +13,14 @@ import org.apache.spark.sql.SparkSession
   * Janino codegen warm-up — single-pass timings swing ±3× on whichever
   * codegen-heavy query happens to hit a cold JVM), then N timed passes
   * (default 3, SPARK_GRAFT_BENCH_PASSES) reporting the per-query MIN.
-  * `clearCache()` before every pass drops every `persist()` the
-  * previous pass left behind, so each timed pass recomputes all data
-  * from the parquet scans. What's reported is steady-state
-  * full-computation time with GC/compilation noise filtered out.
+  * `clearCache()` before every pass drops any catalog-cached
+  * `persist()` a pass left behind (the dedup operators self-unpersist
+  * now; their localCheckpoint'ed results live outside the
+  * CacheManager and are freed by the ContextCleaner once the
+  * DataFrame is GC'd). Each query rebuilds its DataFrame inside the
+  * timed region, so every pass recomputes all data from the parquet
+  * scans. What's reported is steady-state full-computation time with
+  * GC/compilation noise filtered out.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

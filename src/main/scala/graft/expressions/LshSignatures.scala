@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * | sign-bits of planes [t·bits, (t+1)·bits), each dot accumulated
   * strictly left-to-right in doubles; a non-64-dim vector yields NULL
   * (dropped by downstream explode), a null element sets no sign bits
-  * (a null dot fails the `> 0` test in the declarative twin).
+  * (a null dot fails the `> 0` test in the declarative twin), and a
+  * NaN dot SETS the bit (Spark SQL's GreaterThan ranks NaN above
+  * every number, unlike Java's `>`).
   */
 case class LshSignatures(child: Expression, planes: Array[Array[Double]],
     nTables: Int, bitsPerTable: Int) extends UnaryExpression {
@@ -58,7 +60,8 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
           var acc = 0.0
           var k = 0
           while (k < 64) { acc += x(k) * p(k); k += 1 }
-          if (acc > 0) sig |= 1L << j
+          // NaN counts as > 0: Spark's GreaterThan ranks NaN largest
+          if (acc > 0 || acc.isNaN) sig |= 1L << j
           j += 1
         }
       }
@@ -98,7 +101,8 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
          |        double[] $p = $planesRef[$t * $bitsPerTable + $j];
          |        double $acc = 0.0;
          |        for (int $k = 0; $k < 64; $k++) { $acc += $x[$k] * $p[$k]; }
-         |        if ($acc > 0) $sig |= 1L << $j;
+         |        /* NaN counts as > 0: Spark's GreaterThan ranks NaN largest */
+         |        if ($acc > 0 || Double.isNaN($acc)) $sig |= 1L << $j;
          |      }
          |    }
          |    $out[$t] = $sig;

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * points, packed into one long — the codegen'd twin of the
   * interpreted `aggregate(split(text, ''), ...)` fold in
   * [[graft.operators.TextOps.fingerprint]], which allocates a
-  * one-char-string array element per character. One pass over the
-  * UTF8String here, zero allocation.
+  * one-char-string array element per character. One pass and a single
+  * transient String per row here (the per-character allocations are
+  * what the fold pays for).
   *
   * Exactness contract: `split(text, '')` yields one code point per
   * element and `ascii(ch)` is that code point, so folding

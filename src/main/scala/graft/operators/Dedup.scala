@@ -33,11 +33,9 @@ object Dedup {
     * intermediates), then unpersists the intermediates. Keeps the
     * near-dup operators leak-free in long-lived sessions.
     */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
+    try result.localCheckpoint()
+    finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words
     * drop out, mirroring the SQL oracle's generate_series emptiness).
@@ -226,27 +224,33 @@ object Dedup {
       val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
-    var prevTotal = labelTotal(labels)
-    var converged = prevTotal.signum == 0 && labels.isEmpty
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      iter += 1
-      // push each node's current label to its neighbors, take the min
-      val pushed = edges
-        .join(broadcast(labels.select(col("doc_id").as("src"), col("comp"))), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("comp")).as("nbr_min"))
-      val next = labels
-        .join(pushed, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val nextTotal = labelTotal(next)
-      converged = nextTotal.compareTo(prevTotal) == 0
-      prevTotal = nextTotal
-      labels = next
-    }
-    edges.unpersist(blocking = false)
+    try {
+      var converged = labels.head(1).isEmpty // no pairs ⇒ nothing to propagate
+      var prevTotal = if (converged) java.math.BigDecimal.ZERO else labelTotal(labels)
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        iter += 1
+        // push each node's current label to its neighbors, take the min
+        val pushed = edges
+          .join(broadcast(labels.select(col("doc_id").as("src"), col("comp"))), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("comp")).as("nbr_min"))
+        val next = labels
+          .join(pushed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val nextTotal = labelTotal(next)
+        converged = nextTotal.compareTo(prevTotal) == 0
+        prevTotal = nextTotal
+        labels = next
+      }
+      // a silent partial result would diverge from the transitive-
+      // closure contract (and the oracle) — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "the pair graph has a chain longer than maxIters — raise it")
+    } finally edges.unpersist(blocking = false)
     // labels cover only pair-graph vertices — broadcast them so the
     // corpus-sized document side never shuffles for this join (if the
     // pair graph ever approached corpus size, near-dup thresholds are

@@ -145,17 +145,20 @@ object TextOps {
         lit(" or +1-555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
         lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(regexp_replace(col("with_pii"),
-          email, "[EMAIL]"), phone, "[PHONE]"), ipv4, "[IP]"))
+      // single email+phone-redacted column (the oracle's r2 CTE):
+      // the IP count and the final redaction both read it, so the
+      // subtree is written — and evaluated — once
+      .withColumn("part_red",
+        regexp_replace(regexp_replace(col("with_pii"),
+          email, "[EMAIL]"), phone, "[PHONE]"))
       .select(col("doc_id"),
         regexp_count(col("with_pii"), lit(email)).cast("long").as("n_emails"),
         regexp_count(col("with_pii"), lit(phone)).cast("long").as("n_phones"),
         // count IPs on the phone-redacted text so the two patterns
         // can't overlap-claim the same digits in either engine
-        regexp_count(regexp_replace(regexp_replace(col("with_pii"),
-          email, "[EMAIL]"), phone, "[PHONE]"), lit(ipv4)).cast("long").as("n_ips"),
-        md5(col("redacted").cast("binary")).as("redacted_md5"))
+        regexp_count(col("part_red"), lit(ipv4)).cast("long").as("n_ips"),
+        md5(regexp_replace(col("part_red"), ipv4, "[IP]").cast("binary"))
+          .as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -140,7 +140,11 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
     val rnd = new scala.util.Random(31337)
-    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    // vec 40 carries a NaN element: every plane dot is NaN, and Spark's
+    // GreaterThan ranks NaN above 0, so the declarative twin sets every
+    // sign bit — the fused expression must agree
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1))) :+
+      (40L, Double.NaN +: Seq.fill(63)(0.5))
     val df = vecs.toDF("vec_id", "vd")
     val fused = df.select(col("vec_id"),
         VectorOps.lshTableKeys(col("vd"), 8, 12).as("keys"))
@@ -157,6 +161,8 @@ class PropertySpec extends AnyFunSuite {
       }: _*).as("keys"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     vecs.foreach { case (id, _) => assert(fused(id) == declarative(id), s"vec $id") }
+    // and the NaN vector really landed on the all-bits-set signatures
+    assert(fused(40L) == (0 until 8).map(t => (t.toLong << 32) | 0xFFFL))
   }
 
   test("session count = 1 + number of >30min gaps, for random gap sequences") {
