@@ -674,6 +674,16 @@ object SparkEntry {
         |      (length(text) - length(replace(text, ' der ', ''))) // 5 AS c_de
         |    FROM documents) x) t
         |ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
+        |  + list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483629) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word

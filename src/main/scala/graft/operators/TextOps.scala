@@ -110,6 +110,22 @@ object TextOps {
     */
   def cleanPipeline(documents: DataFrame, minWords: Int = 5,
       maxStopRatio: Double = 0.5): DataFrame =
+    cleanScored(documents, minWords, maxStopRatio)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dups"),
+        min(col("n_words")).as("n_words"))
+      .select(col("doc_id"), col("h"), col("n_dups"), col("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** The stateless prefix of [[cleanPipeline]] — normalize, word/stop
+    * counts, quality cut, content hash — shared verbatim by the batch
+    * pipeline and the streaming twin
+    * ([[graft.streaming.DocPipelineJobs]]) so the two cannot diverge.
+    * Narrow maps only: safe on both a scan and an unbounded stream.
+    */
+  private[graft] def cleanScored(documents: DataFrame, minWords: Int,
+      maxStopRatio: Double): DataFrame =
     documents
       .withColumn("norm_text",
         regexp_replace(trim(lower(col("text"))), " +", " "))
@@ -117,12 +133,7 @@ object TextOps {
       .withColumn("n_stop", stopCount("norm_text"))
       .filter(col("n_words") >= minWords &&
         col("n_stop") * 1000 <= col("n_words") * math.round(maxStopRatio * 1000).toInt)
-      .groupBy(md5(col("norm_text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        count(lit(1)).as("n_dups"),
-        min(col("n_words")).as("n_words"))
-      .select(col("doc_id"), col("h"), col("n_dups"), col("n_words"))
-      .orderBy(col("doc_id"))
+      .withColumn("h", md5(col("norm_text")))
 
   /** PII detection + redaction: emails / phone numbers / IPv4
     * addresses found by regex, counted, and replaced with typed
@@ -201,8 +212,9 @@ object TextOps {
   /** 64-bit rolling polynomial fingerprint over the document's
     * characters (Karp–Rabin style): two independent 31-bit-prime
     * rolling hashes packed into one long. Each step stays < 2^51 so
-    * the arithmetic is exact (and ANSI-overflow-safe) everywhere.
-    * Rows-only (no portable SQL fold). A narrow map — scan-speed at
+    * the arithmetic is exact (and ANSI-overflow-safe) everywhere —
+    * which is what lets DuckDB's list_reduce fold reproduce it
+    * bit-for-bit as a full SQL oracle. A narrow map — scan-speed at
     * 100 TB.
     */
   def fingerprint(documents: DataFrame): DataFrame = {

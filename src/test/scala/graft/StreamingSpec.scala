@@ -206,6 +206,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming document pipeline cleans, fingerprints and dedups like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "spark engines shuffle partitions across executors tonight"
+    val good2 = "broadcast small dimension tables for colocated joins"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .dedupCleanStream(in.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "h", "n_words", "fp")
+      .writeStream.format("memory").queryName("doc_clean_live").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, good1),
+        (2L, "hi"),                    // short: quality-cut
+        (3L, "the a the a the a"),     // stop-heavy: quality-cut
+        (4L, good1),                   // exact dup of 1: dropped
+        (5L, good2))
+      q.processAllAvailable()
+      val rows = spark.table("doc_clean_live").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+      assert(rows.keySet == Set(1L, 5L))
+      // the stream's hash/fingerprint equal the batch operators' on
+      // the same (already-normalized) text — shared code, same result
+      val batch = graft.operators.TextOps.fingerprint(
+        Seq((1L, good1), (5L, good2)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(1L)._2 == batch(1L) && rows(5L)._2 == batch(5L))
+      val batchClean = graft.operators.TextOps.cleanPipeline(
+        Seq((1L, good1), (4L, good1), (5L, good2)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batchClean.keySet == Set(1L, 5L)) // batch keeps min-doc_id canonical
+      assert(rows(1L)._1 == batchClean(1L) && rows(5L)._1 == batchClean(5L))
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup bounds state and still drops in-window dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "spark engines shuffle partitions across executors tonight"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .dedupCleanStream(in.toDF().toDF("doc_id", "ingest_ts", "text"),
+        dedupTtl = Some(("ingest_ts", "10 minutes")))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("doc_dedup_wm").outputMode("append").start()
+    try {
+      def ts(min: Long) = new Timestamp((base + min) * 60000L)
+      in.addData((1L, ts(0), text), (2L, ts(1), text)) // dup inside the window
+      q.processAllAvailable()
+      val ids = spark.table("doc_dedup_wm").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
+
   test("weighted-model parsing runs live on the bus") {
     import spark.implicits._
     import org.apache.spark.sql.types._
