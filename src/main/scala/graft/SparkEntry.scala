@@ -125,6 +125,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
     "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
+    "dd_contamination" -> ((s, dir) => Dedup.contamination(Tables(s, dir).documents)),
     "dd_cluster_cc" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Dedup.connectedComponents(docs, Dedup.ngramJaccard(docs))
@@ -731,6 +732,22 @@ object SparkEntry {
         |JOIN sizes s2 ON doc2 = s2.doc_id
         |WHERE inter * 100 >= (s1.s + s2.s - inter) * 50
         |ORDER BY doc1, doc2""".stripMargin,
+    "dd_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM tri WHERE doc_id < 20),
+        |es AS (SELECT eval_id, COUNT(*) AS s_eval FROM ev GROUP BY eval_id),
+        |tr AS (SELECT doc_id AS train_id, g FROM tri WHERE doc_id >= 20)
+        |SELECT eval_id, train_id, inter, s_eval FROM (
+        |  SELECT train_id, eval_id, COUNT(*) AS inter
+        |  FROM tr JOIN ev USING (g) GROUP BY 1, 2) x
+        |JOIN es USING (eval_id)
+        |WHERE inter * 100 >= s_eval * 50
+        |ORDER BY eval_id, train_id""".stripMargin,
     "dd_cluster_cc" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

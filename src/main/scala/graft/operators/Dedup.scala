@@ -122,6 +122,35 @@ object Dedup {
       docSets)
   }
 
+  /** Benchmark-contamination check: which training documents contain
+    * an eval document's content? Asymmetric shingle containment —
+    * |shingles(train) ∩ shingles(eval)| / |shingles(eval)| ≥ τ — the
+    * directional cousin of Jaccard (a train doc that *embeds* a whole
+    * eval doc scores 1.0 regardless of its own length). Eval sets are
+    * small by nature, so the eval shingle table is **broadcast**: the
+    * train corpus streams through one broadcast join + one
+    * (train, eval)-keyed count — no corpus self-join, no shuffle of
+    * the corpus at 100 TB. Integer threshold arithmetic ⇒ exact SQL
+    * oracle.
+    */
+  def contamination(documents: DataFrame, nEval: Long = 20,
+      tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
+    val tri = shingles(documents)
+    val evalTri = tri.filter(col("doc_id") < nEval)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val evalSizes = evalTri.groupBy(col("eval_id")).agg(count(lit(1)).as("s_eval"))
+    val trainTri = tri.filter(col("doc_id") >= nEval)
+      .select(col("doc_id").as("train_id"), col("g"))
+    trainTri
+      .join(broadcast(evalTri), Seq("g"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .filter(col("inter") * tauDenom >= col("s_eval") * tauNum)
+      .select(col("eval_id"), col("train_id"), col("inter"), col("s_eval"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
   /** The (aᵢ, bᵢ) universal-hash permutation constants, generated once

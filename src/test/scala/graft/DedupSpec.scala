@@ -100,6 +100,21 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 19L).forall(got(_) == 10L))
   }
 
+  test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
+    // eval doc 1 is wholly contained in train doc 10 (tail appended);
+    // train doc 11 shares nothing
+    val docsDf = Seq(
+      (1L, base),
+      (10L, base + " " + distinct1),
+      (11L, distinct2)).toDF("doc_id", "text")
+    val got = Dedup.contamination(docsDf, nEval = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L)))
+    // full containment: inter == s_eval for that pair
+    val row = Dedup.contamination(docsDf, nEval = 5).collect().head
+    assert(row.getLong(2) == row.getLong(3))
+  }
+
   test("minhash signatures are 128 wide and deterministic across plans") {
     val a = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
     val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
