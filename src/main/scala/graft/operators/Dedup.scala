@@ -151,27 +151,34 @@ object Dedup {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private val MinhashPrime = graft.expressions.MinhashSignature.Prime
 
-  /** The (aᵢ, bᵢ) universal-hash permutation constants, generated once
-    * on the driver from a fixed seed (java.util.Random's LCG is
-    * specified, so every JVM derives the same family) and inlined as
-    * literals — nothing recomputed per row, nothing broadcast.
-    */
-  private val minhashPerms: IndexedSeq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(128)(
-      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** Per-doc 128-perm MinHash signature via explode + one codegen'd
-    * hash-aggregate of 128 `min` columns: map-side partial mins do the
-    * work, the only shuffle keys on doc_id. This is the 100 TB shape —
-    * no interpreted array lambdas, no n² anything.
+  /** Per-doc 128-perm MinHash signature via explode + ONE custom
+    * fused aggregate ([[graft.expressions.MinhashSignature]]): a
+    * single `long[128]` min buffer per group, updated in one loop per
+    * shingle — map-side partial mins do the work, the only shuffle
+    * keys on doc_id. This is the 100 TB shape — no interpreted array
+    * lambdas, no n² anything, and ~128× fewer per-row agg-buffer
+    * writes than the 128-min-column formulation
+    * ([[minhashSignaturesDeclarative]], kept as the spec's parity
+    * oracle).
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     val tri = shingles(documents).withColumn("h", hash(col("g")).cast("long"))
-    val minCols = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+    tri.groupBy(col("doc_id"))
+      .agg(column(graft.expressions.MinhashSignature(expression(col("h")))
+        .toAggregateExpression()).as("mh"))
+  }
+
+  /** The declarative 128-min-column twin of [[minhashSignatures]] —
+    * bit-identical results (spec-checked); kept as the parity oracle.
+    */
+  private[graft] def minhashSignaturesDeclarative(documents: DataFrame): DataFrame = {
+    val perms = graft.expressions.MinhashSignature.permA
+      .zip(graft.expressions.MinhashSignature.permB)
+    val tri = shingles(documents).withColumn("h", hash(col("g")).cast("long"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"m$i")
     }
     tri.groupBy(col("doc_id"))

@@ -115,6 +115,20 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(2) == row.getLong(3))
   }
 
+  test("fused minhash aggregate equals the declarative 128-min-column twin") {
+    val rnd = new scala.util.Random(2468)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docsDf = (1L to 20L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fused = Dedup.minhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = Dedup.minhashSignaturesDeclarative(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == declarative.keySet)
+    fused.keySet.foreach(id => assert(fused(id) == declarative(id), s"doc $id"))
+  }
+
   test("minhash signatures are 128 wide and deterministic across plans") {
     val a = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
     val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
