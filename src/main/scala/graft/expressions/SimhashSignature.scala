@@ -1,0 +1,111 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash as ONE custom Catalyst aggregate: per word hash a
+  * single fused loop adds ±1 into a `long[64]` bit-vote buffer
+  * (merged by vector addition across partitions — map-side combine
+  * exactly like 64 separate conditional `sum` columns, at one buffer
+  * update per row instead of 64 UnsafeRow column writes), then the
+  * final eval packs the majority votes into one long.
+  *
+  * Exactness contract: slot j accumulates
+  * `Σ ((h >> j) & 1) * 2 − 1` and the packed bit j is set iff the
+  * sum is > 0 — bit-for-bit the declarative
+  * `sum(shiftright(h, j) & 1) * 2 − 1` columns + when(s > 0) pack
+  * (spec-checked). Null hashes are skipped as `sum` skips nulls; a
+  * group with no non-null input packs to NULL exactly as the
+  * declarative when-chain over all-NULL sums would.
+  */
+case class SimhashSignature(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SimhashSignature.Buffer] {
+
+  import SimhashSignature._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint word hash, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Buffer = new Buffer(new Array[Long](64), false)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      buf.any = true
+      var j = 0
+      while (j < 64) {
+        buf.votes(j) += ((h >>> j) & 1L) * 2L - 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buffer, b2: Buffer): Buffer = {
+    b1.any ||= b2.any
+    var j = 0
+    while (j < 64) { b1.votes(j) += b2.votes(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Buffer): Any =
+    if (!buf.any) null
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (buf.votes(j) > 0) sig |= 1L << j
+        j += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8 + 1)
+    bb.put(if (buf.any) 1.toByte else 0.toByte)
+    var j = 0
+    while (j < 64) { bb.putLong(buf.votes(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val any = bb.get() == 1.toByte
+    val votes = new Array[Long](64)
+    var j = 0
+    while (j < 64) { votes(j) = bb.getLong(); j += 1 }
+    new Buffer(votes, any)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimhashSignature =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimhashSignature =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimhashSignature =
+    copy(child = newChildren.head)
+}
+
+object SimhashSignature {
+  /** Bit-vote sums + whether any non-null input arrived (the
+    * declarative twin's sums are NULL on empty input, which packs to
+    * a NULL signature, not zero).
+    */
+  final class Buffer(val votes: Array[Long], var any: Boolean)
+}

@@ -301,11 +301,30 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: majority vote of each hash bit across the
-    * doc's words (term frequency = weight). Explode + 64 codegen'd
-    * conditional sums (map-side combine), recombined into one long —
-    * the same one-shuffle shape as any grouped aggregation.
+    * doc's words (term frequency = weight). Explode + ONE custom fused
+    * aggregate ([[graft.expressions.SimhashSignature]]): a single
+    * `long[64]` bit-vote buffer per group (map-side combined by
+    * vector addition), packed to the signature at eval — the same
+    * one-shuffle shape as any grouped aggregation, at one buffer
+    * update per word instead of 64 conditional-sum columns
+    * ([[simhashSignaturesDeclarative]], kept as the spec's parity
+    * oracle).
     */
   def simhashSignatures(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(column(graft.expressions.SimhashSignature(expression(col("h")))
+        .toAggregateExpression()).as("sim"))
+  }
+
+  /** The declarative 64-conditional-sum twin of [[simhashSignatures]]
+    * — bit-identical results (spec-checked); kept as the parity
+    * oracle.
+    */
+  private[graft] def simhashSignaturesDeclarative(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))

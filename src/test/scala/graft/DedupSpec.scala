@@ -129,6 +129,19 @@ class DedupSpec extends AnyFunSuite {
     fused.keySet.foreach(id => assert(fused(id) == declarative(id), s"doc $id"))
   }
 
+  test("fused simhash aggregate equals the declarative 64-sum twin") {
+    val rnd = new scala.util.Random(1357)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docsDf = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fused = Dedup.simhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = Dedup.simhashSignaturesDeclarative(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == declarative)
+  }
+
   test("minhash signatures are 128 wide and deterministic across plans") {
     val a = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
     val b = Dedup.minhashSignatures(docs(1L -> base)).collect().head.getSeq[Long](1)
