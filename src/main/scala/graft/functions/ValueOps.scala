@@ -69,4 +69,29 @@ object ValueOps {
       when(vtype === "bool", lc === "true").as("bool_value"),
       c.as("raw"))
   }
+
+  /** Reference `get_by_path` (utilities/common.py:298): navigate a
+    * JSON payload by string-key / non-negative-index segments; any
+    * missing step yields `default` (NULL when omitted). String
+    * segments index objects, Int segments index arrays — the same
+    * two cases the reference walks.
+    */
+  def getByPath(json: Column, path: Seq[Any], default: Column = lit(null)): Column = {
+    val jsonPath = "$" + path.map {
+      case i: Int =>
+        require(i >= 0, "negative indices never match (reference semantics)")
+        s"[$i]"
+      case s => s".$s"
+    }.mkString
+    coalesce(get_json_object(json, jsonPath), default)
+  }
+
+  /** Reference `generate_group_name` (utilities/common.py:74):
+    * consumer-group naming — stream, application, extras, listener
+    * joined by the key separator (reference default ':').
+    */
+  def groupName(streamName: Column, applicationName: Column,
+      listenerName: Column, extras: Seq[Column] = Seq.empty,
+      separator: String = ":"): Column =
+    concat_ws(separator, (Seq(streamName, applicationName) ++ extras :+ listenerName): _*)
 }

@@ -107,6 +107,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r2.getLong(6) == 0 && r2.getLong(7) == 0)
   }
 
+  test("getByPath navigates json by key/index with defaults like the reference") {
+    import graft.functions.ValueOps
+    import org.apache.spark.sql.functions.{col, lit}
+    // mirrors reference tests/test_common.py test_get_by_path
+    val json = """{"name": "Event Example",
+      "handlers": [{"h": "first"}, {"handler": {"kwargs": {"three": {"a": "a"}}}}]}"""
+    val df = Seq(json).toDF("j")
+    def get(path: Seq[Any], default: org.apache.spark.sql.Column = lit(null)) =
+      df.select(ValueOps.getByPath(col("j"), path, default)).collect().head
+    assert(get(Seq("name")).getString(0) == "Event Example")
+    assert(get(Seq("handlers", 0)).getString(0) == """{"h":"first"}""")
+    assert(get(Seq("handlers", 17), lit(false).cast("string")).getString(0) == "false")
+    assert(get(Seq("handlers", 1, "handler", "kwargs", "three", "a"),
+      lit(7).cast("string")).getString(0) == "a")
+    assert(get(Seq("missing")).isNullAt(0))
+  }
+
+  test("groupName joins stream/application/extras/listener with the key separator") {
+    import graft.functions.ValueOps
+    import org.apache.spark.sql.functions.{col, lit}
+    // mirrors reference tests/test_common.py test_generate_group_name
+    val df = Seq(("UNITTEST", "UnitTest", "Test")).toDF("s", "a", "l")
+    val plain = df.select(ValueOps.groupName(col("s"), col("a"), col("l")))
+      .collect().head.getString(0)
+    assert(plain == "UNITTEST:UnitTest:Test")
+    val withArgs = df.select(ValueOps.groupName(col("s"), col("a"), col("l"),
+      Seq(lit("GroupConsumer"), lit("OrderedDict")))).collect().head.getString(0)
+    assert(withArgs == "UNITTEST:UnitTest:GroupConsumer:OrderedDict:Test")
+  }
+
   test("interpret classifies raw payload strings like the reference") {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.col
