@@ -241,6 +241,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fused minhash aggregate computes live signatures equal to the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "spark engines shuffle partitions across executors tonight again"
+    val t2 = "broadcast small dimension tables for colocated joins today"
+    val in = MemoryStream[(Long, String)]
+    // the same explode → custom-aggregate shape as Dedup.minhashSignatures,
+    // in update mode: each micro-batch refines the per-doc signature
+    val sigs = in.toDF().toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w) - 3)," +
+          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("g"))
+      .withColumn("h", hash(col("g")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(column(graft.expressions.MinhashSignature(expression(col("h")))
+        .toAggregateExpression()).as("mh"))
+    val q = sigs.writeStream.format("memory").queryName("minhash_live")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, t1), (2L, t2))
+      q.processAllAvailable()
+      val live = spark.table("minhash_live").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = graft.operators.Dedup.minhashSignatures(
+        Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup bounds state and still drops in-window dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
