@@ -53,7 +53,12 @@ case class MinhashSignature(child: Expression,
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < NumPerms) {
-        val x = Math.floorMod(PermA(i) * h + PermB(i), Prime)
+        // exact arithmetic: the declarative pmod(a*h+b, p) twin throws
+        // under ANSI on long overflow (a full-64-bit hash fed in by
+        // mistake) — silently wrapping here would yield wrong
+        // signatures with no error, so mirror the ANSI failure
+        val x = Math.floorMod(
+          Math.addExact(Math.multiplyExact(PermA(i), h), PermB(i)), Prime)
         if (x < buf(i)) buf(i) = x
         i += 1
       }

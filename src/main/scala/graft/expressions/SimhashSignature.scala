@@ -20,15 +20,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * sum is > 0 — bit-for-bit the declarative
   * `sum(shiftright(h, j) & 1) * 2 − 1` columns + when(s > 0) pack
   * (spec-checked). Null hashes are skipped as `sum` skips nulls; a
-  * group with no non-null input packs to NULL exactly as the
-  * declarative when-chain over all-NULL sums would.
+  * group with no non-null input packs to 0L exactly like the
+  * declarative when-chain (each `when(NULL > 0, ...)` falls to its
+  * `otherwise(0L)`), so zero votes naturally produce the zero
+  * signature.
   */
 case class SimhashSignature(child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SimhashSignature.Buffer] {
-
-  import SimhashSignature._
+  extends TypedImperativeAggregate[Array[Long]] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -37,60 +37,54 @@ case class SimhashSignature(child: Expression,
   }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_simhash"
   override def children: Seq[Expression] = Seq(child)
 
-  override def createAggregationBuffer(): Buffer = new Buffer(new Array[Long](64), false)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buf: Buffer, input: InternalRow): Buffer = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      buf.any = true
       var j = 0
       while (j < 64) {
-        buf.votes(j) += ((h >>> j) & 1L) * 2L - 1L
+        buf(j) += ((h >>> j) & 1L) * 2L - 1L
         j += 1
       }
     }
     buf
   }
 
-  override def merge(b1: Buffer, b2: Buffer): Buffer = {
-    b1.any ||= b2.any
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var j = 0
-    while (j < 64) { b1.votes(j) += b2.votes(j); j += 1 }
+    while (j < 64) { b1(j) += b2(j); j += 1 }
     b1
   }
 
-  override def eval(buf: Buffer): Any =
-    if (!buf.any) null
-    else {
-      var sig = 0L
-      var j = 0
-      while (j < 64) {
-        if (buf.votes(j) > 0) sig |= 1L << j
-        j += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
-
-  override def serialize(buf: Buffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(64 * 8 + 1)
-    bb.put(if (buf.any) 1.toByte else 0.toByte)
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
     var j = 0
-    while (j < 64) { bb.putLong(buf.votes(j)); j += 1 }
+    while (j < 64) {
+      if (buf(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    var j = 0
+    while (j < 64) { bb.putLong(buf(j)); j += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Buffer = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val any = bb.get() == 1.toByte
     val votes = new Array[Long](64)
     var j = 0
     while (j < 64) { votes(j) = bb.getLong(); j += 1 }
-    new Buffer(votes, any)
+    votes
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimhashSignature =
@@ -100,12 +94,4 @@ case class SimhashSignature(child: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SimhashSignature =
     copy(child = newChildren.head)
-}
-
-object SimhashSignature {
-  /** Bit-vote sums + whether any non-null input arrived (the
-    * declarative twin's sums are NULL on empty input, which packs to
-    * a NULL signature, not zero).
-    */
-  final class Buffer(val votes: Array[Long], var any: Boolean)
 }

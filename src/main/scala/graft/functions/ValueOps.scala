@@ -71,19 +71,27 @@ object ValueOps {
   }
 
   /** Reference `get_by_path` (utilities/common.py:298): navigate a
-    * JSON payload by string-key / non-negative-index segments; any
-    * missing step yields `default` (NULL when omitted). String
-    * segments index objects, Int segments index arrays — the same
-    * two cases the reference walks.
+    * JSON payload by string-key / index segments; any missing step
+    * yields `default` (NULL when omitted). String segments index
+    * objects (bracket-quoted, so keys containing dots or brackets
+    * navigate as literal keys), Int/Long segments index arrays; a
+    * negative index never matches (reference semantics) so the whole
+    * path resolves to the default. Divergence the JSON path model
+    * forces: a field that exists with a JSON null value is
+    * indistinguishable from a missing field here, so it also yields
+    * `default` (the reference returns the found None).
     */
   def getByPath(json: Column, path: Seq[Any], default: Column = lit(null)): Column = {
-    val jsonPath = "$" + path.map {
-      case i: Int =>
-        require(i >= 0, "negative indices never match (reference semantics)")
-        s"[$i]"
-      case s => s".$s"
-    }.mkString
-    coalesce(get_json_object(json, jsonPath), default)
+    val segments = path.map {
+      case i: Int => if (i < 0) None else Some(s"[$i]")
+      case i: Long => if (i < 0) None else Some(s"[$i]")
+      case s =>
+        val key = s.toString
+        require(!key.contains("'"), "keys containing quotes are not navigable")
+        Some(s"['$key']")
+    }
+    if (segments.contains(None)) default
+    else coalesce(get_json_object(json, "$" + segments.flatten.mkString), default)
   }
 
   /** Reference `generate_group_name` (utilities/common.py:74):

@@ -17,9 +17,12 @@ object DocPipelineJobs {
 
   /** Stateless cleaning + scoring on a document stream: normalize,
     * word/stopword quality cut, content md5 and rolling fingerprint.
-    * Pure narrow maps — no watermark, no state, runs at ingest speed
-    * and keeps whatever extra columns the feed carries (e.g. an
-    * ingest timestamp for downstream watermarking).
+    * Hash and fingerprint are computed over the NORMALIZED text (the
+    * content identity a cleaning pipeline dedups on) — the standalone
+    * batch `TextOps.fingerprint` fingerprints raw text, so compare
+    * like with like. Pure narrow maps — no watermark, no state, runs
+    * at ingest speed and keeps whatever extra columns the feed
+    * carries (e.g. an ingest timestamp for downstream watermarking).
     */
   def cleanStream(stream: DataFrame, minWords: Int = 5,
       maxStopRatio: Double = 0.5): DataFrame = {

@@ -249,14 +249,11 @@ class StreamingSpec extends AnyFunSuite {
     val t1 = "spark engines shuffle partitions across executors tonight again"
     val t2 = "broadcast small dimension tables for colocated joins today"
     val in = MemoryStream[(Long, String)]
-    // the same explode → custom-aggregate shape as Dedup.minhashSignatures,
-    // in update mode: each micro-batch refines the per-doc signature
-    val sigs = in.toDF().toDF("doc_id", "text")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(w) - 3)," +
-          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("g"))
+    // the same shingle → custom-aggregate shape as
+    // Dedup.minhashSignatures (sharing Dedup.shingles, so this stays
+    // the real batch pipeline), in update mode: each micro-batch
+    // refines the per-doc signature
+    val sigs = graft.operators.Dedup.shingles(in.toDF().toDF("doc_id", "text"))
       .withColumn("h", hash(col("g")).cast("long"))
       .groupBy(col("doc_id"))
       .agg(column(graft.expressions.MinhashSignature(expression(col("h")))

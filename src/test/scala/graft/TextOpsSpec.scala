@@ -122,6 +122,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(get(Seq("handlers", 1, "handler", "kwargs", "three", "a"),
       lit(7).cast("string")).getString(0) == "a")
     assert(get(Seq("missing")).isNullAt(0))
+    // negative index never matches -> default (reference semantics)
+    assert(get(Seq("handlers", -1), lit("fb")).getString(0) == "fb")
+    // Long indices navigate arrays like Ints
+    assert(get(Seq("handlers", 0L)).getString(0) == """{"h":"first"}""")
+    // dotted keys are literal keys, not two navigation steps
+    val dotted = Seq("""{"a.b": "lit", "a": {"b": "nested"}}""").toDF("j")
+    assert(dotted.select(graft.functions.ValueOps.getByPath(
+      org.apache.spark.sql.functions.col("j"), Seq("a.b")))
+      .collect().head.getString(0) == "lit")
   }
 
   test("groupName joins stream/application/extras/listener with the key separator") {
