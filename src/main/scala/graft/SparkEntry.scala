@@ -135,6 +135,8 @@ object SparkEntry {
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
+    "samp_mix_weights" -> ((s, dir) => Sampling.mixtureWeights(Tables(s, dir).documents)),
+    "samp_len_hist" -> ((s, dir) => Sampling.lengthHistogram(Tables(s, dir).documents)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir).embeddings)),
     "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
@@ -852,6 +854,24 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "samp_mix_weights" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    pow(CAST(COUNT(*) AS DOUBLE), 0.7) AS scaled
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(CAST(scaled AS DECIMAL(28,12))) AS DOUBLE) AS total_scaled FROM c)
+        |SELECT source, n_docs, ROUND(scaled / total_scaled, 6) AS weight
+        |FROM c, t
+        |ORDER BY source""".stripMargin,
+    "samp_len_hist" ->
+      """SELECT source, n_tokens // 50 AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+        |FROM (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents) t
+        |GROUP BY source, n_tokens // 50
+        |ORDER BY source, bucket""".stripMargin,
     "ann_range_search" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

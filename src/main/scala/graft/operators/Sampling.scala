@@ -59,6 +59,43 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled domain mixture weights: w_s ∝ n_s^alpha,
+    * normalized — the standard recipe for flattening (alpha < 1) or
+    * sharpening a source distribution before sampling. One tiny
+    * per-source aggregate plus a broadcast total; rounding to 6
+    * decimals keeps the doubles engine-exact after identical
+    * pow/divide steps. `alpha` quantized to percent so the operator
+    * and its SQL oracle cannot disagree on the exponent.
+    */
+  def mixtureWeights(documents: DataFrame, alphaPct: Int = 70): DataFrame = {
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("scaled", pow(col("n_docs").cast("double"), alphaPct / 100.0))
+    // exact decimal total: float summation is order-dependent and the
+    // oracle sums in a different order
+    val total = counts.agg(
+      sum(col("scaled").cast("decimal(28,12)")).cast("double").as("total_scaled"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("scaled") / col("total_scaled"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence-length histogram per source: token counts bucketed by
+    * `bucketWidth` — the distribution a packing/truncation policy is
+    * tuned against. Integer bucket arithmetic ⇒ exact oracle; one
+    * (source, bucket)-keyed aggregate, map-side combined.
+    */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 50): DataFrame =
+    documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"), col("bucket"))
+
   /** Token-budget sequence packing: within each source shard, docs in
     * doc_id order fill bins of `budget` whitespace tokens — bin id =
     * (running token count before this doc) div budget, the streaming

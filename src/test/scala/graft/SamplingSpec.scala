@@ -48,6 +48,33 @@ class SamplingSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("mixture weights follow n^alpha, normalized and flattened vs raw shares") {
+    // src0: 90 docs, src1: 10 docs — alpha=0.7 must pull shares
+    // toward each other relative to 0.9/0.1
+    val d = docs((0L until 100L).map(i =>
+      (i, s"t $i", "en", if (i < 90) "src0" else "src1")): _*)
+    val got = Sampling.mixtureWeights(d, alphaPct = 70).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val s0 = math.pow(90, 0.7); val s1 = math.pow(10, 0.7)
+    assert(got("src0")._1 == 90 && got("src1")._1 == 10)
+    assert(math.abs(got("src0")._2 - s0 / (s0 + s1)) < 1e-6)
+    assert(math.abs(got("src0")._2 + got("src1")._2 - 1.0) < 1e-5)
+    assert(got("src0")._2 < 0.9 && got("src1")._2 > 0.1) // flattened
+  }
+
+  test("length histogram buckets token counts with exact bounds") {
+    val d = docs(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "src0"),  // 10 tokens -> bucket 0
+      (2L, Seq.fill(49)("w").mkString(" "), "en", "src0"),  // 49 -> bucket 0
+      (3L, Seq.fill(50)("w").mkString(" "), "en", "src0"),  // 50 -> bucket 1
+      (4L, Seq.fill(120)("w").mkString(" "), "en", "src1")) // 120 -> bucket 2
+    val got = Sampling.lengthHistogram(d, bucketWidth = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("src0", 0L)) == (2L, 10L, 49L))
+    assert(got(("src0", 1L)) == (1L, 50L, 50L))
+    assert(got(("src1", 2L)) == (1L, 120L, 120L))
+  }
+
   test("packing assigns bins by prefix token sums within each source shard") {
     // 4 docs of 4 tokens each per source, budget 10:
     // cum_prev = 0,4,8,12 -> bins 0,0,0,1
