@@ -87,7 +87,11 @@ object ValueOps {
       case i: Long => if (i < 0) None else Some(s"[$i]")
       case s =>
         val key = s.toString
-        require(!key.contains("'"), "keys containing quotes are not navigable")
+        // Spark's JSON-path grammar cannot express quotes, closing
+        // brackets, or backslashes inside a bracket-quoted key; fail
+        // loudly rather than silently resolving to the default.
+        require(!key.exists(ch => ch == '\'' || ch == ']' || ch == '\\'),
+          "keys containing quotes, ']' or backslashes are not navigable")
         Some(s"['$key']")
     }
     if (segments.contains(None)) default
@@ -96,10 +100,18 @@ object ValueOps {
 
   /** Reference `generate_group_name` (utilities/common.py:74):
     * consumer-group naming — stream, application, extras, listener
-    * joined by the key separator (reference default ':').
+    * joined by the key separator (reference default ':'). The
+    * reference stringifies each extra (`str(None)` == "None"), so a
+    * NULL part renders as "None" here too instead of being silently
+    * skipped by `concat_ws`. (For a None stream/application/listener
+    * the reference's `str.join` would raise; rendering "None" is the
+    * closest total-function behavior and keeps the joined shape.)
     */
   def groupName(streamName: Column, applicationName: Column,
       listenerName: Column, extras: Seq[Column] = Seq.empty,
-      separator: String = ":"): Column =
-    concat_ws(separator, (Seq(streamName, applicationName) ++ extras :+ listenerName): _*)
+      separator: String = ":"): Column = {
+    val parts = (Seq(streamName, applicationName) ++ extras :+ listenerName)
+      .map(p => coalesce(p.cast("string"), lit("None")))
+    concat_ws(separator, parts: _*)
+  }
 }

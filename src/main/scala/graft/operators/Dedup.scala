@@ -32,6 +32,13 @@ object Dedup {
     * so the returned frame no longer references the cached
     * intermediates), then unpersists the intermediates. Keeps the
     * near-dup operators leak-free in long-lived sessions.
+    *
+    * Cluster-mode caveat: localCheckpoint pins blocks in executor
+    * storage only and truncates lineage, so losing an executor loses
+    * the result unrecoverably (the job fails instead of recomputing).
+    * Right trade for the single-node bench; on a real cluster set
+    * `spark.checkpoint.dir` and swap in reliable `checkpoint()` (or
+    * write the result to storage and read it back).
     */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
     try result.localCheckpoint()
@@ -246,13 +253,6 @@ object Dedup {
     val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // only pair-graph vertices can ever change label — iterate over
-    // them alone (the pair graph is tiny next to the corpus; at 100 TB
-    // this is what keeps each round off the full document set), then
-    // left-join the labels back so singletons label themselves
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint()
     // labels only ever decrease, so the (exact, decimal) label total
     // strictly decreases until the fixpoint — a one-aggregate
     // convergence test, no self-join needed
@@ -260,7 +260,17 @@ object Dedup {
       val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
+    var labels: DataFrame = null
     try {
+      // only pair-graph vertices can ever change label — iterate over
+      // them alone (the pair graph is tiny next to the corpus; at
+      // 100 TB this is what keeps each round off the full document
+      // set), then left-join the labels back so singletons label
+      // themselves; built inside the try so a failed checkpoint job
+      // still releases the persisted edges
+      labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("comp"))
+        .localCheckpoint()
       var converged = labels.head(1).isEmpty // no pairs ⇒ nothing to propagate
       var prevTotal = if (converged) java.math.BigDecimal.ZERO else labelTotal(labels)
       var iter = 0

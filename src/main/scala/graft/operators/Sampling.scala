@@ -34,6 +34,13 @@ object Sampling {
   def stratifiedSample(documents: DataFrame,
       thresholds: Map[String, String] = Map("en" -> "28"),
       defaultThreshold: String = "50"): DataFrame = {
+    // The bucket is two lowercase hex chars compared lexically; any
+    // other threshold shape ("5", "100", "A0") silently skews the
+    // acceptance rate instead of sampling at the intended fraction.
+    (thresholds.values.toSeq :+ defaultThreshold).foreach { t =>
+      require(t.matches("[0-9a-f]{2}"),
+        s"threshold '$t' must be two lowercase hex chars (1/256 steps)")
+    }
     val thr = thresholds.foldLeft(when(lit(false), lit(""))) {
       case (acc, (lang, t)) => acc.when(col("lang") === lang, lit(t))
     }.otherwise(lit(defaultThreshold))

@@ -31,6 +31,14 @@ class SamplingSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
     assert(got.nonEmpty && got.size < 200) // actually samples, not all/none
+    // malformed thresholds skew acceptance silently — reject up front
+    for (bad <- Seq("5", "100", "A0"))
+      intercept[IllegalArgumentException] {
+        Sampling.stratifiedSample(d, thresholds = Map("en" -> bad))
+      }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(d, defaultThreshold = "xyz")
+    }
   }
 
   test("domain mix quota takes at most N per source, deterministically") {

@@ -131,6 +131,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dotted.select(graft.functions.ValueOps.getByPath(
       org.apache.spark.sql.functions.col("j"), Seq("a.b")))
       .collect().head.getString(0) == "lit")
+    // keys Spark's JSON-path grammar can't express fail loudly
+    // instead of silently resolving to the default
+    for (bad <- Seq("a'b", "a]b", "a\\b"))
+      intercept[IllegalArgumentException] {
+        ValueOps.getByPath(col("j"), Seq(bad))
+      }
   }
 
   test("groupName joins stream/application/extras/listener with the key separator") {
@@ -144,6 +150,11 @@ class TextOpsSpec extends AnyFunSuite {
     val withArgs = df.select(ValueOps.groupName(col("s"), col("a"), col("l"),
       Seq(lit("GroupConsumer"), lit("OrderedDict")))).collect().head.getString(0)
     assert(withArgs == "UNITTEST:UnitTest:GroupConsumer:OrderedDict:Test")
+    // a NULL part renders as "None" (str(None) in the reference),
+    // not silently skipped — the joined shape stays fixed-arity
+    val withNull = df.select(ValueOps.groupName(col("s"), col("a"), col("l"),
+      Seq(lit(null).cast("string")))).collect().head.getString(0)
+    assert(withNull == "UNITTEST:UnitTest:None:Test")
   }
 
   test("interpret classifies raw payload strings like the reference") {
