@@ -162,6 +162,27 @@ object SparkEntry {
     "mm_meta" -> ((s, dir) => Multimodal.meta(Tables(s, dir).documents))
   )
 
+  /** The MinHash permutation family as a DuckDB VALUES body —
+    * interpolating the exact (i, aᵢ, bᵢ) constants keeps ONE
+    * definition of the family ([[graft.expressions.MinhashSignature]])
+    * shared by the operator, its declarative twin, and the oracle.
+    */
+  private def minhashPermValues: String =
+    graft.expressions.MinhashSignature.permA
+      .zip(graft.expressions.MinhashSignature.permB).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(", ")
+
+  /** The first n LSH hyperplanes as DuckDB VALUES rows of (pid,
+    * 64-double list literal). Double.toString round-trips and
+    * DuckDB's parser is correctly rounded, so the oracle's planes are
+    * bit-identical to [[graft.functions.VectorOps]]'s.
+    */
+  private def planeValues(n: Int): String =
+    graft.functions.VectorOps.planeRows.take(n).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(", ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -964,6 +985,127 @@ object SparkEntry {
         |  CAST(doc_id % 480 + 48 AS INT) AS height,
         |  CAST(doc_id % 120 + 1 AS INT) AS n_frames
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "dd_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
+        |    + list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2147483629) AS h
+        |  FROM words),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, sim, c AS chunk_idx, (sim >> (c * 16)) & 65535 AS chunk
+        |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS c) cs)
+        |SELECT DISTINCT c1.doc_id AS doc1, c2.doc_id AS doc2,
+        |  CAST(bit_count(xor(c1.sim, c2.sim)) AS BIGINT) AS hamming
+        |FROM chunks c1
+        |JOIN chunks c2 ON c1.chunk_idx = c2.chunk_idx AND c1.chunk = c2.chunk
+        |WHERE c1.doc_id < c2.doc_id
+        |  AND bit_count(xor(c1.sim, c2.sim)) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dd_minhash_lsh" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+        |  FROM tri),
+        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
+        |mins AS (
+        |  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+        |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    list_reduce(list_prepend(0::BIGINT, mh[b * 8 + 1 : b * 8 + 8]),
+        |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+        |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_hash = b2.band_hash
+        |  WHERE b1.doc_id < b2.doc_id)
+        |SELECT doc1, doc2, est_jaccard FROM (
+        |  SELECT doc1, doc2,
+        |    CAST(len(list_filter(m1.mh, (x, i) -> x = m2.mh[i])) AS DOUBLE) / 128.0
+        |      AS est_jaccard
+        |  FROM cand
+        |  JOIN mh m1 ON cand.doc1 = m1.doc_id
+        |  JOIN mh m2 ON cand.doc2 = m2.doc_id) t
+        |WHERE est_jaccard >= 0.2
+        |ORDER BY doc1, doc2""".stripMargin
+        .replace("<<PERMS>>", minhashPermValues)),
+    "dd_embed_neardup" ->
+      ("""WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
+        |sigs AS (
+        |  SELECT vec_id, (pid // 12)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(vd, p) > 0
+        |        THEN (1::BIGINT << (pid % 12)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN planes GROUP BY vec_id, pid // 12),
+        |cand AS (
+        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
+        |  FROM sigs s1 JOIN sigs s2 ON s1.bucket = s2.bucket
+        |  WHERE s1.vec_id < s2.vec_id)
+        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM (
+        |  SELECT id1, id2, list_dot_product(v1.vd, v2.vd) /
+        |    (sqrt(list_dot_product(v1.vd, v1.vd)) * sqrt(list_dot_product(v2.vd, v2.vd)))
+        |      AS cos
+        |  FROM cand
+        |  JOIN v v1 ON cand.id1 = v1.vec_id
+        |  JOIN v v2 ON cand.id2 = v2.vec_id) t
+        |WHERE cos >= 0.95
+        |ORDER BY id1, id2""".stripMargin
+        .replace("<<PLANES>>", planeValues(96))),
+    "ann_lsh_topk" ->
+      ("""WITH p0 AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |c0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
+        |ps AS (
+        |  SELECT probe_id, (pid // 6)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(pv, p) > 0
+        |        THEN (1::BIGINT << (pid % 6)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM p0 CROSS JOIN planes GROUP BY probe_id, pid // 6),
+        |cs AS (
+        |  SELECT vec_id, (pid // 6)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(cv, p) > 0
+        |        THEN (1::BIGINT << (pid % 6)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM c0 CROSS JOIN planes GROUP BY vec_id, pid // 6),
+        |cand AS (SELECT DISTINCT probe_id, vec_id FROM ps JOIN cs USING (bucket)),
+        |scored AS (
+        |  SELECT probe_id, vec_id, list_dot_product(pv, cv) /
+        |    (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM cand JOIN p0 USING (probe_id) JOIN c0 USING (vec_id))
+        |SELECT probe_id, rnk, vec_id, ROUND(cos, 6) AS cos FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
+        .replace("<<PLANES>>", planeValues(72)))
   )
 }

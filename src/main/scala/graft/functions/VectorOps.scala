@@ -49,6 +49,13 @@ object VectorOps {
   // reference-equal (canonicalizable) expression trees
   private val planeMatrix: Array[Array[Double]] = planes.map(_.toArray).toArray
 
+  /** The plane family, for interpolating exact double literals into
+    * the DuckDB oracle SQL (Double.toString round-trips, and DuckDB's
+    * parser is correctly rounded, so the oracle sees bit-identical
+    * planes).
+    */
+  private[graft] def planeRows: IndexedSeq[Seq[Double]] = planes
+
   /** Multi-table LSH keys: nTables independent signatures of
     * bitsPerTable hyperplane bits each (table t uses planes
     * [t·bits, (t+1)·bits)), the table index packed into the high bits

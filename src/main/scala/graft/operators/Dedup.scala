@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -160,6 +160,29 @@ object Dedup {
 
   private val MinhashPrime = graft.expressions.MinhashSignature.Prime
 
+  /** The 31-bit shingle/token base hash feeding MinHash: the h1
+    * component of [[graft.expressions.RollingFingerprint]] (fp =
+    * h1·2³² + h2 with h2 < 2³¹, so h1 is the top 30 bits shifted
+    * out). One codegen'd pass per string, and — the reason it
+    * replaced murmur3 — exactly reproducible in the DuckDB oracle as
+    * a `list_reduce` fold over code points (SURVEY.md §5).
+    */
+  private def shingleHash31(c: Column): Column = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    shiftright(column(graft.expressions.RollingFingerprint(expression(c))), 32)
+  }
+
+  /** Full 62-bit rolling fingerprint (both primes packed) — SimHash's
+    * per-token hash. Bits 31 and 63 are structurally zero (each half
+    * is < 2³¹), so those two signature bits majority-vote to 0;
+    * hamming distances remain valid, and the hash is reproducible in
+    * SQL, which murmur/xxhash are not.
+    */
+  private def tokenHash62(c: Column): Column = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    column(graft.expressions.RollingFingerprint(expression(c)))
+  }
+
   /** Per-doc 128-perm MinHash signature via explode + ONE custom
     * fused aggregate ([[graft.expressions.MinhashSignature]]): a
     * single `long[128]` min buffer per group, updated in one loop per
@@ -172,7 +195,7 @@ object Dedup {
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-    val tri = shingles(documents).withColumn("h", hash(col("g")).cast("long"))
+    val tri = shingles(documents).withColumn("h", shingleHash31(col("g")))
     tri.groupBy(col("doc_id"))
       .agg(column(graft.expressions.MinhashSignature(expression(col("h")))
         .toAggregateExpression()).as("mh"))
@@ -184,7 +207,7 @@ object Dedup {
   private[graft] def minhashSignaturesDeclarative(documents: DataFrame): DataFrame = {
     val perms = graft.expressions.MinhashSignature.permA
       .zip(graft.expressions.MinhashSignature.permB)
-    val tri = shingles(documents).withColumn("h", hash(col("g")).cast("long"))
+    val tri = shingles(documents).withColumn("h", shingleHash31(col("g")))
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"m$i")
     }
@@ -204,9 +227,14 @@ object Dedup {
     // sides); persist = the batch analog of materializing a signature
     // table, which is what a 100 TB run would do on storage
     val sigs = minhashSignatures(documents).persist()
+    // band hash = the same 31-bit-prime polynomial fold the shingle
+    // hash uses, over the band's 8 signature values — SQL-replicable,
+    // unlike hash(slice(...)); 16 interpreted 8-element folds per doc
+    // is noise next to the signature aggregate
     val bucketed = sigs
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 15), b -> hash(slice(mh, b * 8 + 1, 8)))")))
+        "transform(sequence(0, 15), b -> aggregate(slice(mh, b * 8 + 1, 8), 0L," +
+          " (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))")))
       .toDF("doc_id", "band_idx", "band_hash")
     val pairs = bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
@@ -324,7 +352,7 @@ object Dedup {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", tokenHash62(col("w")))
       .groupBy(col("doc_id"))
       .agg(column(graft.expressions.SimhashSignature(expression(col("h")))
         .toAggregateExpression()).as("sim"))
@@ -337,7 +365,7 @@ object Dedup {
   private[graft] def simhashSignaturesDeclarative(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", tokenHash62(col("w")))
     val bitSums = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
     }
@@ -359,7 +387,7 @@ object Dedup {
     require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
     val sigs = simhashSignatures(documents).persist()
     val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
-        "transform(sequence(0, 3), c -> sim >> (c * 16) & 65535)")))
+        "transform(sequence(0, 3), c -> (sim >> (c * 16)) & 65535)")))
       .toDF("doc_id", "sim", "chunk_idx", "chunk")
     materializeAndRelease(chunked.select(col("doc_id").as("doc1"), col("sim").as("sim1"),
         col("chunk_idx"), col("chunk"))
@@ -367,7 +395,7 @@ object Dedup {
         col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
-        expr("bit_count(sim1 ^ sim2)").as("hamming"))
+        expr("bit_count(sim1 ^ sim2)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc1"), col("doc2")),

@@ -59,12 +59,18 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash hamming distance is small for near-dups, large for distinct docs") {
+    // a 1-word edit in a 20-word doc flips thin-majority bits past
+    // hamming 3 (that is what simhash measures) — the planted
+    // near-dup pair uses a 60-word doc where the relative edit is
+    // small enough to stay within the pigeonhole threshold
+    val big = Seq(base, base, base).mkString(" ")
+    val bigNear = big.replaceFirst("warm", "cold")
     val sigs = Dedup.simhashSignatures(
-      docs(1L -> base, 2L -> nearDup, 3L -> distinct1))
+      docs(1L -> big, 2L -> bigNear, 3L -> distinct1))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
-    val pairs = Dedup.simhashNearDup(docs(1L -> base, 2L -> nearDup, 3L -> distinct1))
+    val pairs = Dedup.simhashNearDup(docs(1L -> big, 2L -> bigNear, 3L -> distinct1))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)))
   }
