@@ -123,6 +123,8 @@ object SparkEntry {
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
+    "dd_url_dedup" -> ((s, dir) => Dedup.urlDedup(Tables(s, dir).documents)),
+    "dd_bloom" -> ((s, dir) => Dedup.bloomShingleFilter(Tables(s, dir).documents)),
     "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
     "dd_contamination" -> ((s, dir) => Dedup.contamination(Tables(s, dir).documents)),
@@ -143,6 +145,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
     "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
+    "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
+    "ann_pq_topk" -> ((s, dir) => Similarity.annPqTopK(Tables(s, dir).embeddings)),
     "ev_parse_weighted" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val superset = StructType(Seq(
@@ -167,9 +171,9 @@ object SparkEntry {
     * definition of the family ([[graft.expressions.MinhashSignature]])
     * shared by the operator, its declarative twin, and the oracle.
     */
-  private def minhashPermValues: String =
+  private def minhashPermValues(n: Int = graft.expressions.MinhashSignature.NumPerms): String =
     graft.expressions.MinhashSignature.permA
-      .zip(graft.expressions.MinhashSignature.permB).zipWithIndex
+      .zip(graft.expressions.MinhashSignature.permB).zipWithIndex.take(n)
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString(", ")
 
@@ -986,6 +990,74 @@ object SparkEntry {
         |  CAST(doc_id % 120 + 1 AS INT) AS n_frames
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "dd_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN
+        |          (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)
+        |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '&ref=rss' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host
+        |    || (CASE WHEN p = '' OR p = '/' THEN '/'
+        |        ELSE regexp_replace(p, '/$', '') END)
+        |    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
+        |  FROM (
+        |    SELECT doc_id, scheme, host, p,
+        |      array_to_string(list_filter(string_split(q, '&'),
+        |        kv -> NOT (starts_with(kv, 'utm_') OR starts_with(kv, 'ref='))), '&') AS cq
+        |    FROM parts) t)
+        |SELECT url_canon, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+        |FROM canon GROUP BY url_canon
+        |ORDER BY url_canon""".stripMargin,
+    "dd_bloom" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, g, list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+        |  FROM tri),
+        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
+        |pos AS (
+        |  SELECT doc_id, g, ((a * h + b) % 2147483647) % 131072 AS pos
+        |  FROM h CROSS JOIN perms),
+        |fw AS (
+        |  SELECT pos // 32 AS widx,
+        |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        |  FROM pos WHERE doc_id < 250 GROUP BY pos // 32),
+        |probe AS (
+        |  SELECT p.doc_id, p.g,
+        |    CASE WHEN ((COALESCE(fw.bits, 0) >> CAST(p.pos % 32 AS INT)) & 1) = 1
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM pos p LEFT JOIN fw ON (p.pos // 32) = fw.widx
+        |  WHERE p.doc_id >= 250),
+        |per_shingle AS (
+        |  SELECT doc_id, g, MIN(hit) AS all_set FROM probe GROUP BY doc_id, g)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(all_set) AS BIGINT) AS n_maybe_seen
+        |FROM per_shingle GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+        .replace("<<PERMS>>", minhashPermValues(4))),
     "dd_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
@@ -1051,7 +1123,7 @@ object SparkEntry {
         |  JOIN mh m2 ON cand.doc2 = m2.doc_id) t
         |WHERE est_jaccard >= 0.2
         |ORDER BY doc1, doc2""".stripMargin
-        .replace("<<PERMS>>", minhashPermValues)),
+        .replace("<<PERMS>>", minhashPermValues())),
     "dd_embed_neardup" ->
       ("""WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),

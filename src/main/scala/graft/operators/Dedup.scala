@@ -167,7 +167,7 @@ object Dedup {
     * replaced murmur3 — exactly reproducible in the DuckDB oracle as
     * a `list_reduce` fold over code points (SURVEY.md §5).
     */
-  private def shingleHash31(c: Column): Column = {
+  private[graft] def shingleHash31(c: Column): Column = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     shiftright(column(graft.expressions.RollingFingerprint(expression(c))), 32)
   }
@@ -257,6 +257,98 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("est_jaccard"))
       .orderBy(col("doc1"), col("doc2")),
       sigs)
+  }
+
+  /** URL-canonicalization dedup: normalize each document's (synthetic,
+    * doc_id-derived — the `piiRedact` precedent for columns the corpus
+    * lacks) messy URL, then group by the canonical form. Rules: the
+    * scheme and host lowercase; default ports (:80/:443) drop; the
+    * fragment drops; tracking query params (utm_*, ref=) drop,
+    * non-tracking params keep their order; a trailing path slash
+    * normalizes away (bare "/" root stays). Everything is one narrow
+    * codegen'd map + a hash aggregate on the canonical string —
+    * uniform keys, no skew, the same shape at 100 TB.
+    */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    val messy = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.Example.COM")).otherwise(lit("www.example.com")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      lit("/docs/"), pmod(col("doc_id"), lit(50)),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(25)),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("&ref=rss")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0, lit("#top")).otherwise(lit("")))
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+    val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val cleanPath = when(col("p") === "" || col("p") === "/", lit("/"))
+      .otherwise(regexp_replace(col("p"), "/$", ""))
+    val cleanQuery = array_join(expr(
+      "filter(split(q, '&'), kv -> NOT (startswith(kv, 'utm_') OR startswith(kv, 'ref=')))"),
+      "&")
+    documents
+      .withColumn("url", messy)
+      .withColumn("p", path).withColumn("q", query)
+      .withColumn("url_canon", concat(
+        scheme, lit("://"), host, cleanPath,
+        when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery))))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+      .orderBy(col("url_canon"))
+  }
+
+  /** Bloom-filter shingle membership: the cross-shard dedup
+    * pre-filter. The "seen" shard (doc_id < nSeen) builds an mBits
+    * Bloom filter over its shingles — k positions per shingle from
+    * the MinHash permutation family over the same 31-bit base hash,
+    * OR-ed into 32-bit words by a (word-index-keyed, ≤ mBits/32-row)
+    * bit_or aggregate. Each later doc then counts how many of its
+    * shingles the filter claims were seen: `n_maybe_seen / n_shingles`
+    * is the overlap score a 100 TB pipeline uses to route docs to
+    * full verification instead of joining whole shards — the filter
+    * is KB-sized state that broadcasts, the probe is a narrow map +
+    * one broadcast join, and nothing n² ever materializes. Pure
+    * integer arithmetic end-to-end ⇒ exact SQL oracle (the oracle
+    * interpolates the same k permutation constants).
+    */
+  def bloomShingleFilter(documents: DataFrame, nSeen: Long = 250,
+      mBits: Int = 131072, k: Int = 4): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    require(k <= graft.expressions.MinhashSignature.NumPerms, "not enough perms")
+    val perms = graft.expressions.MinhashSignature.permA
+      .zip(graft.expressions.MinhashSignature.permB).take(k)
+    val h = shingles(documents).withColumn("h", shingleHash31(col("g")))
+    def positions = array(perms.map { case (a, b) =>
+      pmod(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime)), lit(mBits.toLong))
+    }: _*)
+    val filterWords = h.filter(col("doc_id") < nSeen)
+      .select(explode(positions).as("pos"))
+      // 32-bit words: shifts stay < 32, which every engine's checked
+      // left-shift accepts (a 64-bit word needs 1 << 63 = overflow)
+      .select(expr("pos div 32").as("widx"),
+        pmod(col("pos"), lit(32)).cast("int").as("bit"))
+      .groupBy(col("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+    val probeBits = h.filter(col("doc_id") >= nSeen)
+      .select(col("doc_id"), col("g"), explode(positions).as("pos"))
+      .select(col("doc_id"), col("g"),
+        expr("pos div 32").as("widx"),
+        pmod(col("pos"), lit(32)).cast("int").as("bit"))
+      .join(broadcast(filterWords), Seq("widx"), "left")
+      .select(col("doc_id"), col("g"),
+        expr("CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) & 1 AS BIGINT)").as("hit"))
+    probeBits
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("hit")).as("all_bits_set")) // every one of the k bits
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("all_bits_set")).as("n_maybe_seen"))
+      .orderBy(col("doc_id"))
   }
 
   /** Connected components over a near-dup pair graph → duplicate

@@ -234,6 +234,146 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
 
+  /** One product-quantization codebook row: subspace, code id, and
+    * the (dim/nSub)-dim sub-centroid.
+    */
+  final case class PqCentroid(s: Int, c: Int, centroid: Seq[Double])
+
+  /** Train PQ codebooks: the unit-normalized vector splits into nSub
+    * contiguous subspaces, each L2-quantized to kCodes centroids by
+    * the same deterministic Lloyd recipe as [[ivfTrain]] (init =
+    * lowest-vec_id subvectors, exact-decimal component sums, argmin
+    * ties to the smaller code). The codebook is the model — nSub ×
+    * kCodes × subDim doubles, driver-side like any learned broadcast
+    * dimension; every data-sized step is a distributed aggregate.
+    */
+  def pqTrain(corpusVecs: DataFrame, nSub: Int = 8, kCodes: Int = 16,
+      iters: Int = 3): Seq[PqCentroid] = {
+    val spark = corpusVecs.sparkSession
+    import spark.implicits._
+    val subs = subVectors(corpusVecs, nSub) // (vec_id, s, sub)
+    // init = the kCodes lowest vec_ids PRESENT (not 0..k-1 — corpus
+    // ids need not start at zero), code id = rank within that set
+    val initIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(kCodes)
+      .collect().map(_.getLong(0))
+    val codeOf = initIds.sorted.zipWithIndex.toMap
+    var codebook: Seq[PqCentroid] = subs.filter(col("vec_id").isin(initIds: _*))
+      .orderBy(col("s"), col("vec_id")).collect()
+      .map(r => PqCentroid(r.getInt(1), codeOf(r.getLong(0)), r.getSeq[Double](2)))
+      .toSeq
+    for (_ <- 1 to iters) {
+      val cb = broadcast(spark.createDataset(codebook).toDF())
+      val assigned = assignCodes(subs, cb)
+      val comps = assigned
+        .select(col("s"), col("c"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = comps.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebook = codebook.map { pc =>
+        byKey.get((pc.s, pc.c)) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(2))
+              .map(r => r.getDouble(3) / r.getLong(4))
+            PqCentroid(pc.s, pc.c, mean.toSeq)
+          case None => pc // code lost all members; keep it in place
+        }
+      }
+    }
+    codebook
+  }
+
+  /** (vec_id, s, sub): the unit-normalized vector's nSub contiguous
+    * subvectors — one narrow map, the corpus never shuffles.
+    */
+  private def subVectors(corpusVecs: DataFrame, nSub: Int): DataFrame = {
+    val subDim = 64 / nSub
+    corpusVecs
+      .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1})," +
+          s" s -> struct(s as s, transform(slice(cv, s * $subDim + 1, $subDim)," +
+          " x -> x / norm) as sub))")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+  }
+
+  /** Per (vec_id, s): the L2-nearest code (tie → smaller c) against a
+    * broadcast codebook — shared by training, encoding and search so
+    * assignments agree by construction.
+    */
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(cb, Seq("s"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(sub, centroid, (x, y) -> (x - y) * (x - y))," +
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(expr("max_by(struct(c, sub), struct(-d, -c))").as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("c"), col("m.sub").as("sub"))
+
+  /** PQ encoding: each corpus vector compresses to one packed long
+    * (nSub codes × log₂(kCodes) bits — 64-dim float → 4 bytes at the
+    * defaults, a 64× storage cut). This is the 100 TB memory story:
+    * the ADC scan in [[annPqTopK]] reads ONLY these codes, never the
+    * vectors.
+    */
+  def pqCodes(embeddings: DataFrame, nProbes: Int = 10, nSub: Int = 8,
+      kCodes: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bitsPerCode = 32 - Integer.numberOfLeadingZeros(kCodes - 1)
+    require(nSub * bitsPerCode <= 63, "packed code must fit one long")
+    val c = corpus(embeddings, nProbes)
+    val codebook = pqTrain(c, nSub, kCodes, iters)
+    val cb = broadcast(spark.createDataset(codebook).toDF())
+    assignCodes(subVectors(c, nSub), cb)
+      .groupBy(col("vec_id"))
+      .agg(sum(expr(
+        s"shiftleft(CAST(c AS BIGINT), CAST(s * $bitsPerCode AS INT))"))
+        .as("pq_code"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ ANN: asymmetric-distance top-k. Each probe computes a tiny
+    * (nSub × kCodes) dot-product table against the codebook; the
+    * corpus contributes only its codes, so the scan is a broadcast
+    * lookup join + a (probe, vec)-keyed sum — no vectors move. The
+    * approx ranking picks `rerank` candidates, which re-rank by exact
+    * cosine (the standard ADC + re-rank shape). Same output contract
+    * as [[bruteTopK]]; planted-recall spec.
+    */
+  def annPqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nSub: Int = 8, kCodes: Int = 16, iters: Int = 3, rerank: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val codebook = pqTrain(c, nSub, kCodes, iters)
+    val cb = broadcast(spark.createDataset(codebook).toDF())
+    val codes = assignCodes(subVectors(c, nSub), cb)
+      .select(col("vec_id"), col("s"), col("c"))
+    // per-probe distance table: dot(probe_sub, centroid) for every
+    // (s, c) — nSub·kCodes rows per probe, broadcast
+    val dt = subVectors(
+      probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
+      nSub)
+      .join(cb, Seq("s"))
+      .select(col("vec_id").as("probe_id"), col("s"), col("c"),
+        VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+    val approx = codes.join(broadcast(dt), Seq("s", "c"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("dp")).as("approx"))
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    rankTopK(
+      cand.join(c, Seq("vec_id"))
+        .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+  }
+
   /** Range search: every corpus vector within cosine ≥ tau of each
     * probe (the "all near neighbors" companion to top-k — what a
     * contamination / near-dup-against-eval check runs). Probes

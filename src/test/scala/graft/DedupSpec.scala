@@ -75,6 +75,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("url dedup canonicalizes scheme/host case, ports, fragments and tracking params") {
+    val d = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = Dedup.urlDedup(d).collect()
+    val canons = out.map(_.getString(0))
+    assert(canons.forall(u => !u.contains("utm_") && !u.contains("ref=") &&
+      !u.contains("#") && !u.contains(":80") && !u.contains(":443") &&
+      u == u.toLowerCase))
+    // over 0..99 the canonical form is a pure function of doc_id % 50
+    // (scheme %2 and id %25 are implied) → 50 groups of exactly {i, i+50}
+    assert(out.length == 50)
+    assert(out.forall(_.getLong(1) == 2L))
+    assert(out.forall(r => r.getLong(2) < 50L)) // canonical = min doc_id
+  }
+
+  test("bloom filter flags every shingle of a previously-seen text, none of a novel one") {
+    val seen = (0L until 6L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf item$i hotel india"))
+    val corpus = (seen :+ (10L -> seen(1)._2) :+
+      (11L -> "totally different words never appearing anywhere in that other shard"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomShingleFilter(corpus, nSeen = 6).collect()
+    val m = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(10L)._1 == m(10L)._2, "exact copy of a seen doc: no false negatives")
+    assert(m(11L)._2 == 0L, "novel text should not hit (FP odds ~1e-12 at this fill)")
+    assert(!m.contains(0L), "the seen shard itself is not probed")
+  }
+
   test("embedding near-dup finds planted almost-identical vectors via LSH buckets") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val vDup = v.clone(); vDup(0) = (v(0) + 1e-4f)

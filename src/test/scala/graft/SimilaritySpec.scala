@@ -95,6 +95,40 @@ class SimilaritySpec extends AnyFunSuite {
       inline.collect().map(_.toSeq).toSeq)
   }
 
+  test("PQ ANN: planted identical vector is recalled at rank 1 via ADC + re-rank") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val corpus = (0 until 60).map(j =>
+      (100L + j, Array.tabulate(64)(i => math.cos(i * (j + 2) * 0.31).toFloat).toSeq, 1))
+    // the identical copy quantizes to the probe's own cells, so its
+    // ADC score is the self-quantization dot — top of the approx
+    // ranking, then exact re-rank pins it at rank 1
+    val df = ((0L, v, 0) +: (50L, v, 0) +: corpus)
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.annPqTopK(df, nProbes = 1, k = 1,
+      nSub = 8, kCodes = 8, iters = 2, rerank = 8).collect().head
+    assert(top.getLong(2) == 50L)
+    assert(top.getDouble(3) > 0.999999)
+  }
+
+  test("PQ ANN results are true cosines, deduped, ranked; recall reported") {
+    val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.annPqTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.distinct.length == pq.length)
+    assert(pq.nonEmpty)
+    info(s"PQ recall vs brute force (rerank 20 of ~990): ${pq.count(brute.contains)}/${brute.size}")
+  }
+
+  test("PQ codes pack nSub codes per vector, deterministically across runs") {
+    val a = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq) // decimal-sum k-means ⇒ run-invariant
+    assert(a.length == emb.filter("vec_id >= 10").count().toInt)
+    // 8 subspaces × 4 bits → codes fit 32 bits
+    assert(a.forall { case (_, code) => code >= 0L && code < (1L << 32) })
+  }
+
   test("range search returns exactly the pairs with cosine above tau") {
     val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
     val near = v.map(x => (x * 1.01f + 0.001f))         // cos ≈ 1

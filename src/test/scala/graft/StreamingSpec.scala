@@ -254,7 +254,7 @@ class StreamingSpec extends AnyFunSuite {
     // the real batch pipeline), in update mode: each micro-batch
     // refines the per-doc signature
     val sigs = graft.operators.Dedup.shingles(in.toDF().toDF("doc_id", "text"))
-      .withColumn("h", hash(col("g")).cast("long"))
+      .withColumn("h", graft.operators.Dedup.shingleHash31(col("g")))
       .groupBy(col("doc_id"))
       .agg(column(graft.expressions.MinhashSignature(expression(col("h")))
         .toAggregateExpression()).as("mh"))
