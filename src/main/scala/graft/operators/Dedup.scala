@@ -55,6 +55,20 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(w) - 3)," +
           " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("g"))
 
+  /** (doc_id, h): each document's distinct shingle 62-bit fingerprints
+    * via the fused one-pass [[graft.expressions.ShingleFingerprints]]
+    * — no interpreted transform lambda, no shingle-string
+    * materialization. Bit-identical to
+    * `shingles() + tokenHash62(g)` (spec-checked); that declarative
+    * chain stays as the parity twin.
+    */
+  private[graft] def shingleFps(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents.select(col("doc_id"),
+      explode(column(graft.expressions.ShingleFingerprints(
+        expression(col("text"))))).as("h"))
+  }
+
   /** Exact dedup: hash-groupBy on md5 of the text. Emitting every
     * group (not just dups) doubles as an md5-parity check against the
     * oracle; the key is uniform so the shuffle cannot skew.
@@ -72,19 +86,30 @@ object Dedup {
     * for when each wins.
     */
   def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
-    val tri = shingles(documents)
+    // the self-join keys on the 62-bit shingle fingerprint, not the
+    // string: fixed 8-byte shuffle keys instead of ~20-byte strings,
+    // and long-vs-long probes in the join hash table. Distinct
+    // shingles map to distinct keys up to fingerprint collisions
+    // (~n²/2⁶³; the string-keyed DuckDB oracle would catch one), so
+    // the counts stay exact — the classic Rabin-fingerprint trade
+    // every shingle pipeline makes at scale.
+    // tri feeds three plan branches (sizes + both join sides) —
+    // persisted so the scan + fused shingling run once, not three
+    // times, then released after the small result materializes
+    val tri = shingleFps(documents).persist()
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val pairs = tri.select(col("doc_id").as("doc1"), col("g"))
-      .join(tri.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
+    val pairs = tri.select(col("doc_id").as("doc1"), col("h"))
+      .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    materializeAndRelease(pairs
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
       .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
       .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
-      .orderBy(col("doc1"), col("doc2"))
+      .orderBy(col("doc1"), col("doc2")),
+      tri)
   }
 
   /** PPJoin-style exact Jaccard: rarest-first canonical order, only the
@@ -142,14 +167,16 @@ object Dedup {
     */
   def contamination(documents: DataFrame, nEval: Long = 20,
       tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
-    val tri = shingles(documents)
+    // same fused 62-bit fingerprint keys as [[ngramJaccard]]: the
+    // broadcast dictionary and every probe are fixed 8-byte longs
+    val tri = shingleFps(documents)
     val evalTri = tri.filter(col("doc_id") < nEval)
-      .select(col("doc_id").as("eval_id"), col("g"))
+      .select(col("doc_id").as("eval_id"), col("h"))
     val evalSizes = evalTri.groupBy(col("eval_id")).agg(count(lit(1)).as("s_eval"))
     val trainTri = tri.filter(col("doc_id") >= nEval)
-      .select(col("doc_id").as("train_id"), col("g"))
+      .select(col("doc_id").as("train_id"), col("h"))
     trainTri
-      .join(broadcast(evalTri), Seq("g"))
+      .join(broadcast(evalTri), Seq("h"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(evalSizes), Seq("eval_id"))
@@ -178,7 +205,7 @@ object Dedup {
     * hamming distances remain valid, and the hash is reproducible in
     * SQL, which murmur/xxhash are not.
     */
-  private def tokenHash62(c: Column): Column = {
+  private[graft] def tokenHash62(c: Column): Column = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     column(graft.expressions.RollingFingerprint(expression(c)))
   }
@@ -195,7 +222,10 @@ object Dedup {
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-    val tri = shingles(documents).withColumn("h", shingleHash31(col("g")))
+    // fused shingling; the 31-bit base hash is the fingerprint's top
+    // half — the same value shingleHash31 derives (spec-checked twin)
+    val tri = shingleFps(documents)
+      .select(col("doc_id"), shiftright(col("h"), 32).as("h"))
     tri.groupBy(col("doc_id"))
       .agg(column(graft.expressions.MinhashSignature(expression(col("h")))
         .toAggregateExpression()).as("mh"))
@@ -322,7 +352,11 @@ object Dedup {
     require(k <= graft.expressions.MinhashSignature.NumPerms, "not enough perms")
     val perms = graft.expressions.MinhashSignature.permA
       .zip(graft.expressions.MinhashSignature.permB).take(k)
-    val h = shingles(documents).withColumn("h", shingleHash31(col("g")))
+    // fused shingling; position hashing uses the fingerprint's 31-bit
+    // top half (= the oracle's single-prime fold), the distinct-
+    // shingle identity stays the full 62-bit fingerprint
+    val h = shingleFps(documents)
+      .select(col("doc_id"), col("h").as("fp"), shiftright(col("h"), 32).as("h"))
     def positions = array(perms.map { case (a, b) =>
       pmod(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime)), lit(mBits.toLong))
     }: _*)
@@ -335,15 +369,15 @@ object Dedup {
       .groupBy(col("widx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
     val probeBits = h.filter(col("doc_id") >= nSeen)
-      .select(col("doc_id"), col("g"), explode(positions).as("pos"))
-      .select(col("doc_id"), col("g"),
+      .select(col("doc_id"), col("fp"), explode(positions).as("pos"))
+      .select(col("doc_id"), col("fp"),
         expr("pos div 32").as("widx"),
         pmod(col("pos"), lit(32)).cast("int").as("bit"))
       .join(broadcast(filterWords), Seq("widx"), "left")
-      .select(col("doc_id"), col("g"),
+      .select(col("doc_id"), col("fp"),
         expr("CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) & 1 AS BIGINT)").as("hit"))
     probeBits
-      .groupBy(col("doc_id"), col("g"))
+      .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("hit")).as("all_bits_set")) // every one of the k bits
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -134,10 +134,15 @@ object Similarity {
     // norm materialized once per row, THEN divided into each element —
     // a transform(x -> x / sqrt(dot(v,v))) lambda would recompute the
     // full dot product per element
+    // persisted: every Lloyd iteration is its own job, and without
+    // the cache each one would re-run the scan + per-element
+    // normalization lambda (interpreted — HOFs never codegen)
     val unit = corpusVecs
       .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
       .select(col("vec_id"),
         transform(col("cv"), x => x / col("norm")).as("nv"))
+      .persist()
+    try {
     var centroids: Seq[Centroid] = unit.orderBy(col("vec_id")).limit(nClusters)
       .collect().zipWithIndex.map { case (r, i) =>
         Centroid(i, r.getSeq[Double](1))
@@ -170,6 +175,7 @@ object Similarity {
       }
     }
     centroids
+    } finally unit.unpersist(blocking = false)
   }
 
   /** IVF ANN: corpus vectors are assigned once to their nearest coarse
@@ -248,10 +254,18 @@ object Similarity {
     * dimension; every data-sized step is a distributed aggregate.
     */
   def pqTrain(corpusVecs: DataFrame, nSub: Int = 8, kCodes: Int = 16,
-      iters: Int = 3): Seq[PqCentroid] = {
-    val spark = corpusVecs.sparkSession
+      iters: Int = 3): Seq[PqCentroid] =
+    trainOnSubs(subVectors(corpusVecs, nSub), nSub, kCodes, iters)
+
+  /** Lloyd iterations over an (ideally persisted) subvector table —
+    * split out so encode/search callers can share one materialized
+    * `subs` across training and encoding instead of recomputing the
+    * normalize+explode per iteration job.
+    */
+  private def trainOnSubs(subs: DataFrame, nSub: Int, kCodes: Int,
+      iters: Int): Seq[PqCentroid] = {
+    val spark = subs.sparkSession
     import spark.implicits._
-    val subs = subVectors(corpusVecs, nSub) // (vec_id, s, sub)
     // init = the kCodes lowest vec_ids PRESENT (not 0..k-1 — corpus
     // ids need not start at zero), code id = rank within that set
     val initIds = subs.select(col("vec_id")).distinct()
@@ -301,16 +315,22 @@ object Similarity {
 
   /** Per (vec_id, s): the L2-nearest code (tie → smaller c) against a
     * broadcast codebook — shared by training, encoding and search so
-    * assignments agree by construction.
+    * assignments agree by construction. argmin‖sub − c‖² ≡
+    * argmax (sub·c − ‖c‖²/2), which runs through the codegen'd
+    * `graft_dot` instead of an interpreted zip_with fold — this is
+    * the hot loop of training AND encoding (|corpus|·nSub·kCodes
+    * evaluations per pass).
     */
-  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(cb, Seq("s"))
-      .withColumn("d", expr(
-        "aggregate(zip_with(sub, centroid, (x, y) -> (x - y) * (x - y))," +
-          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val scored = cb.withColumn("half_cn2",
+      VectorOps.dot(col("centroid"), col("centroid")) / 2.0)
+    subs.join(scored, Seq("s"))
+      .withColumn("score",
+        VectorOps.dot(col("sub"), col("centroid")) - col("half_cn2"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(expr("max_by(struct(c, sub), struct(-d, -c))").as("m"))
+      .agg(expr("max_by(struct(c, sub), struct(score, -c))").as("m"))
       .select(col("vec_id"), col("s"), col("m.c").as("c"), col("m.sub").as("sub"))
+  }
 
   /** PQ encoding: each corpus vector compresses to one packed long
     * (nSub codes × log₂(kCodes) bits — 64-dim float → 4 bytes at the
@@ -324,15 +344,22 @@ object Similarity {
     import spark.implicits._
     val bitsPerCode = 32 - Integer.numberOfLeadingZeros(kCodes - 1)
     require(nSub * bitsPerCode <= 63, "packed code must fit one long")
-    val c = corpus(embeddings, nProbes)
-    val codebook = pqTrain(c, nSub, kCodes, iters)
-    val cb = broadcast(spark.createDataset(codebook).toDF())
-    assignCodes(subVectors(c, nSub), cb)
-      .groupBy(col("vec_id"))
-      .agg(sum(expr(
-        s"shiftleft(CAST(c AS BIGINT), CAST(s * $bitsPerCode AS INT))"))
-        .as("pq_code"))
-      .orderBy(col("vec_id"))
+    // one materialized subvector table feeds every Lloyd iteration AND
+    // the final encode — the normalize+explode runs once, not
+    // iters+1 times (the Dedup caching contract: materialize the
+    // result, then release)
+    val subs = subVectors(corpus(embeddings, nProbes), nSub).persist()
+    try {
+      val codebook = trainOnSubs(subs, nSub, kCodes, iters)
+      val cb = broadcast(spark.createDataset(codebook).toDF())
+      assignCodes(subs, cb)
+        .groupBy(col("vec_id"))
+        .agg(sum(expr(
+          s"shiftleft(CAST(c AS BIGINT), CAST(s * $bitsPerCode AS INT))"))
+          .as("pq_code"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+    } finally subs.unpersist(blocking = false)
   }
 
   /** PQ ANN: asymmetric-distance top-k. Each probe computes a tiny
@@ -348,30 +375,37 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val c = corpus(embeddings, nProbes)
-    val codebook = pqTrain(c, nSub, kCodes, iters)
-    val cb = broadcast(spark.createDataset(codebook).toDF())
-    val codes = assignCodes(subVectors(c, nSub), cb)
-      .select(col("vec_id"), col("s"), col("c"))
-    // per-probe distance table: dot(probe_sub, centroid) for every
-    // (s, c) — nSub·kCodes rows per probe, broadcast
-    val dt = subVectors(
-      probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
-      nSub)
-      .join(cb, Seq("s"))
-      .select(col("vec_id").as("probe_id"), col("s"), col("c"),
-        VectorOps.dot(col("sub"), col("centroid")).as("dp"))
-    val approx = codes.join(broadcast(dt), Seq("s", "c"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("dp")).as("approx"))
-    val wa = Window.partitionBy(col("probe_id"))
-      .orderBy(col("approx").desc, col("vec_id"))
-    val cand = approx.withColumn("ar", row_number().over(wa))
-      .filter(col("ar") <= rerank)
-      .select(col("probe_id"), col("vec_id"))
-    rankTopK(
-      cand.join(c, Seq("vec_id"))
-        .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
-        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+    // one materialized subvector table for every Lloyd iteration plus
+    // the encode; the tiny final result is checkpointed before
+    // release (the Dedup caching contract)
+    val subs = subVectors(c, nSub).persist()
+    try {
+      val codebook = trainOnSubs(subs, nSub, kCodes, iters)
+      val cb = broadcast(spark.createDataset(codebook).toDF())
+      val codes = assignCodes(subs, cb)
+        .select(col("vec_id"), col("s"), col("c"))
+      // per-probe distance table: dot(probe_sub, centroid) for every
+      // (s, c) — nSub·kCodes rows per probe, broadcast
+      val dt = subVectors(
+        probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
+        nSub)
+        .join(cb, Seq("s"))
+        .select(col("vec_id").as("probe_id"), col("s"), col("c"),
+          VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+      val approx = codes.join(broadcast(dt), Seq("s", "c"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("dp")).as("approx"))
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("approx").desc, col("vec_id"))
+      val cand = approx.withColumn("ar", row_number().over(wa))
+        .filter(col("ar") <= rerank)
+        .select(col("probe_id"), col("vec_id"))
+      rankTopK(
+        cand.join(c, Seq("vec_id"))
+          .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
+          .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+        .localCheckpoint()
+    } finally subs.unpersist(blocking = false)
   }
 
   /** Range search: every corpus vector within cosine ≥ tau of each

@@ -75,6 +75,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("fused shingle fingerprints equal the declarative split+fold twin") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      1L -> base,
+      2L -> "a b",                         // < 3 words → no shingles
+      3L -> "x  y z  ",                    // empty tokens, trailing space
+      4L -> "héllo wörld ünïcode ünïcode wörld héllo wörld",
+      5L -> "a a a a a",                   // duplicate shingles collapse
+      6L -> "")                            // empty text
+      .toDF("doc_id", "text")
+    val fused = Dedup.shingleFps(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = Dedup.shingles(d)
+      .select(col("doc_id"), Dedup.tokenHash62(col("g")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == twin)
+    assert(fused.nonEmpty && !fused.exists(_._1 == 2L) && !fused.exists(_._1 == 6L))
+  }
+
   test("url dedup canonicalizes scheme/host case, ports, fragments and tracking params") {
     val d = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val out = Dedup.urlDedup(d).collect()
