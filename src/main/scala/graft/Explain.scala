@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * queries (all queries when none named) — the `.explain` audit loop
   * behind PLANS.md. Usage:
   * `runMain graft.Explain <sfDir> [queryName ...]`
+  *
+  * Caveat: operators that eagerly materialize (the near-dup family,
+  * PQ — anything ending in localCheckpoint) execute their full job
+  * during construction and then explain only as `Scan ExistingRDD`;
+  * audit those by explaining their internal frames from a REPL, or
+  * read the per-stage notes in PLANS.md.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -24,7 +30,7 @@ object Explain {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           try fn(spark, sfDir).explain("formatted")
-          catch { case e: Throwable => println(s"error: ${e.getMessage}") }
+          catch { case scala.util.control.NonFatal(e) => println(s"error: ${e.getMessage}") }
         case None => println("unknown query")
       }
     }

@@ -1008,17 +1008,21 @@ object SparkEntry {
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
         |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS prt,
         |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
         |    regexp_extract(url, '\?([^#]*)', 1) AS q
         |  FROM u),
         |canon AS (
         |  SELECT doc_id,
         |    scheme || '://' || host
+        |    || (CASE WHEN prt = '' OR (scheme = 'http' AND prt = '80')
+        |             OR (scheme = 'https' AND prt = '443') THEN ''
+        |        ELSE ':' || prt END)
         |    || (CASE WHEN p = '' OR p = '/' THEN '/'
         |        ELSE regexp_replace(p, '/$', '') END)
         |    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
         |  FROM (
-        |    SELECT doc_id, scheme, host, p,
+        |    SELECT doc_id, scheme, host, prt, p,
         |      array_to_string(list_filter(string_split(q, '&'),
         |        kv -> NOT (starts_with(kv, 'utm_') OR starts_with(kv, 'ref='))), '&') AS cq
         |    FROM parts) t)
@@ -1060,7 +1064,8 @@ object SparkEntry {
         .replace("<<PERMS>>", minhashPermValues(4))),
     "dd_simhash" ->
       """WITH words AS (
-        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |  SELECT doc_id, 'xq' || w AS w FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
         |h AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(0::BIGINT,

@@ -292,7 +292,8 @@ object Dedup {
   /** URL-canonicalization dedup: normalize each document's (synthetic,
     * doc_id-derived — the `piiRedact` precedent for columns the corpus
     * lacks) messy URL, then group by the canonical form. Rules: the
-    * scheme and host lowercase; default ports (:80/:443) drop; the
+    * scheme and host lowercase; the scheme's own default port
+    * (http:80 / https:443) drops, any other port stays; the
     * fragment drops; tracking query params (utm_*, ref=) drop,
     * non-tracking params keep their order; a trailing path slash
     * normalizes away (bare "/" root stays). Everything is one narrow
@@ -314,8 +315,15 @@ object Dedup {
       when(pmod(col("doc_id"), lit(6)) === 0, lit("#top")).otherwise(lit("")))
     val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
     val host = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+    val port = regexp_extract(col("url"), "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
     val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    // only the scheme's OWN default port drops; :8080 (or :443 on
+    // plain http) stays — distinct resources must not merge
+    val cleanPort = when(col("prt") === "" ||
+        (col("sch") === "http" && col("prt") === "80") ||
+        (col("sch") === "https" && col("prt") === "443"), lit(""))
+      .otherwise(concat(lit(":"), col("prt")))
     val cleanPath = when(col("p") === "" || col("p") === "/", lit("/"))
       .otherwise(regexp_replace(col("p"), "/$", ""))
     val cleanQuery = array_join(expr(
@@ -323,9 +331,10 @@ object Dedup {
       "&")
     documents
       .withColumn("url", messy)
+      .withColumn("sch", scheme).withColumn("prt", port)
       .withColumn("p", path).withColumn("q", query)
       .withColumn("url_canon", concat(
-        scheme, lit("://"), host, cleanPath,
+        col("sch"), lit("://"), host, cleanPort, cleanPath,
         when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery))))
       .groupBy(col("url_canon"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
@@ -474,11 +483,23 @@ object Dedup {
     * ([[simhashSignaturesDeclarative]], kept as the spec's parity
     * oracle).
     */
+  /** SimHash's per-token hash: the rolling fingerprint of the token
+    * with a fixed 2-char salt prefix. A bare short token leaves the
+    * fold far below either prime (a 1-char word sets ≤ 21 low bits
+    * per half), structurally biasing high signature bits toward 0 for
+    * stopword-heavy text and inflating false near-dup pairs; two salt
+    * fold steps push every token — whatever its length — through the
+    * modulus so all 62 bits are live. The prefix is injective on
+    * tokens, and the oracle mirrors it as `'xq' || w`.
+    */
+  private def saltedTokenHash(w: Column): Column =
+    tokenHash62(concat(lit("xq"), w))
+
   def simhashSignatures(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", tokenHash62(col("w")))
+      .withColumn("h", saltedTokenHash(col("w")))
       .groupBy(col("doc_id"))
       .agg(column(graft.expressions.SimhashSignature(expression(col("h")))
         .toAggregateExpression()).as("sim"))
@@ -491,7 +512,7 @@ object Dedup {
   private[graft] def simhashSignaturesDeclarative(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", tokenHash62(col("w")))
+      .withColumn("h", saltedTokenHash(col("w")))
     val bitSums = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
     }

@@ -338,28 +338,39 @@ object Similarity {
     * the ADC scan in [[annPqTopK]] reads ONLY these codes, never the
     * vectors.
     */
-  def pqCodes(embeddings: DataFrame, nProbes: Int = 10, nSub: Int = 8,
-      kCodes: Int = 16, iters: Int = 3): DataFrame = {
+  /** The shared PQ prologue: one persisted subvector table feeds
+    * every Lloyd iteration AND the caller's encode/search body — the
+    * normalize+explode runs once, not iters+1 times. The (small)
+    * body result is checkpointed before the release, so no cached
+    * state outlives the call (the Dedup caching contract) — ONE
+    * definition, because a fix to the materialize-then-release
+    * ordering must not silently miss a second copy.
+    */
+  private def withTrainedSubs(embeddings: DataFrame, nProbes: Int,
+      nSub: Int, kCodes: Int, iters: Int)(
+      body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val bitsPerCode = 32 - Integer.numberOfLeadingZeros(kCodes - 1)
-    require(nSub * bitsPerCode <= 63, "packed code must fit one long")
-    // one materialized subvector table feeds every Lloyd iteration AND
-    // the final encode — the normalize+explode runs once, not
-    // iters+1 times (the Dedup caching contract: materialize the
-    // result, then release)
     val subs = subVectors(corpus(embeddings, nProbes), nSub).persist()
     try {
       val codebook = trainOnSubs(subs, nSub, kCodes, iters)
       val cb = broadcast(spark.createDataset(codebook).toDF())
+      body(subs, cb).localCheckpoint()
+    } finally subs.unpersist(blocking = false)
+  }
+
+  def pqCodes(embeddings: DataFrame, nProbes: Int = 10, nSub: Int = 8,
+      kCodes: Int = 16, iters: Int = 3): DataFrame = {
+    val bitsPerCode = 32 - Integer.numberOfLeadingZeros(kCodes - 1)
+    require(nSub * bitsPerCode <= 63, "packed code must fit one long")
+    withTrainedSubs(embeddings, nProbes, nSub, kCodes, iters) { (subs, cb) =>
       assignCodes(subs, cb)
         .groupBy(col("vec_id"))
         .agg(sum(expr(
           s"shiftleft(CAST(c AS BIGINT), CAST(s * $bitsPerCode AS INT))"))
           .as("pq_code"))
         .orderBy(col("vec_id"))
-        .localCheckpoint()
-    } finally subs.unpersist(blocking = false)
+    }
   }
 
   /** PQ ANN: asymmetric-distance top-k. Each probe computes a tiny
@@ -371,17 +382,9 @@ object Similarity {
     * as [[bruteTopK]]; planted-recall spec.
     */
   def annPqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-      nSub: Int = 8, kCodes: Int = 16, iters: Int = 3, rerank: Int = 20): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val c = corpus(embeddings, nProbes)
-    // one materialized subvector table for every Lloyd iteration plus
-    // the encode; the tiny final result is checkpointed before
-    // release (the Dedup caching contract)
-    val subs = subVectors(c, nSub).persist()
-    try {
-      val codebook = trainOnSubs(subs, nSub, kCodes, iters)
-      val cb = broadcast(spark.createDataset(codebook).toDF())
+      nSub: Int = 8, kCodes: Int = 16, iters: Int = 3, rerank: Int = 20): DataFrame =
+    withTrainedSubs(embeddings, nProbes, nSub, kCodes, iters) { (subs, cb) =>
+      val c = corpus(embeddings, nProbes)
       val codes = assignCodes(subs, cb)
         .select(col("vec_id"), col("s"), col("c"))
       // per-probe distance table: dot(probe_sub, centroid) for every
@@ -404,9 +407,7 @@ object Similarity {
         cand.join(c, Seq("vec_id"))
           .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
           .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
-        .localCheckpoint()
-    } finally subs.unpersist(blocking = false)
-  }
+    }
 
   /** Range search: every corpus vector within cosine ≥ tau of each
     * probe (the "all near neighbors" companion to top-k — what a
