@@ -118,6 +118,7 @@ object SparkEntry {
     "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
     "txt_langid" -> ((s, dir) => TextOps.langId(Tables(s, dir).documents)),
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables(s, dir).documents)),
+    "txt_entropy" -> ((s, dir) => TextOps.charEntropy(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
@@ -711,6 +712,22 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
         |    (acc, c) -> (acc * 1000003 + c) % 2147483629) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "txt_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |ag AS (
+        |  SELECT doc_id, COUNT(*) AS distinct_chars,
+        |    CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS sl
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, distinct_chars, n_chars,
+        |  ROUND(log2(CAST(n_chars AS DOUBLE))
+        |    - CAST(sl AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS entropy
+        |FROM ag
         |ORDER BY doc_id""".stripMargin,
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -217,6 +217,31 @@ object TextOps {
     * bit-for-bit as a full SQL oracle. A narrow map — scan-speed at
     * 100 TB.
     */
+  /** Character-level Shannon entropy + charset stats — the
+    * low-entropy cut of cleaning pipelines (repeated-char spam and
+    * binary-ish blobs score far below natural text's ~4 bits/char).
+    * One explode + two keyed aggregates; H = log₂(n) − Σ c·log₂(c)/n
+    * with each c·log₂(c) term cast to DECIMAL(28,12) so the sum is
+    * exact and associative — the entropy is partitioning-independent
+    * on the Spark side and order-independent in the oracle; the
+    * engines' log₂ implementations differ only in final ulps, which
+    * the 6-decimal round absorbs.
+    */
+  def charEntropy(documents: DataFrame): DataFrame =
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("distinct_chars"),
+        sum(col("c")).as("n"),
+        sum((col("c").cast("double") * log2(col("c").cast("double")))
+          .cast("decimal(28,12)")).as("sl"))
+      .select(col("doc_id"), col("distinct_chars"), col("n").as("n_chars"),
+        round(log2(col("n").cast("double")) -
+          col("sl").cast("double") / col("n").cast("double"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
   def fingerprint(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     documents.select(col("doc_id"),

@@ -53,4 +53,52 @@ object DocPipelineJobs {
       case None => cleaned.dropDuplicates("h")
     }
   }
+
+  /** Live Bloom-filter membership per shard: the streaming twin of
+    * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
+    * shard is ONE fixed mBits-bit array (O(m), never grows with the
+    * stream — the point of a Bloom filter vs `dropDuplicates`'
+    * per-key state store), updated as each doc's k fingerprint-derived
+    * bit positions are tested then set. Emits
+    * (source, doc_id, maybe_seen) — maybe_seen = every bit was
+    * already set, i.e. the filter claims an earlier doc of this shard
+    * had the same content hash (false positives at the usual Bloom
+    * rate, never false negatives). Positions use the SAME permutation
+    * family and 31-bit base hash as the batch operator.
+    */
+  def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val perms = graft.expressions.MinhashSignature.permA
+      .zip(graft.expressions.MinhashSignature.permB).take(k)
+    val prime = graft.expressions.MinhashSignature.Prime
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (source: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Array[Long]]) => {
+          val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
+          val out = rows.map { case (_, docId, text) =>
+            val h = graft.expressions.RollingFingerprint.compute(
+              if (text == null) "" else text) >>> 32
+            var allSet = true
+            perms.foreach { case (a, b) =>
+              val pos = (Math.floorMod(a * h + b, prime) % mBits).toInt
+              val w = pos >> 6
+              val m = 1L << (pos & 63)
+              if ((bits(w) & m) == 0L) { allSet = false; bits(w) |= m }
+            }
+            (source, docId, if (allSet) 1L else 0L)
+          }.toVector // drain before the state write below
+          state.update(bits)
+          out.iterator
+        })
+      .toDF("source", "doc_id", "maybe_seen")
+  }
 }

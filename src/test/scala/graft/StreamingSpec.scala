@@ -291,6 +291,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom membership flags repeats per shard with fixed-size state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .bloomStream(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("bloom_live")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "s0", "alpha text one"), (2L, "s0", "beta text two"),
+        (3L, "s1", "alpha text one"))
+      q.processAllAvailable()
+      in.addData((4L, "s0", "alpha text one"), (5L, "s0", "gamma fresh text"))
+      q.processAllAvailable()
+      val seen = spark.table("bloom_live").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // doc 4 repeats doc 1's text within shard s0 → flagged across
+      // micro-batches; doc 3 has the same text in ANOTHER shard and
+      // is not flagged (per-shard filters); fresh texts pass
+      assert(seen == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    } finally q.stop()
+  }
+
   test("weighted-model parsing runs live on the bus") {
     import spark.implicits._
     import org.apache.spark.sql.types._

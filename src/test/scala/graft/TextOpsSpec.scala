@@ -107,6 +107,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r2.getLong(6) == 0 && r2.getLong(7) == 0)
   }
 
+  test("char entropy is exact on known distributions") {
+    import graft.operators.TextOps
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "aab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1L, 4L, 0.0)))       // constant string: zero entropy
+    assert(out(2L) == ((2L, 4L, 1.0)))       // uniform over 2 symbols: 1 bit
+    assert(out(3L)._3 == 0.918296)           // log2(3) - 2/3, rounded to 6
+    assert(!out.contains(4L))                // empty text filtered
+  }
+
   test("getByPath navigates json by key/index with defaults like the reference") {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.{col, lit}
