@@ -148,6 +148,7 @@ object SparkEntry {
     "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
     "ann_pq_topk" -> ((s, dir) => Similarity.annPqTopK(Tables(s, dir).embeddings)),
+    "ann_ivfpq_topk" -> ((s, dir) => Similarity.annIvfPqTopK(Tables(s, dir).embeddings)),
     "ev_parse_weighted" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val superset = StructType(Seq(

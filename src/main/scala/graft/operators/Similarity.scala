@@ -409,6 +409,58 @@ object Similarity {
           .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
     }
 
+  /** IVF-PQ ANN: the 100 TB composition — the IVF coarse quantizer
+    * routes each probe to nProbeClusters inverted lists, and within
+    * the probed lists the ADC scan reads ONLY the PQ codes (4 bytes a
+    * vector at the defaults), so a search touches
+    * ~(nProbeClusters/nClusters) of the corpus as codes and exactly
+    * `rerank` full vectors. Codes here quantize the unit vectors
+    * directly (IVF-Flat routing + PQ storage); encoding residuals
+    * against the assigned centroid is the standard refinement when
+    * quantization error dominates. Rows-only; planted-recall spec.
+    */
+  def annIvfPqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nClusters: Int = 16, nProbeClusters: Int = 4, ivfIters: Int = 3,
+      nSub: Int = 8, kCodes: Int = 16, pqIters: Int = 3,
+      rerank: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val centroids = ivfTrain(c, nClusters, ivfIters)
+    val cDF = broadcast(spark.createDataset(centroids).toDF())
+    val listed = assignClusters(c, cDF) // (cluster_id, vec_id, cv)
+    withTrainedSubs(embeddings, nProbes, nSub, kCodes, pqIters) { (subs, cb) =>
+      // the stored index shape: (cluster_id, vec_id, s, c) — codes
+      // partitioned by inverted list
+      val codes = assignCodes(subs, cb)
+        .select(col("vec_id"), col("s"), col("c"))
+        .join(listed.select(col("cluster_id"), col("vec_id")), Seq("vec_id"))
+      val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
+      val dt = subVectors(
+        probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
+        nSub)
+        .join(cb, Seq("s"))
+        .select(col("vec_id").as("probe_id"), col("s"), col("c"),
+          VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+      // ADC over probed lists only: route codes by cluster, then sum
+      // the broadcast lookup per (probe, vec)
+      val routed = codes.join(broadcast(pc.select(col("probe_id"), col("cluster_id"))),
+        Seq("cluster_id"))
+      val approx = routed.join(broadcast(dt), Seq("probe_id", "s", "c"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("dp")).as("approx"))
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("approx").desc, col("vec_id"))
+      val cand = approx.withColumn("ar", row_number().over(wa))
+        .filter(col("ar") <= rerank)
+        .select(col("probe_id"), col("vec_id"))
+      rankTopK(
+        cand.join(c, Seq("vec_id"))
+          .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
+          .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+    }
+  }
+
   /** Range search: every corpus vector within cosine ≥ tau of each
     * probe (the "all near neighbors" companion to top-k — what a
     * contamination / near-dup-against-eval check runs). Probes

@@ -120,6 +120,29 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"PQ recall vs brute force (rerank 20 of ~990): ${pq.count(brute.contains)}/${brute.size}")
   }
 
+  test("IVF-PQ ANN: planted identical vector is recalled at rank 1 through routing + ADC") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val corpus = (0 until 60).map(j =>
+      (100L + j, Array.tabulate(64)(i => math.cos(i * (j + 2) * 0.31).toFloat).toSeq, 1))
+    val df = ((0L, v, 0) +: (50L, v, 0) +: corpus)
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.annIvfPqTopK(df, nProbes = 1, k = 1,
+      nClusters = 8, nProbeClusters = 2, ivfIters = 2,
+      nSub = 8, kCodes = 8, pqIters = 2, rerank = 8).collect().head
+    assert(top.getLong(2) == 50L)
+    assert(top.getDouble(3) > 0.999999)
+  }
+
+  test("IVF-PQ results are true cosines, deduped, ranked; recall reported") {
+    val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.annIvfPqTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivfpq.distinct.length == ivfpq.length)
+    assert(ivfpq.nonEmpty)
+    info(s"IVF-PQ recall vs brute force (4/16 lists as codes): ${ivfpq.count(brute.contains)}/${brute.size}")
+  }
+
   test("PQ codes pack nSub codes per vector, deterministically across runs") {
     val a = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
