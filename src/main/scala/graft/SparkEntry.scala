@@ -119,6 +119,7 @@ object SparkEntry {
     "txt_langid" -> ((s, dir) => TextOps.langId(Tables(s, dir).documents)),
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables(s, dir).documents)),
     "txt_entropy" -> ((s, dir) => TextOps.charEntropy(Tables(s, dir).documents)),
+    "txt_surprisal" -> ((s, dir) => TextOps.surprisal(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
@@ -729,6 +730,18 @@ object SparkEntry {
         |  ROUND(log2(CAST(n_chars AS DOUBLE))
         |    - CAST(sl AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS entropy
         |FROM ag
+        |ORDER BY doc_id""".stripMargin,
+    "txt_surprisal" ->
+      """WITH words AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, COUNT(*) AS tf FROM words GROUP BY w),
+        |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(log2(CAST(n_total AS DOUBLE))
+        |        - log2(CAST(tf AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_surprisal_bits
+        |FROM words JOIN tf USING (w) CROSS JOIN n
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

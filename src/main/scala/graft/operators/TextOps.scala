@@ -242,6 +242,33 @@ object TextOps {
           col("sl").cast("double") / col("n").cast("double"), 6).as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** Unigram-LM surprisal: train the unigram model on the corpus's own
+    * token counts, then score each doc by average bits per token —
+    * −(1/n)·Σ log₂(tf(w)/N) = (1/n)·Σ (log₂N − log₂tf(w)). The
+    * LM-perplexity quality cut of CCNet-style pipelines, reduced to
+    * its exactly-reproducible core: the tf table is an aggregate the
+    * corpus streams into once (vocab ≪ corpus ⇒ broadcast back), and
+    * each token's bit cost is cast to DECIMAL(28,12) so the per-doc
+    * sum is associative — partitioning-independent, with the
+    * engines' log₂ ulp differences absorbed by the 6-decimal round.
+    */
+  def surprisal(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("n_total"))
+    words.join(broadcast(tf), Seq("w"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((log2(col("n_total").cast("double")) - log2(col("tf").cast("double")))
+          .cast("decimal(28,12)")).as("sb"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sb").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("avg_surprisal_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprint(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     documents.select(col("doc_id"),

@@ -119,6 +119,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))                // empty text filtered
   }
 
+  test("unigram surprisal scores rare-token docs above stock phrasing") {
+    import graft.operators.TextOps
+    // corpus: "the cat" x3 docs + one doc with two hapax tokens
+    val d = Seq((1L, "the cat"), (2L, "the cat"), (3L, "the cat"),
+      (4L, "zyx qwv")).toDF("doc_id", "text")
+    val out = TextOps.surprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=8; the/cat tf=3 → bits = log2(8)-log2(3); zyx/qwv tf=1 → 3 bits
+    val common = math.round((3.0 - math.log(3.0) / math.log(2.0)) * 1e6) / 1e6
+    assert(out(1L) == ((2L, common)))
+    assert(out(4L) == ((2L, 3.0)))
+    assert(out(4L)._2 > out(1L)._2)
+  }
+
   test("getByPath navigates json by key/index with defaults like the reference") {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.{col, lit}
