@@ -384,30 +384,49 @@ object Similarity {
   def annPqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
       nSub: Int = 8, kCodes: Int = 16, iters: Int = 3, rerank: Int = 20): DataFrame =
     withTrainedSubs(embeddings, nProbes, nSub, kCodes, iters) { (subs, cb) =>
-      val c = corpus(embeddings, nProbes)
-      val codes = assignCodes(subs, cb)
-        .select(col("vec_id"), col("s"), col("c"))
-      // per-probe distance table: dot(probe_sub, centroid) for every
-      // (s, c) — nSub·kCodes rows per probe, broadcast
-      val dt = subVectors(
-        probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
-        nSub)
-        .join(cb, Seq("s"))
-        .select(col("vec_id").as("probe_id"), col("s"), col("c"),
-          VectorOps.dot(col("sub"), col("centroid")).as("dp"))
-      val approx = codes.join(broadcast(dt), Seq("s", "c"))
-        .groupBy(col("probe_id"), col("vec_id"))
-        .agg(sum(col("dp")).as("approx"))
-      val wa = Window.partitionBy(col("probe_id"))
-        .orderBy(col("approx").desc, col("vec_id"))
-      val cand = approx.withColumn("ar", row_number().over(wa))
-        .filter(col("ar") <= rerank)
-        .select(col("probe_id"), col("vec_id"))
-      rankTopK(
-        cand.join(c, Seq("vec_id"))
-          .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
-          .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+      adcRerankTopK(embeddings,
+        assignCodes(subs, cb).select(col("vec_id"), col("s"), col("c")),
+        cb, nProbes, nSub, k, rerank)
     }
+
+  /** The shared ADC epilogue: per-probe distance tables against the
+    * codebook, the approx (probe, vec) ranking over a codes DataFrame,
+    * the `rerank` candidate cut and the exact-cosine re-rank into
+    * [[rankTopK]]'s contract. ONE definition, because every
+    * code-scanning ANN variant must rank identically — a fix to the
+    * dt formula, the ADC tie-break or the rerank cut must not
+    * silently miss a variant. `codes` is (vec_id, s, c) for a full
+    * ADC scan (every probe × every code); with a `probe_id` column
+    * — (probe_id, vec_id, s, c), the IVF-routed shape — each code row
+    * scores only against its routed probe.
+    */
+  private def adcRerankTopK(embeddings: DataFrame, codes: DataFrame,
+      cb: DataFrame, nProbes: Int, nSub: Int, k: Int, rerank: Int): DataFrame = {
+    val c = corpus(embeddings, nProbes)
+    // per-probe distance table: dot(probe_sub, centroid) for every
+    // (s, c) — nSub·kCodes rows per probe, broadcast
+    val dt = subVectors(
+      probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
+      nSub)
+      .join(cb, Seq("s"))
+      .select(col("vec_id").as("probe_id"), col("s"), col("c"),
+        VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+    val dtKeys =
+      if (codes.columns.contains("probe_id")) Seq("probe_id", "s", "c")
+      else Seq("s", "c")
+    val approx = codes.join(broadcast(dt), dtKeys)
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("dp")).as("approx"))
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    rankTopK(
+      cand.join(c, Seq("vec_id"))
+        .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+  }
 
   /** IVF-PQ ANN: the 100 TB composition — the IVF coarse quantizer
     * routes each probe to nProbeClusters inverted lists, and within
@@ -436,28 +455,12 @@ object Similarity {
         .select(col("vec_id"), col("s"), col("c"))
         .join(listed.select(col("cluster_id"), col("vec_id")), Seq("vec_id"))
       val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
-      val dt = subVectors(
-        probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
-        nSub)
-        .join(cb, Seq("s"))
-        .select(col("vec_id").as("probe_id"), col("s"), col("c"),
-          VectorOps.dot(col("sub"), col("centroid")).as("dp"))
-      // ADC over probed lists only: route codes by cluster, then sum
-      // the broadcast lookup per (probe, vec)
+      // route codes to probed lists only, then the shared ADC epilogue
+      // scores each code row against its routed probe
       val routed = codes.join(broadcast(pc.select(col("probe_id"), col("cluster_id"))),
         Seq("cluster_id"))
-      val approx = routed.join(broadcast(dt), Seq("probe_id", "s", "c"))
-        .groupBy(col("probe_id"), col("vec_id"))
-        .agg(sum(col("dp")).as("approx"))
-      val wa = Window.partitionBy(col("probe_id"))
-        .orderBy(col("approx").desc, col("vec_id"))
-      val cand = approx.withColumn("ar", row_number().over(wa))
-        .filter(col("ar") <= rerank)
-        .select(col("probe_id"), col("vec_id"))
-      rankTopK(
-        cand.join(c, Seq("vec_id"))
-          .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
-          .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+        .select(col("probe_id"), col("vec_id"), col("s"), col("c"))
+      adcRerankTopK(embeddings, routed, cb, nProbes, nSub, k, rerank)
     }
   }
 

@@ -220,14 +220,32 @@ object TextOps {
   /** Character-level Shannon entropy + charset stats — the
     * low-entropy cut of cleaning pipelines (repeated-char spam and
     * binary-ish blobs score far below natural text's ~4 bits/char).
-    * One explode + two keyed aggregates; H = log₂(n) − Σ c·log₂(c)/n
-    * with each c·log₂(c) term cast to DECIMAL(28,12) so the sum is
-    * exact and associative — the entropy is partitioning-independent
-    * on the Spark side and order-independent in the oracle; the
-    * engines' log₂ implementations differ only in final ulps, which
-    * the 6-decimal round absorbs.
+    * H = log₂(n) − Σ c·log₂(c)/n with each c·log₂(c) term cast to
+    * DECIMAL(28,12) so the sum is exact — order-independent in the
+    * oracle; the engines' log₂ implementations differ only in final
+    * ulps, which the 6-decimal round absorbs. A pure per-row function
+    * of `text`, computed by the fused one-pass
+    * [[graft.expressions.CharEntropyStats]] — a narrow map, no
+    * shuffle (the declarative explode + two doc-keyed aggregates
+    * below stays as the parity twin).
     */
-  def charEntropy(documents: DataFrame): DataFrame =
+  def charEntropy(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        column(graft.expressions.CharEntropyStats(expression(col("text")))).as("st"))
+      .select(col("doc_id"), col("st.distinct_chars").as("distinct_chars"),
+        col("st.n_chars").as("n_chars"), col("st.entropy").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The declarative twin of [[charEntropy]] (explode + two keyed
+    * aggregates over the corpus's characters) — the Spark-semantics
+    * specification the fused expression is spec-checked against; not
+    * the production path.
+    */
+  private[graft] def charEntropyDeclarative(documents: DataFrame): DataFrame =
     documents
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))

@@ -58,47 +58,91 @@ object DocPipelineJobs {
     * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
     * shard is ONE fixed mBits-bit array (O(m), never grows with the
     * stream — the point of a Bloom filter vs `dropDuplicates`'
-    * per-key state store), updated as each doc's k fingerprint-derived
-    * bit positions are tested then set. Emits
-    * (source, doc_id, maybe_seen) — maybe_seen = every bit was
-    * already set, i.e. the filter claims an earlier doc of this shard
-    * had the same content hash (false positives at the usual Bloom
-    * rate, never false negatives). Positions use the SAME permutation
-    * family and 31-bit base hash as the batch operator.
+    * per-key state store). Verdicts match the batch operator
+    * shingle-for-shingle: each doc's distinct 3-word-shingle
+    * fingerprints (the fused [[graft.expressions.ShingleFingerprints]]
+    * scan, same 31-bit top-half position hash, same permutation
+    * family) are ALL tested against the bits set by PRIOR docs, then
+    * set — a doc's own shingles never count as "seen", exactly like
+    * the batch filter built from earlier docs only. Emits
+    * (source, doc_id, n_shingles, n_maybe_seen) — the batch output
+    * shape (false positives at the usual Bloom rate, never false
+    * negatives).
+    *
+    * With `ttl = Some((tsCol, ttlMs))` each shard's bit array expires
+    * `ttlMs` of event time past the watermark — re-seen content
+    * separated by more than the TTL reads as fresh, but a
+    * high-cardinality `source` cannot grow the state store without
+    * bound. With None, state is one bit array per distinct source
+    * forever (only safe when the shard universe is bounded).
     */
-  def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4): DataFrame = {
+  def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4,
+      ttl: Option[(String, Long)] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      "mBits must be a power of two >= 64")
+    require(k <= graft.expressions.MinhashSignature.NumPerms, "not enough perms")
     val perms = graft.expressions.MinhashSignature.permA
       .zip(graft.expressions.MinhashSignature.permB).take(k)
     val prime = graft.expressions.MinhashSignature.Prime
+    val ttlMs = ttl.map(_._2)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
+    val withTs = ttl match {
+      case Some((tsCol, ms)) => stream
+        .withColumn("__graft_ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__graft_ts", s"$ms milliseconds")
+      case None => stream.withColumn("__graft_ts",
+        lit(null).cast("timestamp"))
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    withTs
       .select(col("source").cast("string").as("source"),
         col("doc_id").cast("long").as("doc_id"),
-        col("text").cast("string").as("text"))
-      .as[(String, Long, String)]
+        col("text").cast("string").as("text"),
+        col("__graft_ts"))
+      .as[(String, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (source: String, rows: Iterator[(String, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (source: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
             state: GroupState[Array[Long]]) => {
-          val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
-          val out = rows.map { case (_, docId, text) =>
-            val h = graft.expressions.RollingFingerprint.compute(
-              if (text == null) "" else text) >>> 32
-            var allSet = true
-            perms.foreach { case (a, b) =>
-              val pos = (Math.floorMod(a * h + b, prime) % mBits).toInt
-              val w = pos >> 6
-              val m = 1L << (pos & 63)
-              if ((bits(w) & m) == 0L) { allSet = false; bits(w) |= m }
-            }
-            (source, docId, if (allSet) 1L else 0L)
-          }.toVector // drain before the state write below
-          state.update(bits)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
+            val out = rows.map { case (_, docId, text, _) =>
+              val fps = graft.expressions.ShingleFingerprints
+                .compute(if (text == null) "" else text).toLongArray()
+              // pass 1: every shingle probes the PRIOR state only...
+              var nMaybe = 0L
+              fps.foreach { fp =>
+                val h = fp >>> 32 // 31-bit top half, = batch shiftright(h, 32)
+                var allSet = true
+                perms.foreach { case (a, b) =>
+                  val pos = (Math.floorMod(a * h + b, prime) % mBits).toInt
+                  if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) allSet = false
+                }
+                if (allSet) nMaybe += 1
+              }
+              // ...pass 2: then the doc's shingles enter the filter
+              fps.foreach { fp =>
+                val h = fp >>> 32
+                perms.foreach { case (a, b) =>
+                  val pos = (Math.floorMod(a * h + b, prime) % mBits).toInt
+                  bits(pos >> 6) |= 1L << (pos & 63)
+                }
+              }
+              (source, docId, fps.length.toLong, nMaybe)
+            }.toVector // drain before the state write below
+            state.update(bits)
+            ttlMs.foreach(ms =>
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms))
+            out.iterator
+          }
         })
-      .toDF("source", "doc_id", "maybe_seen")
+      .toDF("source", "doc_id", "n_shingles", "n_maybe_seen")
   }
 }

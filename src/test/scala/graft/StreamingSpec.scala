@@ -306,11 +306,48 @@ class StreamingSpec extends AnyFunSuite {
       in.addData((4L, "s0", "alpha text one"), (5L, "s0", "gamma fresh text"))
       q.processAllAvailable()
       val seen = spark.table("bloom_live").collect()
-        .map(r => r.getLong(1) -> r.getLong(2)).toMap
-      // doc 4 repeats doc 1's text within shard s0 → flagged across
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      // each 3-word text is exactly one shingle; doc 4 repeats doc 1's
+      // text within shard s0 → its shingle flagged across
       // micro-batches; doc 3 has the same text in ANOTHER shard and
       // is not flagged (per-shard filters); fresh texts pass
-      assert(seen == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+      assert(seen == Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L)),
+        3L -> ((1L, 0L)), 4L -> ((1L, 1L)), 5L -> ((1L, 0L))))
+    } finally q.stop()
+  }
+
+  test("streaming bloom verdicts match the batch bloomShingleFilter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // docs 0..2 build the filter; 3..5 probe it. Probe docs share
+    // shingles only with SEEN docs (not each other), so the stream's
+    // accumulating filter and the batch's fixed nSeen filter hold the
+    // same bits when each probe's verdict is computed.
+    val docs = Seq(
+      0L -> "spark engines shuffle partitions across executors tonight",
+      1L -> "broadcast small dimension tables for colocated joins",
+      2L -> "watermarks bound the state of streaming aggregations",
+      3L -> "spark engines shuffle partitions across executors tonight", // = doc 0
+      4L -> "broadcast small dimension tables then repartition everything late", // prefix of 1
+      5L -> "completely novel content appears in this document here")
+    val batch = graft.operators.Dedup
+      .bloomShingleFilter(docs.toDF("doc_id", "text"), nSeen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .bloomStream(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("bloom_parity")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(3).map { case (id, t) => (id, "s", t) }: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(3).map { case (id, t) => (id, "s", t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_parity").collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(docs.drop(3).map(_._1).forall(id => streamed(id) == batch(id)))
+      assert(batch(3L)._1 == batch(3L)._2) // full repeat: every shingle seen
+      assert(batch(5L)._2 == 0L)           // novel doc: nothing seen
     } finally q.stop()
   }
 

@@ -119,6 +119,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))                // empty text filtered
   }
 
+  test("fused char entropy matches the declarative explode/aggregate twin") {
+    import graft.operators.TextOps
+    // multi-byte code points, surrogate pair, long mixed text — the
+    // shapes where histogram vs explode could diverge
+    val d = Seq((1L, "naïve café ütf"), (2L, "a😀b😀"),
+      (3L, "the quick brown fox jumps over the lazy dog 0123456789"),
+      (4L, "zzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fused = TextOps.charEntropy(d).collect().map(_.toSeq).toSeq
+    val twin = TextOps.charEntropyDeclarative(d).collect().map(_.toSeq).toSeq
+    assert(fused == twin)
+  }
+
   test("unigram surprisal scores rare-token docs above stock phrasing") {
     import graft.operators.TextOps
     // corpus: "the cat" x3 docs + one doc with two hapax tokens
