@@ -119,63 +119,79 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("cluster_id"))
   }
 
-  /** IVF coarse quantizer: deterministic k-means over the unit-
-    * normalized corpus (init = lowest-vec_id vectors, Lloyd
-    * iterations with exact-decimal component sums so every run
-    * assigns identically). The centroid table is the *model* — k·dim
-    * doubles, driver-side by design exactly like any learned
-    * broadcast dimension — while every data-sized step (assignment,
-    * component sums) is a distributed aggregate keyed on vec_id /
-    * cluster_id.
+  /** Size cap for codebook training samples. Codebook quality
+    * saturates at a few thousand training points per centroid family
+    * (the FAISS rule of thumb is ~100–1000 points per centroid), so
+    * the sample — not the corpus — bounds training cost.
     */
-  def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] = {
-    val spark = corpusVecs.sparkSession
-    import spark.implicits._
-    // norm materialized once per row, THEN divided into each element —
-    // a transform(x -> x / sqrt(dot(v,v))) lambda would recompute the
-    // full dot product per element
-    // persisted: every Lloyd iteration is its own job, and without
-    // the cache each one would re-run the scan + per-element
-    // normalization lambda (interpreted — HOFs never codegen)
-    val unit = corpusVecs
+  private val TrainSampleSize = 4096
+
+  /** Deterministic, content-independent training sample: the n corpus
+    * vectors with the lowest `md5(vec_id)` (vec_id tie-break),
+    * unit-normalized, returned in vec_id order. A TakeOrdered-shaped
+    * job — the corpus streams once and only the winners move; at
+    * 100 TB the sample is the only vector data that ever reaches the
+    * driver. The md5 ordering decorrelates the sample from ingestion
+    * order (a plain `LIMIT n` would train on one shard's vectors).
+    */
+  private def sampleUnitVecs(corpusVecs: DataFrame, n: Int): Array[(Long, Array[Double])] =
+    corpusVecs
       .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
       .select(col("vec_id"),
         transform(col("cv"), x => x / col("norm")).as("nv"))
-      .persist()
-    try {
-    var centroids: Seq[Centroid] = unit.orderBy(col("vec_id")).limit(nClusters)
-      .collect().zipWithIndex.map { case (r, i) =>
-        Centroid(i, r.getSeq[Double](1))
-      }.toSeq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** IVF coarse quantizer: deterministic spherical k-means trained on
+    * a bounded [[sampleUnitVecs]] sample, Lloyd run in memory on the
+    * driver (init = the sample's lowest-vec_id vectors; assignment =
+    * argmax dot with smaller-cluster_id tie-break; fixed iteration
+    * order ⇒ bit-deterministic across runs and partitionings). The
+    * centroid table is the *model* — k·dim doubles broadcast like any
+    * learned dimension table. Every data-sized step (corpus
+    * assignment, routing, search) stays a distributed plan; training
+    * cost is bounded by the sample, not the corpus — running
+    * distributed Lloyd over 100 TB per query to fit a 16×64-double
+    * model would be shuffle for nothing.
+    */
+  def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] = {
+    val sample = sampleUnitVecs(corpusVecs, TrainSampleSize).map(_._2)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var centroids: Array[Array[Double]] =
+      sample.take(nClusters).map(_.clone())
     for (_ <- 1 to iters) {
-      val cDF = broadcast(spark.createDataset(centroids).toDF())
-      // argmax_{c} nv·c per vector, then exact per-component means:
-      // sums as DECIMAL(38,18) so addition is associative ⇒ the new
-      // centroids are independent of partitioning
-      val assigned = unit.crossJoin(cDF)
-        .withColumn("d", VectorOps.dot(col("nv"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(struct(cluster_id, nv), struct(d, -cluster_id))").as("m"))
-        .select(col("m.cluster_id").as("cluster_id"), col("m.nv").as("nv"))
-      val comps = assigned
-        .select(col("cluster_id"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"))
-        .collect()
-      val byCluster = comps.groupBy(_.getInt(0))
-      centroids = centroids.map { c =>
-        byCluster.get(c.cluster_id) match {
-          case Some(rows) =>
-            val mean = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-            val norm = math.sqrt(mean.map(x => x * x).sum)
-            // empty-direction guard: keep the old centroid if degenerate
-            if (norm == 0.0) c else Centroid(c.cluster_id, mean.map(_ / norm).toSeq)
-          case None => c // cluster lost all members; keep it in place
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) { // strict > keeps the smaller id on ties
+          val d = dot(v, centroids(c))
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
         }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        // spherical update: the summed direction, unit-normalized
+        // (the sum and the mean point the same way); empty or
+        // degenerate clusters keep their centroid in place
+        val norm = math.sqrt(dot(sums(c), sums(c)))
+        if (counts(c) == 0L || norm == 0.0) old
+        else sums(c).map(_ / norm)
       }
     }
-    centroids
-    } finally unit.unpersist(blocking = false)
+    centroids.zipWithIndex.map { case (v, i) => Centroid(i, v.toSeq) }.toSeq
   }
 
   /** IVF ANN: corpus vectors are assigned once to their nearest coarse
@@ -246,57 +262,65 @@ object Similarity {
   final case class PqCentroid(s: Int, c: Int, centroid: Seq[Double])
 
   /** Train PQ codebooks: the unit-normalized vector splits into nSub
-    * contiguous subspaces, each L2-quantized to kCodes centroids by
-    * the same deterministic Lloyd recipe as [[ivfTrain]] (init =
-    * lowest-vec_id subvectors, exact-decimal component sums, argmin
-    * ties to the smaller code). The codebook is the model — nSub ×
-    * kCodes × subDim doubles, driver-side like any learned broadcast
-    * dimension; every data-sized step is a distributed aggregate.
+    * contiguous subspaces, each L2-quantized to kCodes centroids.
+    * Like [[ivfTrain]], Lloyd runs in memory on a bounded
+    * [[sampleUnitVecs]] sample (init = the sample's lowest-vec_id
+    * subvectors; assignment = the same argmax(sub·c − ‖c‖²/2) with
+    * smaller-code tie-break as [[assignCodes]]; fixed iteration order
+    * ⇒ deterministic). The codebook is the model — nSub × kCodes ×
+    * subDim doubles broadcast everywhere; encoding and the ADC scan
+    * — the data-sized steps — stay distributed plans.
     */
   def pqTrain(corpusVecs: DataFrame, nSub: Int = 8, kCodes: Int = 16,
       iters: Int = 3): Seq[PqCentroid] =
-    trainOnSubs(subVectors(corpusVecs, nSub), nSub, kCodes, iters)
+    pqTrainOnSample(sampleUnitVecs(corpusVecs, TrainSampleSize), nSub, kCodes, iters)
 
-  /** Lloyd iterations over an (ideally persisted) subvector table —
-    * split out so encode/search callers can share one materialized
-    * `subs` across training and encoding instead of recomputing the
-    * normalize+explode per iteration job.
-    */
-  private def trainOnSubs(subs: DataFrame, nSub: Int, kCodes: Int,
-      iters: Int): Seq[PqCentroid] = {
-    val spark = subs.sparkSession
-    import spark.implicits._
-    // init = the kCodes lowest vec_ids PRESENT (not 0..k-1 — corpus
-    // ids need not start at zero), code id = rank within that set
-    val initIds = subs.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(kCodes)
-      .collect().map(_.getLong(0))
-    val codeOf = initIds.sorted.zipWithIndex.toMap
-    var codebook: Seq[PqCentroid] = subs.filter(col("vec_id").isin(initIds: _*))
-      .orderBy(col("s"), col("vec_id")).collect()
-      .map(r => PqCentroid(r.getInt(1), codeOf(r.getLong(0)), r.getSeq[Double](2)))
-      .toSeq
+  private def pqTrainOnSample(sample: Array[(Long, Array[Double])],
+      nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0)._2.length
+    val subDim = dim / nSub
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < subDim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // subvectors per sample vector: subs(v)(s) = s-th contiguous slice
+    val subs: Array[Array[Array[Double]]] = sample.map { case (_, v) =>
+      Array.tabulate(nSub)(s => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+    // init = the kCodes lowest vec_ids in the sample (sample is
+    // vec_id-sorted), code id = rank within that set
+    var codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub)(s => subs.take(kCodes).map(_(s).clone()))
     for (_ <- 1 to iters) {
-      val cb = broadcast(spark.createDataset(codebook).toDF())
-      val assigned = assignCodes(subs, cb)
-      val comps = assigned
-        .select(col("s"), col("c"), posexplode(col("sub")).as(Seq("pos", "x")))
-        .groupBy(col("s"), col("c"), col("pos"))
-        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byKey = comps.groupBy(r => (r.getInt(0), r.getInt(1)))
-      codebook = codebook.map { pc =>
-        byKey.get((pc.s, pc.c)) match {
-          case Some(rows) =>
-            val mean = rows.sortBy(_.getInt(2))
-              .map(r => r.getDouble(3) / r.getLong(4))
-            PqCentroid(pc.s, pc.c, mean.toSeq)
-          case None => pc // code lost all members; keep it in place
+      val sums = Array.fill(nSub, kCodes)(new Array[Double](subDim))
+      val counts = Array.fill(nSub)(new Array[Long](kCodes))
+      subs.foreach { vsubs =>
+        var s = 0
+        while (s < nSub) {
+          val sub = vsubs(s)
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < codebook(s).length) { // strict > ties to the smaller code
+            val cent = codebook(s)(c)
+            val score = dot(sub, cent) - dot(cent, cent) / 2.0
+            if (score > bestScore) { bestScore = score; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(s)(best)(i) += sub(i); i += 1 }
+          counts(s)(best) += 1
+          s += 1
         }
       }
+      codebook = Array.tabulate(nSub)(s => Array.tabulate(codebook(s).length) { c =>
+        if (counts(s)(c) == 0L) codebook(s)(c) // code lost all members; keep it
+        else sums(s)(c).map(_ / counts(s)(c))
+      })
     }
-    codebook
+    (for (s <- 0 until nSub; c <- 0 until codebook(s).length)
+      yield PqCentroid(s, c, codebook(s)(c).toSeq)).toSeq
   }
 
   /** (vec_id, s, sub): the unit-normalized vector's nSub contiguous
@@ -338,25 +362,24 @@ object Similarity {
     * the ADC scan in [[annPqTopK]] reads ONLY these codes, never the
     * vectors.
     */
-  /** The shared PQ prologue: one persisted subvector table feeds
-    * every Lloyd iteration AND the caller's encode/search body — the
-    * normalize+explode runs once, not iters+1 times. The (small)
-    * body result is checkpointed before the release, so no cached
-    * state outlives the call (the Dedup caching contract) — ONE
-    * definition, because a fix to the materialize-then-release
-    * ordering must not silently miss a second copy.
+  /** The shared PQ prologue: train the codebook on the bounded
+    * sample (one TakeOrdered collect — no cached distributed state,
+    * so there is nothing to release and the call is safe under
+    * executor loss), broadcast it, and hand the caller the lazy
+    * corpus subvector table for the data-sized encode/search body.
+    * ONE definition, because every PQ consumer must quantize against
+    * an identically-trained codebook.
     */
   private def withTrainedSubs(embeddings: DataFrame, nProbes: Int,
       nSub: Int, kCodes: Int, iters: Int)(
       body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val subs = subVectors(corpus(embeddings, nProbes), nSub).persist()
-    try {
-      val codebook = trainOnSubs(subs, nSub, kCodes, iters)
-      val cb = broadcast(spark.createDataset(codebook).toDF())
-      body(subs, cb).localCheckpoint()
-    } finally subs.unpersist(blocking = false)
+    val c = corpus(embeddings, nProbes)
+    val codebook = pqTrainOnSample(
+      sampleUnitVecs(c, TrainSampleSize), nSub, kCodes, iters)
+    val cb = broadcast(spark.createDataset(codebook).toDF())
+    body(subVectors(c, nSub), cb)
   }
 
   def pqCodes(embeddings: DataFrame, nProbes: Int = 10, nSub: Int = 8,
