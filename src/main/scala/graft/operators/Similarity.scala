@@ -126,6 +126,22 @@ object Similarity {
     */
   private val TrainSampleSize = 4096
 
+  /** Last-trained models, recorded at training time so
+    * `SparkEntry.oracleSql` can interpolate the learned constants into
+    * the DuckDB oracles (the same shared-model pattern as the LSH
+    * plane and MinHash permutation literals — ONE model definition,
+    * assignment/routing/search verified independently in SQL).
+    * Training is deterministic for fixed params + data, and Verify
+    * runs every query before dumping oracle SQL, so at dump time these
+    * hold exactly the model the verified queries used.
+    */
+  private val lastIvf =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Centroid]]()
+  private val lastPq =
+    new java.util.concurrent.atomic.AtomicReference[Seq[PqCentroid]]()
+  def lastIvfModel: Option[Seq[Centroid]] = Option(lastIvf.get)
+  def lastPqModel: Option[Seq[PqCentroid]] = Option(lastPq.get)
+
   /** Deterministic, content-independent training sample: the n corpus
     * vectors with the lowest `md5(vec_id)` (vec_id tie-break),
     * unit-normalized, returned in vec_id order. A TakeOrdered-shaped
@@ -191,7 +207,9 @@ object Similarity {
         else sums(c).map(_ / norm)
       }
     }
-    centroids.zipWithIndex.map { case (v, i) => Centroid(i, v.toSeq) }.toSeq
+    val model = centroids.zipWithIndex.map { case (v, i) => Centroid(i, v.toSeq) }.toSeq
+    lastIvf.set(model)
+    model
   }
 
   /** IVF ANN: corpus vectors are assigned once to their nearest coarse
@@ -319,8 +337,10 @@ object Similarity {
         else sums(s)(c).map(_ / counts(s)(c))
       })
     }
-    (for (s <- 0 until nSub; c <- 0 until codebook(s).length)
+    val model = (for (s <- 0 until nSub; c <- 0 until codebook(s).length)
       yield PqCentroid(s, c, codebook(s)(c).toSeq)).toSeq
+    lastPq.set(model)
+    model
   }
 
   /** (vec_id, s, sub): the unit-normalized vector's nSub contiguous
@@ -437,9 +457,14 @@ object Similarity {
     val dtKeys =
       if (codes.columns.contains("probe_id")) Seq("probe_id", "s", "c")
       else Seq("s", "c")
+    // the nSub per-code distances sum as DECIMAL(38,18): a double sum
+    // over shuffled rows is addition-order-dependent (partial-agg
+    // arrival order varies run to run), and a last-ulp wobble at the
+    // rerank cut would make the candidate set — and the oracle compare
+    // — nondeterministic; decimal is exact and associative
     val approx = codes.join(broadcast(dt), dtKeys)
       .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("dp")).as("approx"))
+      .agg(sum(col("dp").cast("decimal(38,18)")).as("approx"))
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx").desc, col("vec_id"))
     val cand = approx.withColumn("ar", row_number().over(wa))
