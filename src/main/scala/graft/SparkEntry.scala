@@ -136,6 +136,8 @@ object SparkEntry {
     }),
     "txt_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables(s, dir).documents)),
     "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
+    "txt_bm25" -> ((s, dir) => TextOps.bm25TopK(Tables(s, dir).documents)),
+    "samp_chunk" -> ((s, dir) => Sampling.chunkSequences(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -907,6 +909,59 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
         |FROM words w JOIN bigrams USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "txt_bm25" ->
+      """WITH qt AS (SELECT * FROM (VALUES
+        |    (0, 'spark'), (0, 'join'), (1, 'hash'), (1, 'table'),
+        |    (2, 'stream'), (2, 'window'), (2, 'batch'),
+        |    (3, 'vector'), (3, 'scan')) v(query_id, term)),
+        |corpus AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |tf0 AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |      UNNEST(string_split(text, ' ')) AS term
+        |    FROM documents) t
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |tf AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf0),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(
+        |      ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,15))) AS score_exact
+        |  FROM tf JOIN qt USING (term)
+        |  CROSS JOIN (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+        |              FROM corpus) c
+        |  GROUP BY query_id, doc_id)
+        |SELECT query_id, rank, doc_id,
+        |  ROUND(CAST(score_exact AS DOUBLE), 6) AS score FROM (
+        |  SELECT query_id, doc_id, score_exact,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_exact DESC, doc_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "samp_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, w,
+        |    UNNEST(generate_series(0, GREATEST(0, (n_tokens - 32 + 23) // 24)))
+        |      AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 + 1 AS start_tok,
+        |  CAST(len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' '))
+        |    AS chunk_md5
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents

@@ -121,4 +121,39 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("bin_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Overlapping token-window chunking: each document splits into
+    * windows of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens - overlap` — the context-window chunker feeding
+    * embedding/retrieval pipelines. Chunk count is
+    * 1 + ⌈max(0, n − C) / stride⌉, so every document yields at least
+    * one chunk and consecutive chunks share `overlap` tokens.
+    *
+    * A pure narrow map (split → bounded sequence explode → slice):
+    * zero shuffles beyond the presentation sort, so at 100 TB it runs
+    * at scan speed and the fan-out is bounded by token count, not row
+    * count. `chunk_md5` hashes the exact chunk text — the verification
+    * handle for the downstream writer.
+    */
+  def chunkSequences(documents: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      // last chunk index = ⌈max(0, n − C) / stride⌉ via integer
+      // arithmetic; greatest() clamps the short-doc case before the
+      // negative-numerator div (trunc-vs-floor div differs on
+      // negatives across engines, but both land ≤ 0 here)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, greatest(0L, (n_tokens - $chunkTokens + ${stride - 1}) div $stride))")))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      .withColumn("chunk", expr(s"slice(w, int(start_tok), $chunkTokens)"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

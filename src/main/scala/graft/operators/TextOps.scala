@@ -100,6 +100,72 @@ object TextOps {
       .orderBy(col("tf").desc, col("word"))
       .limit(topN)
 
+  /** The default BM25 query set: small keyword queries over the corpus
+    * vocabulary, the shape a retrieval/eval harness feeds a keyword
+    * index. A literal dimension (like the handler registry) —
+    * broadcast everywhere it joins.
+    */
+  val defaultBm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join",
+    1 -> "hash", 1 -> "table",
+    2 -> "stream", 2 -> "window", 2 -> "batch",
+    3 -> "vector", 3 -> "scan")
+
+  /** BM25 keyword search: top-k documents per query (Okapi BM25,
+    * k1=1.2, b=0.75) — the lexical-retrieval companion to the ANN
+    * operators, and the dedup/contamination tool for keyword-defined
+    * eval sets.
+    *
+    * Scale shape: the corpus explodes to tokens once and is
+    * immediately cut to query terms by a **broadcast** semi-join (the
+    * term dimension is tiny), so the only data-sized shuffle keys on
+    * (doc_id, term) for matching tokens only. Document frequencies
+    * come from a window over the per-(doc, term) tf table (tiny:
+    * ≤ |matching docs| × |terms| rows), corpus scalars (N, Σdl)
+    * broadcast as a one-row cross join. Per-term score contributions
+    * are doubles computed in one fixed expression, then summed as
+    * DECIMAL(38,15) — exact and associative, so ranking never depends
+    * on partial-aggregation order.
+    */
+  def bm25TopK(documents: DataFrame,
+      queries: Seq[(Int, String)] = defaultBm25Queries, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val terms = broadcast(queries.toDF("query_id", "term"))
+    val termSet = queries.map(_._2).distinct
+    val corpus = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(wordCount("text")).as("sum_dl"))
+    val tf = documents
+      .select(col("doc_id"), wordCount("text").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val scored = tf
+      .join(terms, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib",
+        expr(s"ln(1.0 + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5))"
+          + s" * (cast(tf as double) * ${k1 + 1.0})"
+          + s" / (cast(tf as double) + $k1 * (${1.0 - b} + $b * (cast(dl as double) / avgdl)))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(38,15)")).as("score_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_exact").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score_exact").cast("double"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The composed cleaning pipeline every training-data run starts
     * with: normalize → length cut → stopword-ratio cut (same word and
     * stopword definitions as [[quality]], via the shared helpers) →

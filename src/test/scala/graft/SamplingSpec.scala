@@ -94,4 +94,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(0L) == 0 && out(2L) == 0 && out(4L) == 0 && out(6L) == 1)
     assert(out(1L) == 0 && out(3L) == 0 && out(5L) == 0 && out(7L) == 1)
   }
+
+  test("chunking windows cover every token with the declared overlap") {
+    val words = (1 to 10).map(i => s"t$i")
+    val d = docs((7L, words.mkString(" "), "en", "src0"),
+      (8L, "solo", "en", "src0")) // shorter than one chunk -> 1 chunk
+    // C=4, overlap=1 -> stride 3; n=10 -> last idx = ceil(6/3) = 2
+    val rows = Sampling.chunkSequences(d, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val doc7 = rows.filter(_._1 == 7L)
+    assert(doc7.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L)))
+    // consecutive chunks share exactly `overlap` tokens and the last
+    // chunk reaches the final token
+    assert(doc7.last._3 + doc7.last._4 - 1 == 10L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(doc7.head._5 == h("t1 t2 t3 t4"))
+    assert(rows.filter(_._1 == 8L).toSeq == Seq((8L, 0L, 1L, 1L, h("solo"))))
+    intercept[IllegalArgumentException] {
+      Sampling.chunkSequences(d, chunkTokens = 4, overlap = 4)
+    }
+  }
 }

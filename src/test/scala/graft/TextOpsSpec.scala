@@ -214,4 +214,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3).getBoolean(3))
     assert(got(4).getDouble(2).isNaN)
   }
+
+  test("bm25 ranks keyword matches per Okapi formula with doc_id tie-break") {
+    val d = docs((1L, "spark join spark", "en"), (2L, "join filter", "en"),
+      (3L, "filter sort", "en")).select("doc_id", "text")
+    val out = TextOps.bm25TopK(d, queries = Seq(0 -> "spark", 0 -> "join"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // d1 holds the rare term twice plus 'join'; d2 only 'join'; d3 nothing
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == Seq((0, 1L, 1L), (0, 2L, 2L)))
+    // hand-rolled Okapi BM25 (k1=1.2, b=0.75) over the same stats:
+    // N=3, sum_dl=7 (the no-match doc still counts in corpus stats)
+    val avgdl = 7.0 / 3
+    def contrib(tf: Long, df: Long, dl: Long): Double =
+      math.log(1.0 + ((3.0 - df) + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    assert(math.abs(out(0)._4 - (contrib(2, 1, 3) + contrib(1, 2, 3))) < 1e-6)
+    assert(math.abs(out(1)._4 - contrib(1, 2, 2)) < 1e-6)
+  }
 }
