@@ -138,6 +138,7 @@ object SparkEntry {
     "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
     "txt_bm25" -> ((s, dir) => TextOps.bm25TopK(Tables(s, dir).documents)),
     "samp_chunk" -> ((s, dir) => Sampling.chunkSequences(Tables(s, dir).documents)),
+    "samp_interleave" -> ((s, dir) => Sampling.interleaveSources(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -962,6 +963,18 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "samp_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rank_in_source,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_source
+        |  FROM documents)
+        |SELECT doc_id, source, rank_in_source,
+        |  ROUND(CAST(rank_in_source AS DOUBLE) / n_source, 9) AS ord
+        |FROM r
+        |ORDER BY ROUND(CAST(rank_in_source AS DOUBLE) / n_source, 9),
+        |  source, doc_id""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents

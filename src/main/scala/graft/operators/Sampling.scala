@@ -136,7 +136,16 @@ object Sampling {
     * handle for the downstream writer.
     */
   def chunkSequences(documents: DataFrame, chunkTokens: Int = 32,
-      overlap: Int = 8): DataFrame = {
+      overlap: Int = 8): DataFrame =
+    chunkedUnordered(documents, chunkTokens, overlap)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The order-free chunking core — shared by the batch operator and
+    * the streaming twin ([[graft.streaming.DocPipelineJobs]]`.chunkStream`,
+    * which cannot sort an unbounded stream), so the two cannot drift.
+    */
+  private[graft] def chunkedUnordered(documents: DataFrame,
+      chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
     val stride = chunkTokens - overlap
@@ -154,6 +163,34 @@ object Sampling {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Proportional source interleaving: the deterministic shuffle that
+    * turns per-source shards into ONE training stream where each
+    * source appears at a rate proportional to its size. Every doc gets
+    * the low-discrepancy key ord = rank_in_source / n_source ∈ (0, 1];
+    * reading in ord order visits sources interleaved (a source with
+    * twice the docs appears twice as often), and equal ords break
+    * deterministically by (source, doc_id).
+    *
+    * ord is an exact IEEE division of two integers — bit-identical in
+    * any engine, so the order is reproducible everywhere. Scale shape:
+    * one rank window per source shard; the global order is a
+    * *range-partitioned sort on ord* (Spark's distributed orderBy) —
+    * deliberately NOT a global row_number, which would funnel every
+    * row through one partition. The training position is the file
+    * order of the sorted output.
+    */
+  def interleaveSources(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("ord",
+        col("rank_in_source").cast("double") / col("n_source"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        round(col("ord"), 9).as("ord"))
+      .orderBy(col("ord"), col("source"), col("doc_id"))
   }
 }

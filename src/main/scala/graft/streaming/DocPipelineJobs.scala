@@ -54,6 +54,17 @@ object DocPipelineJobs {
     }
   }
 
+  /** Live token-window chunking: the streaming twin of
+    * `Sampling.chunkSequences` — literally the same order-free core
+    * (`chunkedUnordered`), a stateless narrow map (split → bounded
+    * sequence explode → slice → md5), so it runs at ingest speed with
+    * no watermark or state and chunk rows match the batch operator
+    * byte for byte.
+    */
+  def chunkStream(stream: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame =
+    graft.operators.Sampling.chunkedUnordered(stream, chunkTokens, overlap)
+
   /** Live Bloom-filter membership per shard: the streaming twin of
     * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
     * shard is ONE fixed mBits-bit array (O(m), never grows with the

@@ -241,6 +241,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunker emits the batch operator's windows byte for byte") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      2L -> "tiny doc",
+      3L -> (1 to 7).map(i => s"v$i").mkString(" "))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .chunkStream(in.toDF().toDF("doc_id", "text"), chunkTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_live").outputMode("append").start()
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val live = spark.table("chunk_live").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(t => (t._1, t._2))
+      val batch = graft.operators.Sampling
+        .chunkSequences(texts.toDF("doc_id", "text"), chunkTokens = 4, overlap = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      assert(live.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("fused minhash aggregate computes live signatures equal to the batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
