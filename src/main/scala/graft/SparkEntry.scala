@@ -130,6 +130,7 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
     "dd_contamination" -> ((s, dir) => Dedup.contamination(Tables(s, dir).documents)),
+    "dd_dup_spans" -> ((s, dir) => Dedup.dupSpans(Tables(s, dir).documents)),
     "dd_cluster_cc" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Dedup.connectedComponents(docs, Dedup.ngramJaccard(docs))
@@ -830,6 +831,26 @@ object SparkEntry {
         |JOIN es USING (eval_id)
         |WHERE inter * 100 >= s_eval * 50
         |ORDER BY eval_id, train_id""".stripMargin,
+    "dd_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM base, UNNEST(generate_series(1, CAST(n AS INT) - 2)) AS t(i)
+        |  WHERE n >= 3),
+        |dup AS (SELECT g FROM grams GROUP BY g
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM grams JOIN dup USING (g),
+        |       UNNEST(generate_series(pos, pos + 2)) AS c(p)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  COALESCE(cnt.n_dup_tokens, 0) AS n_dup_tokens,
+        |  COALESCE(cnt.n_dup_tokens, 0) * 100 // b.n AS dup_pct
+        |FROM base b LEFT JOIN cnt USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "dd_cluster_cc" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

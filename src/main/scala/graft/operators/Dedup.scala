@@ -584,4 +584,47 @@ object Dedup {
       .orderBy(col("id1"), col("id2")),
       sig, bucketed)
   }
+
+  /** Span-level duplication: for each document, how many of its tokens
+    * sit inside a word 3-gram that also appears in ≥ `minDocs` − 1
+    * other documents — the bounded stand-in for suffix-array substring
+    * dedup (spans shared across documents are memorization fuel even
+    * when whole-doc similarity is low). Reported as an exact covered
+    * token count + integer percentage, so a span-trim stage can cut on
+    * it.
+    *
+    * Scale shape: positional grams are a narrow generate; the
+    * duplicated-gram set is one gram-keyed aggregate (near-uniform
+    * keys), rejoined on the gram, and coverage collapses through a
+    * doc-keyed distinct — every shuffle keys on gram or doc_id, never
+    * a pair. Grams join as strings here because the DuckDB oracle must
+    * group on exact gram identity; at 100 TB key the join on the
+    * 8-byte dual-prime fingerprint instead ([[shingleFps]]) and haul
+    * no strings.
+    */
+  def dupSpans(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    // pos is 1-based; Spark arrays index 0-based, so gram i spans
+    // w[i-1..i+1] (the oracle's 1-based w[i..i+2])
+    val grams = base.filter(col("n") >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, int(n) - 2), i -> " +
+          "struct(i as pos, concat_ws(' ', w[i-1], w[i], w[i+1]) as g))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val covered = grams.join(dup, Seq("g"))
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_pct", expr("n_dup_tokens * 100 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

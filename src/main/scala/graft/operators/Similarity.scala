@@ -152,12 +152,23 @@ object Similarity {
     */
   private def sampleUnitVecs(corpusVecs: DataFrame, n: Int): Array[(Long, Array[Double])] =
     corpusVecs
-      .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
-      .select(col("vec_id"),
-        transform(col("cv"), x => x / col("norm")).as("nv"))
+      .select(col("vec_id"), col("cv"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { r =>
+        // normalize the n winners here instead of mapping an
+        // interpreted per-element lambda over the whole corpus before
+        // the TakeOrdered cut; sequential sum + Math.sqrt + division
+        // are the exact double ops the SQL formulation ran, so
+        // trained models are bit-identical
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val norm = math.sqrt(s)
+        i = 0
+        while (i < v.length) { v(i) /= norm; i += 1 }
+        (r.getLong(0), v)
+      }
       .sortBy(_._1)
 
   /** IVF coarse quantizer: deterministic spherical k-means trained on

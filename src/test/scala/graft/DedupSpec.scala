@@ -210,6 +210,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
   }
 
+  test("dup spans count tokens covered by cross-document 3-grams") {
+    val d = docs(
+      (1L, "a b c d e"),   // shares "a b c" with doc 2 -> tokens 1-3
+      (2L, "x a b c y"),   // gram at pos 2 -> tokens 2-4
+      (3L, "q r s t"),     // nothing shared
+      (4L, "p q a b c d"), // shares "a b c"+"b c d" w/ 1 -> union 3-6
+      (5L, "hi"))          // too short for any gram
+    val got = Dedup.dupSpans(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (5L, 4L, 80L)) // "a b c"+"b c d" cover 1-4
+    assert(got(2L) == (5L, 3L, 60L))
+    assert(got(3L) == (4L, 0L, 0L))
+    assert(got(4L) == (6L, 4L, 66L)) // positions 3-6, 4*100 div 6
+    assert(got(5L) == (1L, 0L, 0L))
+  }
+
   test("graft_match_count and graft_dot propagate NULL like the fold") {
     // null element or length mismatch → NULL (zip_with null-pads)
     val out = spark.sql(
