@@ -991,10 +991,9 @@ object SparkEntry {
         |      AS rank_in_source,
         |    COUNT(*) OVER (PARTITION BY source) AS n_source
         |  FROM documents)
-        |SELECT doc_id, source, rank_in_source,
-        |  ROUND(CAST(rank_in_source AS DOUBLE) / n_source, 9) AS ord
+        |SELECT doc_id, source, rank_in_source, n_source
         |FROM r
-        |ORDER BY ROUND(CAST(rank_in_source AS DOUBLE) / n_source, 9),
+        |ORDER BY CAST(rank_in_source AS DOUBLE) / n_source,
         |  source, doc_id""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source, n_chars

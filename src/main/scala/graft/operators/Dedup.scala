@@ -607,11 +607,15 @@ object Dedup {
       .withColumn("n", size(col("w")).cast("long"))
     // pos is 1-based; Spark arrays index 0-based, so gram i spans
     // w[i-1..i+1] (the oracle's 1-based w[i..i+2])
+    // persisted: the scan + positional-gram explode feeds BOTH the
+    // duplicated-gram aggregate and the coverage join below (the
+    // module's multi-branch contract — see ngramJaccard's shingles)
     val grams = base.filter(col("n") >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, int(n) - 2), i -> " +
           "struct(i as pos, concat_ws(' ', w[i-1], w[i], w[i+1]) as g))")).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+      .persist()
     val dup = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -621,10 +625,12 @@ object Dedup {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_tokens"))
-    base.select(col("doc_id"), col("n").as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
-      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
-      .withColumn("dup_pct", expr("n_dup_tokens * 100 div n_tokens"))
-      .orderBy(col("doc_id"))
+    materializeAndRelease(
+      base.select(col("doc_id"), col("n").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+        .withColumn("dup_pct", expr("n_dup_tokens * 100 div n_tokens"))
+        .orderBy(col("doc_id")),
+      grams)
   }
 }

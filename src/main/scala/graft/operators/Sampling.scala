@@ -187,10 +187,13 @@ object Sampling {
       .withColumn("rank_in_source", row_number().over(w).cast("long"))
       .withColumn("n_source", count(lit(1)).over(
         Window.partitionBy(col("source"))))
-      .withColumn("ord",
-        col("rank_in_source").cast("double") / col("n_source"))
+      // the sort key stays the UNROUNDED exact division — rounding it
+      // first would make the row order hinge on cross-engine rounding
+      // agreement at 0.5e-9 boundaries; the output carries the exact
+      // (rank, n_source) rational instead of a lossy double
+      .orderBy(col("rank_in_source").cast("double") / col("n_source"),
+        col("source"), col("doc_id"))
       .select(col("doc_id"), col("source"), col("rank_in_source"),
-        round(col("ord"), 9).as("ord"))
-      .orderBy(col("ord"), col("source"), col("doc_id"))
+        col("n_source"))
   }
 }

@@ -124,11 +124,11 @@ class SamplingSpec extends AnyFunSuite {
       (4L, "x", "en", "src0"), (6L, "x", "en", "src0"),
       (1L, "x", "en", "src1"), (3L, "x", "en", "src1"))
     val got = Sampling.interleaveSources(d).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // ords: src0 = .25 .5 .75 1.0 over docs 0,2,4,6; src1 = .5 1.0 over 1,3
     // equal ords (.5, 1.0) break by source name then doc_id
     assert(got.toSeq == Seq(
-      (0L, "src0", 1L, 0.25), (2L, "src0", 2L, 0.5), (1L, "src1", 1L, 0.5),
-      (4L, "src0", 3L, 0.75), (6L, "src0", 4L, 1.0), (3L, "src1", 2L, 1.0)))
+      (0L, "src0", 1L, 4L), (2L, "src0", 2L, 4L), (1L, "src1", 1L, 2L),
+      (4L, "src0", 3L, 4L), (6L, "src0", 4L, 4L), (3L, "src1", 2L, 2L)))
   }
 }
