@@ -840,7 +840,7 @@ object SparkEntry {
         |  FROM base, UNNEST(generate_series(1, CAST(n AS INT) - 2)) AS t(i)
         |  WHERE n >= 3),
         |dup AS (SELECT g FROM grams GROUP BY g
-        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |        HAVING MIN(doc_id) <> MAX(doc_id)),
         |cov AS (
         |  SELECT DISTINCT doc_id, p
         |  FROM grams JOIN dup USING (g),

@@ -616,10 +616,20 @@ object Dedup {
           "struct(i as pos, concat_ws(' ', w[i-1], w[i], w[i+1]) as g))")).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
       .persist()
-    val dup = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("g"))
+    // "appears in ≥2 docs" = min(doc_id) ≠ max(doc_id): one plain
+    // min/max aggregate instead of an expand-based count_distinct
+    // (minDocs > 2 falls back to the distinct count)
+    val dup =
+      if (minDocs <= 2)
+        grams.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .filter(col("d0") =!= col("d1"))
+          .select(col("g"))
+      else
+        grams.groupBy(col("g"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("g"))
     val covered = grams.join(dup, Seq("g"))
       .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("p"))
       .distinct()
