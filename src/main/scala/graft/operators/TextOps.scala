@@ -336,13 +336,31 @@ object TextOps {
     * sum is associative — partitioning-independent, with the
     * engines' log₂ ulp differences absorbed by the 6-decimal round.
     */
-  def surprisal(documents: DataFrame): DataFrame = {
-    val words = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy(col("w")).agg(count(lit(1)).as("tf"))
-    val n = tf.agg(sum(col("tf")).as("n_total"))
-    words.join(broadcast(tf), Seq("w"))
-      .crossJoin(broadcast(n))
+  def surprisal(documents: DataFrame): DataFrame =
+    surprisalScored(
+      documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
+      unigramStats(documents))
+      .orderBy(col("doc_id"))
+
+  /** The corpus unigram LM: per-word counts — the frozen model a
+    * batch trainer hands to the streaming scorer.
+    */
+  def unigramStats(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+
+  /** The order-free surprisal core — shared by the batch operator
+    * (self-trained stats) and the streaming twin
+    * ([[graft.streaming.DocPipelineJobs]]`.scoreStream`, frozen
+    * stats), so the two cannot drift. Tokens outside the stats
+    * vocabulary are not scored (inner join): n_tokens counts scored
+    * tokens only.
+    */
+  private[graft] def surprisalScored(words: DataFrame, tf: DataFrame): DataFrame = {
+    val stats = broadcast(
+      tf.crossJoin(tf.agg(sum(col("tf")).as("n_total"))))
+    words.join(stats, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum((log2(col("n_total").cast("double")) - log2(col("tf").cast("double")))
@@ -350,7 +368,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         round(col("sb").cast("double") / col("n_tokens").cast("double"), 6)
           .as("avg_surprisal_bits"))
-      .orderBy(col("doc_id"))
   }
 
   def fingerprint(documents: DataFrame): DataFrame = {

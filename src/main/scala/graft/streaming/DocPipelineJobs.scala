@@ -65,6 +65,22 @@ object DocPipelineJobs {
       overlap: Int = 8): DataFrame =
     graft.operators.Sampling.chunkedUnordered(stream, chunkTokens, overlap)
 
+  /** Frozen-model scoring on a live stream: the train-batch /
+    * score-stream pattern. `tfStats` is the unigram LM a batch run
+    * trained (`TextOps.unigramStats`) — a STATIC table broadcast into
+    * a stream-static join, so each micro-batch scores at ingest speed
+    * against fixed statistics and live scores equal the batch
+    * `TextOps.surprisal` on the same model (shared core, spec-pinned).
+    * The per-document aggregation keeps one open group per doc_id:
+    * run it in update/complete mode over bounded replays, or bound
+    * state with a watermark on an ingest-time column upstream —
+    * out-of-vocabulary tokens are unscored by contract.
+    */
+  def scoreStream(stream: DataFrame, tfStats: DataFrame): DataFrame =
+    TextOps.surprisalScored(
+      stream.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
+      tfStats)
+
   /** Live Bloom-filter membership per shard: the streaming twin of
     * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
     * shard is ONE fixed mBits-bit array (O(m), never grows with the

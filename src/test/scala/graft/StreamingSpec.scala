@@ -241,6 +241,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static scoring matches batch surprisal on the frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "spark shuffles data across executors",
+      2L -> "spark broadcasts small tables",
+      3L -> "data pipelines clean data")
+    val corpus = texts.toDF("doc_id", "text")
+    val stats = graft.operators.TextOps.unigramStats(corpus)
+    val batch = graft.operators.TextOps.surprisal(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .scoreStream(in.toDF().toDF("doc_id", "text"), stats)
+      .writeStream.format("memory").queryName("score_live")
+      .outputMode("complete").start()
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val live = spark.table("score_live").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("streaming chunker emits the batch operator's windows byte for byte") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
