@@ -113,6 +113,8 @@ object SparkEntry {
       EventOps.closeStreams(Tables(s, dir).events, EventOps.targetInstances(s))),
     "ev_purge_consumers" -> ((s, dir) =>
       EventOps.purgeConsumers(Tables(s, dir).events, EventOps.targetInstances(s))),
+    "ev_config_registry" -> ((s, _) =>
+      EventOps.registryFromConfig(s, EventOps.sampleBusConfig)),
     // ---- §2.3 LLM-training-data pipeline ----
     "txt_tokens" -> ((s, dir) => TextOps.tokens(Tables(s, dir).documents)),
     "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
@@ -679,6 +681,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, event_type, props, value
         |ORDER BY event_id""".stripMargin,
+    "ev_config_registry" ->
+      """SELECT * FROM (VALUES
+        |  ('accounts', 'B', 'signup', 'graft.handlers.account_handler'),
+        |  ('ingest', 'A', 'click', 'graft.handlers.click_handler'),
+        |  ('ingest', 'A', 'purchase', 'graft.audit.audit_handler'),
+        |  ('ingest', 'A', 'purchase', 'graft.billing.billing_handler'))
+        |  v(bus, bus_group, r_event, handler)
+        |ORDER BY bus, r_event, handler""".stripMargin,
     "ev_close_streams" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

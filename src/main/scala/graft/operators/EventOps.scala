@@ -65,6 +65,49 @@ object EventOps {
     ).toDF("r_event", "handler")
   }
 
+  /** Parse a reference-shaped JSON application config into the
+    * handler-registry dimension (reference `configuration/bus.py`:
+    * busses → per-event handler lists resolved as module.name). The
+    * whole parse is `from_json` + three explodes over a LITERAL — a
+    * driver-side dimension build, never a data-sized job; the result
+    * broadcasts exactly like [[handlerRegistry]].
+    */
+  def registryFromConfig(spark: SparkSession, configJson: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("busses", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("group", StringType),
+      StructField("handlers", MapType(StringType, ArrayType(StructType(Seq(
+        StructField("module_name", StringType),
+        StructField("name", StringType))))))))))))
+    Seq(configJson).toDF("cfg")
+      .select(from_json(col("cfg"), schema).as("c"))
+      .select(explode(col("c.busses")).as("b"))
+      .select(col("b.name").as("bus"), col("b.group").as("bus_group"),
+        explode(col("b.handlers")).as(Seq("r_event", "hs")))
+      .select(col("bus"), col("bus_group"), col("r_event"),
+        explode(col("hs")).as("h"))
+      .select(col("bus"), col("bus_group"), col("r_event"),
+        concat_ws(".", col("h.module_name"), col("h.name")).as("handler"))
+      .orderBy(col("bus"), col("r_event"), col("handler"))
+  }
+
+  /** The config literal [[registryFromConfig]] parses in the
+    * `ev_config_registry` query — the same busses/groups/handlers
+    * nesting the reference's application config uses.
+    */
+  val sampleBusConfig: String =
+    """{"busses": [
+      |  {"name": "ingest", "group": "A", "handlers": {
+      |    "click": [{"module_name": "graft.handlers", "name": "click_handler"}],
+      |    "purchase": [
+      |      {"module_name": "graft.billing", "name": "billing_handler"},
+      |      {"module_name": "graft.audit", "name": "audit_handler"}]}},
+      |  {"name": "accounts", "group": "B", "handlers": {
+      |    "signup": [{"module_name": "graft.handlers", "name": "account_handler"}]}}
+      |]}""".stripMargin
+
   /** Dispatch join: every event fans out to each registered handler;
     * unregistered events fall through to 'unhandled' (the reference
     * logs these, `streams/bus.py:77`). Registry is broadcast — the

@@ -167,6 +167,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((5L, "pending"), (10L, "complete")))
   }
 
+  test("registryFromConfig parses busses/handlers JSON into the dispatch dim") {
+    val got = EventOps.registryFromConfig(spark, EventOps.sampleBusConfig)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("accounts", "B", "signup", "graft.handlers.account_handler"),
+      ("ingest", "A", "click", "graft.handlers.click_handler"),
+      ("ingest", "A", "purchase", "graft.audit.audit_handler"),
+      ("ingest", "A", "purchase", "graft.billing.billing_handler")))
+    // handler entries may carry kwargs etc. — unknown fields are
+    // tolerated like the reference's config loader
+    val withExtras =
+      """{"busses": [{"name": "b", "group": "G", "handlers": {
+        |  "ev": [{"module_name": "m", "name": "h",
+        |          "kwargs": {"one": 1, "two": [2, 3]}}]}}]}""".stripMargin
+    val rows = EventOps.registryFromConfig(spark, withExtras).collect()
+    assert(rows.length == 1 && rows.head.getString(3) == "m.h")
+  }
+
   test("firstLast resolves ties by event_id deterministically") {
     val out = EventOps.firstLast(events(
       (2L, 0, 1, "click", 1.0), (1L, 0, 1, "view", 1.0), // same ts
