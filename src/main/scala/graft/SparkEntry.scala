@@ -156,6 +156,7 @@ object SparkEntry {
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
     "ann_pq_topk" -> ((s, dir) => Similarity.annPqTopK(Tables(s, dir).embeddings)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.annIvfPqTopK(Tables(s, dir).embeddings)),
+    "ann_ivfpq_res_topk" -> ((s, dir) => Similarity.annIvfPqResTopK(Tables(s, dir).embeddings)),
     "ev_parse_weighted" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val superset = StructType(Seq(
@@ -1378,7 +1379,7 @@ object SparkEntry {
     * argmax(sub·c − ‖c‖²/2), tie → smaller code — the SQL re-derivation
     * of `Similarity.subVectors` / `assignCodes`.
     */
-  private val PqCtes =
+  private val PqSubCtes =
     """nv AS (
       |  SELECT vec_id,
       |    list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS nv
@@ -1386,14 +1387,40 @@ object SparkEntry {
       |subs AS (
       |  SELECT vec_id, s, nv[s * 8 + 1 : s * 8 + 8] AS sub
       |  FROM nv CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS s) ss),
-      |cb AS (SELECT * FROM (VALUES <<CODEBOOK>>) q1(s, cc, centroid)),
-      |codes AS (
+      |cb AS (SELECT * FROM (VALUES <<CODEBOOK>>) q1(s, cc, centroid))""".stripMargin
+
+  private val PqCtes = PqSubCtes + ",\n" +
+    """codes AS (
       |  SELECT vec_id, s, cc FROM (
       |    SELECT subs.vec_id, subs.s AS s, cb.cc,
       |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
       |        ORDER BY list_dot_product(sub, centroid)
       |          - list_dot_product(centroid, centroid) / 2.0 DESC, cc) AS r
       |    FROM subs JOIN cb ON subs.s = cb.s) t
+      |  WHERE r = 1)""".stripMargin
+
+  /** Residual-coding CTEs: the cdot model-cross table and the
+    * residual code assignment via the linear split
+    * (sub − c_sub)·q = sub·q − cdot — `Similarity.centroidCodeDots` /
+    * `assignResidualCodes` re-derived in SQL from the same literals.
+    */
+  private val ResidualCtes =
+    """cdot AS (
+      |  SELECT cent.cluster_id, cb.s, cb.cc,
+      |    list_dot_product(cent.centroid[cb.s * 8 + 1 : cb.s * 8 + 8],
+      |      cb.centroid) AS cdot
+      |  FROM cent CROSS JOIN cb),
+      |rcodes AS (
+      |  SELECT vec_id, s, cc, cluster_id FROM (
+      |    SELECT subs.vec_id, subs.s AS s, cb.cc, assigned.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+      |        ORDER BY list_dot_product(sub, cb.centroid) - cdot.cdot
+      |          - list_dot_product(cb.centroid, cb.centroid) / 2.0 DESC, cb.cc) AS r
+      |    FROM subs
+      |    JOIN assigned ON subs.vec_id = assigned.vec_id
+      |    JOIN cb ON subs.s = cb.s
+      |    JOIN cdot ON cdot.cluster_id = assigned.cluster_id
+      |      AND cdot.s = cb.s AND cdot.cc = cb.cc) t
       |  WHERE r = 1)""".stripMargin
 
   /** ADC CTEs: per-probe (s, code) dot-product tables over the
@@ -1481,6 +1508,36 @@ object SparkEntry {
             AdcEpilogue)
             .replace("<<CODEBOOK>>", pqCodebookValues(m)))
     }
+    val ivfPqResEntry = for {
+      ivf <- graft.operators.Similarity.lastIvfModel
+      rpq <- graft.operators.Similarity.lastResPqModel
+    } yield "ann_ivfpq_res_topk" ->
+      (EmbBase + ",\n" + IvfCtes + ",\n" + PqSubCtes + ",\n" +
+        ResidualCtes + ",\n" + AdcCtes + ",\n" +
+        """routed AS (
+          |  SELECT pc.probe_id, rcodes.vec_id, rcodes.cluster_id,
+          |    rcodes.s, rcodes.cc
+          |  FROM rcodes JOIN pc ON rcodes.cluster_id = pc.cluster_id),
+          |pcd AS (
+          |  SELECT p.probe_id, pc.cluster_id,
+          |    list_dot_product(pv, centroid) / sqrt(list_dot_product(pv, pv))
+          |      AS pcdot
+          |  FROM pc JOIN p USING (probe_id)
+          |  JOIN cent ON pc.cluster_id = cent.cluster_id),
+          |approx AS (
+          |  SELECT t.probe_id, t.vec_id,
+          |    CAST(sum_dp AS DOUBLE) + pcdot AS ap
+          |  FROM (
+          |    SELECT routed.probe_id, routed.vec_id, routed.cluster_id,
+          |      SUM(CAST(dp AS DECIMAL(38,18))) AS sum_dp
+          |    FROM routed JOIN dt ON routed.probe_id = dt.probe_id
+          |      AND routed.s = dt.s AND routed.cc = dt.cc
+          |    GROUP BY routed.probe_id, routed.vec_id, routed.cluster_id) t
+          |  JOIN pcd ON t.probe_id = pcd.probe_id
+          |    AND t.cluster_id = pcd.cluster_id),""".stripMargin + "\n" +
+        AdcEpilogue)
+        .replace("<<CENTROIDS>>", centroidValues(ivf))
+        .replace("<<CODEBOOK>>", pqCodebookValues(rpq))
     val ivfPqEntry = for {
       ivf <- graft.operators.Similarity.lastIvfModel
       pq <- graft.operators.Similarity.lastPqModel
@@ -1500,6 +1557,6 @@ object SparkEntry {
         AdcEpilogue)
         .replace("<<CENTROIDS>>", centroidValues(ivf))
         .replace("<<CODEBOOK>>", pqCodebookValues(pq))
-    (ivfEntry.toList ++ pqEntries ++ ivfPqEntry.toList).toMap
+    (ivfEntry.toList ++ pqEntries ++ ivfPqEntry.toList ++ ivfPqResEntry.toList).toMap
   }
 }

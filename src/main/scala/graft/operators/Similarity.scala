@@ -139,8 +139,14 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicReference[Seq[Centroid]]()
   private val lastPq =
     new java.util.concurrent.atomic.AtomicReference[Seq[PqCentroid]]()
+  // the residual-trained codebook is a DIFFERENT model from the plain
+  // PQ codebook — it gets its own slot so the plain-PQ oracles never
+  // see residual constants (and vice versa)
+  private val lastResPq =
+    new java.util.concurrent.atomic.AtomicReference[Seq[PqCentroid]]()
   def lastIvfModel: Option[Seq[Centroid]] = Option(lastIvf.get)
   def lastPqModel: Option[Seq[PqCentroid]] = Option(lastPq.get)
+  def lastResPqModel: Option[Seq[PqCentroid]] = Option(lastResPq.get)
 
   /** Deterministic, content-independent training sample: the n corpus
     * vectors with the lowest `md5(vec_id)` (vec_id tie-break),
@@ -183,8 +189,12 @@ object Similarity {
     * distributed Lloyd over 100 TB per query to fit a 16×64-double
     * model would be shuffle for nothing.
     */
-  def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] = {
-    val sample = sampleUnitVecs(corpusVecs, TrainSampleSize).map(_._2)
+  def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] =
+    ivfTrainOnSample(sampleUnitVecs(corpusVecs, TrainSampleSize), nClusters, iters)
+
+  private def ivfTrainOnSample(samplePairs: Array[(Long, Array[Double])],
+      nClusters: Int, iters: Int): Seq[Centroid] = {
+    val sample = samplePairs.map(_._2)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -306,6 +316,44 @@ object Similarity {
 
   private def pqTrainOnSample(sample: Array[(Long, Array[Double])],
       nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
+    val model = lloydPq(sample, nSub, kCodes, iters)
+    lastPq.set(model)
+    model
+  }
+
+  /** Residual-PQ codebook: like [[pqTrain]] but trained on each sample
+    * vector's residual against its assigned coarse centroid
+    * (assignment = the same argmax-dot / smaller-id rule as
+    * [[assignClusters]]; unit centroids make raw-vs-normalized
+    * assignment identical). Quantizing residuals instead of the
+    * vectors themselves is the standard IVF-PQ refinement: within a
+    * list the residual magnitudes are a fraction of the vector norms,
+    * so the same 4-bit budget spends on much finer structure.
+    */
+  private def pqTrainResidualsOnSample(sample: Array[(Long, Array[Double])],
+      centroids: Seq[Centroid], nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
+    val cents = centroids.sortBy(_.cluster_id).map(_.centroid.toArray).toArray
+    val residuals = sample.map { case (id, v) =>
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) { // strict > ties to the smaller id
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
+        if (s > bestD) { bestD = s; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
+      (id, r)
+    }
+    val model = lloydPq(residuals, nSub, kCodes, iters)
+    lastResPq.set(model)
+    model
+  }
+
+  private def lloydPq(sample: Array[(Long, Array[Double])],
+      nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0)._2.length
     val subDim = dim / nSub
@@ -348,10 +396,8 @@ object Similarity {
         else sums(s)(c).map(_ / counts(s)(c))
       })
     }
-    val model = (for (s <- 0 until nSub; c <- 0 until codebook(s).length)
+    (for (s <- 0 until nSub; c <- 0 until codebook(s).length)
       yield PqCentroid(s, c, codebook(s)(c).toSeq)).toSeq
-    lastPq.set(model)
-    model
   }
 
   /** (vec_id, s, sub): the unit-normalized vector's nSub contiguous
@@ -456,15 +502,7 @@ object Similarity {
     */
   private def adcRerankTopK(embeddings: DataFrame, codes: DataFrame,
       cb: DataFrame, nProbes: Int, nSub: Int, k: Int, rerank: Int): DataFrame = {
-    val c = corpus(embeddings, nProbes)
-    // per-probe distance table: dot(probe_sub, centroid) for every
-    // (s, c) — nSub·kCodes rows per probe, broadcast
-    val dt = subVectors(
-      probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
-      nSub)
-      .join(cb, Seq("s"))
-      .select(col("vec_id").as("probe_id"), col("s"), col("c"),
-        VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+    val dt = probeDistanceTable(embeddings, nProbes, nSub, cb)
     val dtKeys =
       if (codes.columns.contains("probe_id")) Seq("probe_id", "s", "c")
       else Seq("s", "c")
@@ -476,13 +514,35 @@ object Similarity {
     val approx = codes.join(broadcast(dt), dtKeys)
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("dp").cast("decimal(38,18)")).as("approx"))
+    rerankExact(embeddings, approx, nProbes, k, rerank)
+  }
+
+  /** Per-probe distance table: dot(probe_sub, centroid) for every
+    * (s, code) — nSub·kCodes rows per probe, broadcast everywhere.
+    */
+  private def probeDistanceTable(embeddings: DataFrame, nProbes: Int,
+      nSub: Int, cb: DataFrame): DataFrame =
+    subVectors(
+      probes(embeddings, nProbes).select(col("probe_id").as("vec_id"), col("pv").as("cv")),
+      nSub)
+      .join(cb, Seq("s"))
+      .select(col("vec_id").as("probe_id"), col("s"), col("c"),
+        VectorOps.dot(col("sub"), col("centroid")).as("dp"))
+
+  /** The rerank-cut + exact-cosine epilogue shared by every ADC
+    * variant: `approx` is (probe_id, vec_id, approx) with approx
+    * decimal-exact; the top `rerank` per probe re-rank by true cosine
+    * into [[rankTopK]]'s contract.
+    */
+  private def rerankExact(embeddings: DataFrame, approx: DataFrame,
+      nProbes: Int, k: Int, rerank: Int): DataFrame = {
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx").desc, col("vec_id"))
     val cand = approx.withColumn("ar", row_number().over(wa))
       .filter(col("ar") <= rerank)
       .select(col("probe_id"), col("vec_id"))
     rankTopK(
-      cand.join(c, Seq("vec_id"))
+      cand.join(corpus(embeddings, nProbes), Seq("vec_id"))
         .join(broadcast(probes(embeddings, nProbes)), Seq("probe_id"))
         .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
@@ -521,6 +581,94 @@ object Similarity {
         .select(col("probe_id"), col("vec_id"), col("s"), col("c"))
       adcRerankTopK(embeddings, routed, cb, nProbes, nSub, k, rerank)
     }
+  }
+
+  /** cdot(cluster_id, s, c) = dot(coarse-centroid subvector, code
+    * centroid): the cross table of the two models (nClusters × nSub ×
+    * kCodes rows) that makes residual arithmetic linear — derived by
+    * both Spark and the SQL oracle from the same model literals.
+    */
+  private def centroidCodeDots(cDF: DataFrame, cb: DataFrame, nSub: Int): DataFrame = {
+    val subDim = 64 / nSub
+    cDF.select(col("cluster_id"), col("centroid").as("ivf_centroid"))
+      .crossJoin(cb)
+      .select(col("cluster_id"), col("s"), col("c"),
+        VectorOps.dot(
+          expr(s"slice(ivf_centroid, s * $subDim + 1, $subDim)"),
+          col("centroid")).as("cdot"))
+  }
+
+  /** Per (vec_id, s): the residual code — argmax over codes of
+    * (sub − c_sub)·q − ‖q‖²/2, computed WITHOUT materializing residual
+    * vectors via the linear split (sub·q) − cdot(cluster, s, q) —
+    * tie → smaller code, exactly [[assignCodes]]'s rule.
+    */
+  private def assignResidualCodes(subs: DataFrame, clusters: DataFrame,
+      cb: DataFrame, cdot: DataFrame): DataFrame = {
+    val scored = cb.withColumn("half_cn2",
+      VectorOps.dot(col("centroid"), col("centroid")) / 2.0)
+    subs.join(clusters, Seq("vec_id"))
+      .join(scored, Seq("s"))
+      .join(cdot, Seq("cluster_id", "s", "c"))
+      .withColumn("score",
+        VectorOps.dot(col("sub"), col("centroid")) - col("cdot") - col("half_cn2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(expr("max_by(struct(c, cluster_id), struct(score, -c))").as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("c"),
+        col("m.cluster_id").as("cluster_id"))
+  }
+
+  /** Residual IVF-PQ ANN: the full FAISS-style composition — codes
+    * quantize each vector's RESIDUAL against its assigned coarse
+    * centroid (trained on sample residuals,
+    * [[pqTrainResidualsOnSample]]), so the 4-bit-per-subspace budget
+    * resolves within-list structure instead of re-encoding the
+    * centroid every vector in the list shares. All residual
+    * arithmetic uses the linear split (v − c)·q = v·q − c·q with the
+    * broadcast [[centroidCodeDots]] table: neither encoding nor the
+    * ADC scan ever materializes a residual vector, the corpus still
+    * contributes only its codes, and the approx sum stays
+    * decimal-exact. Same output contract as [[bruteTopK]];
+    * planted-recall spec + full model-literal oracle.
+    */
+  def annIvfPqResTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nClusters: Int = 16, nProbeClusters: Int = 4, ivfIters: Int = 3,
+      nSub: Int = 8, kCodes: Int = 16, pqIters: Int = 3,
+      rerank: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val sample = sampleUnitVecs(c, TrainSampleSize)
+    val centroids = ivfTrainOnSample(sample, nClusters, ivfIters)
+    val codebook = pqTrainResidualsOnSample(sample, centroids, nSub, kCodes, pqIters)
+    val cDF = broadcast(spark.createDataset(centroids).toDF())
+    val cb = broadcast(spark.createDataset(codebook).toDF())
+    val cdot = broadcast(centroidCodeDots(cDF, cb, nSub))
+    val listed = assignClusters(c, cDF).select(col("vec_id"), col("cluster_id"))
+    val codes = assignResidualCodes(subVectors(c, nSub), listed, cb, cdot)
+    val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
+    val dt = probeDistanceTable(embeddings, nProbes, nSub, cb)
+    // approx similarity = p̂·(c + q̂) = p̂·c + Σₛ p̂ₛ·qₛ — the p̂·c term
+    // is what ranks vectors from DIFFERENT probed lists correctly
+    // (without it only the residual cross-term survives and
+    // cross-cluster comparisons are meaningless)
+    val pcd = broadcast(pc.join(cDF, Seq("cluster_id"))
+      .select(col("probe_id"), col("cluster_id"),
+        (VectorOps.dot(col("pv"), col("centroid")) /
+          sqrt(VectorOps.dot(col("pv"), col("pv")))).as("pcdot")))
+    val approx = codes
+      .join(broadcast(pc.select(col("probe_id"), col("cluster_id"))), Seq("cluster_id"))
+      .join(broadcast(dt), Seq("probe_id", "s", "c"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cluster_id"))
+      .agg(sum(col("dp").cast("decimal(38,18)")).as("sum_dp"))
+      .join(pcd, Seq("probe_id", "cluster_id"))
+      // exact decimal Σdp casts back to double before adding p̂·c: a
+      // double + double in a fixed order — identical in both engines
+      // (decimal+decimal would round differently under Spark's
+      // precision-loss promotion vs DuckDB's)
+      .withColumn("approx", col("sum_dp").cast("double") + col("pcdot"))
+      .select(col("probe_id"), col("vec_id"), col("approx"))
+    rerankExact(embeddings, approx, nProbes, k, rerank)
   }
 
   /** Range search: every corpus vector within cosine ≥ tau of each

