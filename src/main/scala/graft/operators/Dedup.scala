@@ -617,10 +617,12 @@ object Dedup {
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
       .persist()
     // "appears in ≥2 docs" = min(doc_id) ≠ max(doc_id): one plain
-    // min/max aggregate instead of an expand-based count_distinct
-    // (minDocs > 2 falls back to the distinct count)
+    // min/max aggregate instead of an expand-based count_distinct.
+    // ONLY valid at exactly 2 — any other threshold (incl. the
+    // degenerate ≤1, where every gram qualifies) takes the distinct
+    // count
     val dup =
-      if (minDocs <= 2)
+      if (minDocs == 2)
         grams.groupBy(col("g"))
           .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
           .filter(col("d0") =!= col("d1"))

@@ -105,6 +105,18 @@ object Similarity {
       .agg(expr("max_by(struct(cluster_id, cv), struct(d, -cluster_id))").as("m"))
       .select(col("m.cluster_id").as("cluster_id"), col("vec_id"), col("m.cv").as("cv"))
 
+  /** [[assignClusters]] minus the vector payload: when the caller
+    * only needs (vec_id, cluster_id) — the PQ paths, which re-derive
+    * subvectors separately — hauling the 64-double array through the
+    * argmax shuffle would multiply its width ~25× for nothing.
+    */
+  private def assignClusterIds(c: DataFrame, cDF: DataFrame): DataFrame =
+    c.crossJoin(cDF)
+      .withColumn("d", VectorOps.dot(col("cv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cluster_id, struct(d, -cluster_id))").as("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"))
+
   /** Each probe's nProbeClusters nearest centroids (broadcast score +
     * per-probe rank) — shared by the inline operator and index search.
     */
@@ -192,6 +204,24 @@ object Similarity {
   def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] =
     ivfTrainOnSample(sampleUnitVecs(corpusVecs, TrainSampleSize), nClusters, iters)
 
+  /** The ONE coarse-assignment rule: argmax dot, strict > so ties
+    * keep the smaller cluster id — shared by Lloyd training and
+    * residual computation so the rule cannot drift between them (it
+    * must also always match [[assignClusters]]'s
+    * `max_by(…, struct(d, -cluster_id))`).
+    */
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
+      if (s > bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   private def ivfTrainOnSample(samplePairs: Array[(Long, Array[Double])],
       nClusters: Int, iters: Int): Seq[Centroid] = {
     val sample = samplePairs.map(_._2)
@@ -208,13 +238,7 @@ object Similarity {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
-        var best = 0; var bestD = Double.NegativeInfinity
-        var c = 0
-        while (c < centroids.length) { // strict > keeps the smaller id on ties
-          val d = dot(v, centroids(c))
-          if (d > bestD) { bestD = d; best = c }
-          c += 1
-        }
+        val best = nearestCentroid(v, centroids)
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
@@ -334,14 +358,7 @@ object Similarity {
       centroids: Seq[Centroid], nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
     val cents = centroids.sortBy(_.cluster_id).map(_.centroid.toArray).toArray
     val residuals = sample.map { case (id, v) =>
-      var best = 0; var bestD = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) { // strict > ties to the smaller id
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
-        if (s > bestD) { bestD = s; best = c }
-        c += 1
-      }
+      val best = nearestCentroid(v, cents)
       val r = new Array[Double](v.length)
       var i = 0
       while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
@@ -566,13 +583,13 @@ object Similarity {
     val c = corpus(embeddings, nProbes)
     val centroids = ivfTrain(c, nClusters, ivfIters)
     val cDF = broadcast(spark.createDataset(centroids).toDF())
-    val listed = assignClusters(c, cDF) // (cluster_id, vec_id, cv)
+    val listed = assignClusterIds(c, cDF) // (vec_id, cluster_id)
     withTrainedSubs(embeddings, nProbes, nSub, kCodes, pqIters) { (subs, cb) =>
       // the stored index shape: (cluster_id, vec_id, s, c) — codes
       // partitioned by inverted list
       val codes = assignCodes(subs, cb)
         .select(col("vec_id"), col("s"), col("c"))
-        .join(listed.select(col("cluster_id"), col("vec_id")), Seq("vec_id"))
+        .join(listed, Seq("vec_id"))
       val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
       // route codes to probed lists only, then the shared ADC epilogue
       // scores each code row against its routed probe
@@ -644,7 +661,7 @@ object Similarity {
     val cDF = broadcast(spark.createDataset(centroids).toDF())
     val cb = broadcast(spark.createDataset(codebook).toDF())
     val cdot = broadcast(centroidCodeDots(cDF, cb, nSub))
-    val listed = assignClusters(c, cDF).select(col("vec_id"), col("cluster_id"))
+    val listed = assignClusterIds(c, cDF)
     val codes = assignResidualCodes(subVectors(c, nSub), listed, cb, cdot)
     val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
     val dt = probeDistanceTable(embeddings, nProbes, nSub, cb)
