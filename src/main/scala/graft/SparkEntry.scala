@@ -115,6 +115,7 @@ object SparkEntry {
       EventOps.purgeConsumers(Tables(s, dir).events, EventOps.targetInstances(s))),
     "ev_config_registry" -> ((s, _) =>
       EventOps.registryFromConfig(s, EventOps.sampleBusConfig)),
+    "ev_journeys" -> ((s, dir) => EventOps.journeys(Tables(s, dir).events)),
     // ---- §2.3 LLM-training-data pipeline ----
     "txt_tokens" -> ((s, dir) => TextOps.tokens(Tables(s, dir).documents)),
     "txt_quality" -> ((s, dir) => TextOps.quality(Tables(s, dir).documents)),
@@ -690,6 +691,22 @@ object SparkEntry {
         |  ('ingest', 'A', 'purchase', 'graft.billing.billing_handler'))
         |  v(bus, bus_group, r_event, handler)
         |ORDER BY bus, r_event, handler""".stripMargin,
+    "ev_journeys" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS rn
+        |  FROM e),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS journey
+        |  FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT journey, COUNT(*) AS n_users
+        |FROM j GROUP BY journey
+        |ORDER BY n_users DESC, journey
+        |LIMIT 20""".stripMargin,
     "ev_close_streams" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

@@ -291,6 +291,31 @@ object EventOps {
         .as("n_funnel"))
   }
 
+  /** Path analysis: the most common event-type journeys — each user's
+    * first `maxSteps` events in (ts, event_id) order concatenated to a
+    * path string, then counted across users (the "top user journeys"
+    * view an event-bus operator reads to see what flows actually
+    * happen). One user-keyed window shuffle + one journey-keyed
+    * aggregate; `array_sort` on (ts_us, event_id, type) structs makes
+    * the concatenation order deterministic, and the top-k tie-breaks
+    * on the journey string.
+    */
+  def journeys(events: DataFrame, maxSteps: Int = 8, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    withTsUs(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxSteps)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
+          " x -> x.event_type)")).as("journey"))
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(topN)
+  }
+
   /** Day-over-day instance liveness (the master handler's heartbeat
     * view): distinct (user, day) self-joined to day+1. The self-join
     * shares the user_id shuffle; at scale the daily-distinct set is

@@ -167,6 +167,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((5L, "pending"), (10L, "complete")))
   }
 
+  test("journeys counts first-N event-type paths in deterministic order") {
+    // user 1: view>click>purchase; user 2: view>click>purchase;
+    // user 3: view>view (same ts ties broken by event_id)
+    val out = EventOps.journeys(events(
+      (1L, 0, 1, "view", 1.0), (2L, 5, 1, "click", 1.0), (3L, 9, 1, "purchase", 1.0),
+      (4L, 0, 2, "view", 1.0), (5L, 5, 2, "click", 1.0), (6L, 9, 2, "purchase", 1.0),
+      (8L, 3, 3, "view", 1.0), (7L, 3, 3, "view", 1.0)), maxSteps = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("view>click>purchase", 2L), ("view>view", 1L)))
+    // maxSteps truncates: with 2 steps user 1/2 journeys collapse
+    val trunc = EventOps.journeys(events(
+      (1L, 0, 1, "view", 1.0), (2L, 5, 1, "click", 1.0), (3L, 9, 1, "purchase", 1.0)),
+      maxSteps = 2).collect().map(_.getString(0))
+    assert(trunc.toSeq == Seq("view>click"))
+  }
+
   test("registryFromConfig parses busses/handlers JSON into the dispatch dim") {
     val got = EventOps.registryFromConfig(spark, EventOps.sampleBusConfig)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
