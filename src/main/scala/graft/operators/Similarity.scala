@@ -324,6 +324,36 @@ object Similarity {
     */
   final case class PqCentroid(s: Int, c: Int, centroid: Seq[Double])
 
+  /** Materialize a PQ index: the (vec_id, s, c) code table — 4 bytes
+    * of payload per vector at the defaults — plus the tiny codebook.
+    * Build once, search many: at 100 TB the ADC scan in
+    * [[searchPqIndex]] reads ONLY this code table; the raw vectors
+    * are touched again only for the `rerank` finalists.
+    */
+  def buildPqIndex(embeddings: DataFrame, dir: String, nProbes: Int = 10,
+      nSub: Int = 8, kCodes: Int = 16, iters: Int = 3): Unit = {
+    withTrainedSubs(embeddings, nProbes, nSub, kCodes, iters) { (subs, cb) =>
+      cb.write.mode("overwrite").parquet(s"$dir/codebook")
+      val codes = assignCodes(subs, cb).select(col("vec_id"), col("s"), col("c"))
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      codes // withTrainedSubs contract; the writes above are the point
+    }
+    ()
+  }
+
+  /** Search a stored PQ index: the broadcast codebook rebuilds the
+    * per-probe distance tables, the stored code table feeds the ADC
+    * scan, and only the rerank finalists read their full vectors.
+    * Same output contract as [[annPqTopK]] (spec-pinned equal).
+    */
+  def searchPqIndex(embeddings: DataFrame, dir: String, nProbes: Int = 10,
+      k: Int = 5, nSub: Int = 8, rerank: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    adcRerankTopK(embeddings, codes, cb, nProbes, nSub, k, rerank)
+  }
+
   /** Train PQ codebooks: the unit-normalized vector splits into nSub
     * contiguous subspaces, each L2-quantized to kCodes centroids.
     * Like [[ivfTrain]], Lloyd runs in memory on a bounded

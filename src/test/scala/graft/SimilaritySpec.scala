@@ -95,6 +95,19 @@ class SimilaritySpec extends AnyFunSuite {
       inline.collect().map(_.toSeq).toSeq)
   }
 
+  test("stored PQ index: code-only ADC search equals the inline operator") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Similarity.buildPqIndex(emb, dir, nProbes = 10)
+    val stored = Similarity.searchPqIndex(emb, dir, nProbes = 10, k = 5)
+    // deterministic training ⇒ identical codebook ⇒ identical results
+    val inline = Similarity.annPqTopK(emb, nProbes = 10, k = 5)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inline.collect().map(_.toSeq).toSeq)
+    // the stored scan feeding the ADC join reads ONLY the code triple
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("struct<vec_id:bigint,s:int,c:int>"))
+  }
+
   test("PQ ANN: planted identical vector is recalled at rank 1 via ADC + re-rank") {
     val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
     val corpus = (0 until 60).map(j =>
