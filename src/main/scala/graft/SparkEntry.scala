@@ -81,6 +81,10 @@ object SparkEntry {
       val t = Tables(s, dir)
       Relational.q24SaltedJoin(t.lineitem, t.orders)
     }),
+    "q25_supplier_flow" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.q25SupplierFlow(t.lineitem, t.orders, t.customer, t.supplier, t.nation)
+    }),
     // ---- §2.1 event-stream semantics ----
     "ev_route_counts" -> ((s, dir) => EventOps.routeCounts(Tables(s, dir).events)),
     "ev_route_dispatch" -> ((s, dir) =>
@@ -422,6 +426,18 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q25_supplier_flow" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |GROUP BY sn.n_name, cn.n_name
+        |ORDER BY supp_nation, cust_nation""".stripMargin,
     "ev_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id

@@ -69,6 +69,29 @@ object Relational {
       .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q7 shape: bilateral trade flows — revenue between each
+    * supplier nation and customer nation pair. The fact table reaches
+    * both nation dims through different keys (l_suppkey → supplier,
+    * o_custkey → customer), so lineitem streams through one orderkey
+    * join while supplier and both nation copies broadcast (at 100 TB
+    * AQE flips the customer join to shuffled hash; the lineitem side
+    * still shuffles only on orderkey). Exact decimal revenue.
+    */
+  def q25SupplierFlow(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("supp_nation"), col("cust_nation"))
+
   /** TPC-H Q3 shape: unshipped-order revenue top-k. The order-by+limit
     * runs as TakeOrderedAndProject — per-partition top-k then a single
     * driver merge of k·partitions rows, no global sort at scale.

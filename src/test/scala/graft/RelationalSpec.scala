@@ -36,6 +36,11 @@ class RelationalSpec extends AnyFunSuite {
     sqlCross("q1_agg")
   }
 
+  test("q25_supplier_flow matches its SQL formulation and uses the supplier dim") {
+    assert(run("q25_supplier_flow").count() > 0)
+    sqlCross("q25_supplier_flow")
+  }
+
   test("every oracleSql key has a queries entry and vice versa (SQL-expressible ones)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
