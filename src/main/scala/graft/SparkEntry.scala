@@ -178,7 +178,21 @@ object SparkEntry {
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .orderBy(org.apache.spark.sql.functions.col("schema_name"))
     }),
-    "mm_meta" -> ((s, dir) => Multimodal.meta(Tables(s, dir).documents))
+    "mm_meta" -> ((s, dir) => Multimodal.meta(Tables(s, dir).documents)),
+    "mm_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      implicit val sp: SparkSession = s
+      Multimodal.frameSample(Multimodal.records(Tables(s, dir).documents))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+    "mm_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      implicit val sp: SparkSession = s
+      Multimodal.resizeMeta(Multimodal.records(Tables(s, dir).documents))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The MinHash permutation family as a DuckDB VALUES body —
@@ -1173,6 +1187,31 @@ object SparkEntry {
         |  CAST(doc_id % 480 + 48 AS INT) AS height,
         |  CAST(doc_id % 120 + 1 AS INT) AS n_frames
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 120 + 1 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |sel AS (
+        |  SELECT doc_id, n_frames,
+        |    UNNEST(generate_series(0, n_frames - 1, 30)) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM sel
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['jpeg', 'png', 'mp4', 'wav'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+        |    CAST(doc_id % 640 + 64 AS INT) AS width,
+        |    CAST(doc_id % 480 + 48 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, format, width, height,
+        |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
+        |       ELSE width * 256 // GREATEST(width, height) END AS INT) AS out_width,
+        |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
+        |       ELSE height * 256 // GREATEST(width, height) END AS INT) AS out_height
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "dd_url_dedup" ->
       """WITH u AS (

@@ -84,15 +84,22 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
 
-  /** Metadata-only "resize": the typed-metadata transform pattern
-    * (the real pixel work would live in the decode stub).
+  /** Metadata-only "resize": aspect-preserving fit into a maxDim box
+    * with exact integer arithmetic (floor of dim·maxDim / longest
+    * side; images already inside the box pass through). The typed-
+    * metadata transform pattern — the real pixel work would live in
+    * the decode stub.
     */
   def resizeMeta(records: Dataset[MMRecord], maxDim: Int = 256)
       (implicit spark: SparkSession): DataFrame =
     records.toDF().select(
       col("doc_id"), col("format"), col("width"), col("height"),
-      least(col("width"), lit(maxDim)).as("out_width"),
-      least(col("height"), lit(maxDim)).as("out_height"))
+      when(greatest(col("width"), col("height")) <= maxDim, col("width"))
+        .otherwise(expr(s"width * $maxDim div greatest(width, height)")
+          .cast("int")).as("out_width"),
+      when(greatest(col("width"), col("height")) <= maxDim, col("height"))
+        .otherwise(expr(s"height * $maxDim div greatest(width, height)")
+          .cast("int")).as("out_height"))
 
   /** The rows-only `mm_meta` query: binary length + typed metadata,
     * all mirrorable by exact integer SQL.

@@ -46,12 +46,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize metadata clamps to max dimension") {
+  test("resize metadata fits the box aspect-preserving with integer math") {
     implicit val s = spark
-    val out = Multimodal.resizeMeta(Multimodal.records(docs), maxDim = 256).collect()
-    out.foreach { r =>
-      assert(r.getInt(4) <= 256 && r.getInt(5) <= 256)
-      assert(r.getInt(4) == math.min(r.getInt(2), 256))
+    import spark.implicits._
+    // doc_id 704 → width 128, height 272: TALL image, width must
+    // shrink proportionally (128*256 div 272 = 120), not pass through
+    val tall = Seq((704L, "x" * 20, "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resizeMeta(Multimodal.records(docs union tall),
+      maxDim = 256).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    out.foreach { case (_, (w, h, ow, oh)) =>
+      assert(ow <= 256 && oh <= 256)
+      if (math.max(w, h) <= 256) assert(ow == w && oh == h) // pass-through
+      else {
+        assert(math.max(ow, oh) == 256) // longest side hits the box
+        assert(ow == w * 256 / math.max(w, h) && oh == h * 256 / math.max(w, h))
+      }
     }
+    assert(out(704L) == (128, 272, 120, 256))
   }
 }
