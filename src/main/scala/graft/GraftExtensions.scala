@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayMatchCount, DotProduct}
+import graft.expressions.{ArrayMatchCount, CharEntropyStats, DotProduct,
+  RollingFingerprint, ShingleFingerprints}
 
 /** Session-extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -32,6 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_match_count(a, b) takes exactly two arguments")
         ArrayMatchCount(children.head, children(1))
       }))
+    def unary(name: String, build: Expression => Expression,
+        cls: Class[_]): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name(text) takes exactly one argument")
+          build(children.head)
+        }))
+    unary("graft_fingerprint", RollingFingerprint, classOf[RollingFingerprint])
+    unary("graft_shingle_fps", ShingleFingerprints, classOf[ShingleFingerprints])
+    unary("graft_entropy_stats", CharEntropyStats, classOf[CharEntropyStats])
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }

@@ -226,6 +226,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (1L, 0L, 0L))
   }
 
+  test("text expressions are registered as SQL functions by the extension") {
+    val r = spark.sql(
+      """SELECT graft_fingerprint('abc') AS fp,
+        |  size(graft_shingle_fps('a b c d')) AS n_shingles,
+        |  graft_entropy_stats('aab').distinct_chars AS dc,
+        |  graft_entropy_stats('aab').n_chars AS nc
+        |""".stripMargin).collect().head
+    // same values the Column-API surfaces compute
+    import spark.implicits._
+    val viaOp = graft.operators.TextOps.fingerprint(
+      Seq((1L, "abc")).toDF("doc_id", "text")).collect().head.getLong(1)
+    assert(r.getLong(0) == viaOp)
+    assert(r.getInt(1) == 2)  // "a b c", "b c d"
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L)
+  }
+
   test("graft_match_count and graft_dot propagate NULL like the fold") {
     // null element or length mismatch → NULL (zip_with null-pads)
     val out = spark.sql(
