@@ -147,6 +147,7 @@ object SparkEntry {
     "txt_bm25" -> ((s, dir) => TextOps.bm25TopK(Tables(s, dir).documents)),
     "samp_chunk" -> ((s, dir) => Sampling.chunkSequences(Tables(s, dir).documents)),
     "samp_interleave" -> ((s, dir) => Sampling.interleaveSources(Tables(s, dir).documents)),
+    "samp_curriculum" -> ((s, dir) => Sampling.curriculumStages(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -1042,6 +1043,23 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "samp_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(1.0, n_words / 100.0) * 0.5 + (1.0 - stop_ratio) * 0.5, 6)
+        |      AS score
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stop_ratio
+        |    FROM documents) t)
+        |SELECT q.doc_id, source, score,
+        |  CAST(NTILE(4) OVER (PARTITION BY source
+        |    ORDER BY score DESC, q.doc_id) AS BIGINT) AS stage
+        |FROM q JOIN documents d ON q.doc_id = d.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
     "samp_interleave" ->
       """WITH r AS (
         |  SELECT doc_id, source,

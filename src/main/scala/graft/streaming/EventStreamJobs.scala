@@ -257,4 +257,30 @@ object EventStreamJobs {
           evicted.iterator.map { case (us, id) => Evicted(userId, id, us) }
       }
   }
+
+  /** Live journey tracking: the streaming twin of
+    * `EventOps.journeys`'s per-user path build. State per user is the
+    * BOUNDED first-`maxSteps` (ts_us, event_id, type) triples (late
+    * events that belong earlier in the prefix displace later ones,
+    * exactly like the batch first-N window); each update emits the
+    * user's current path string, so `OutputMode.Update` downstream
+    * counts always reflect batch-equal prefixes once the feed drains.
+    */
+  def journeyStream(events: Dataset[LiveEvent], maxSteps: Int = 8)
+      (implicit spark: SparkSession): Dataset[(Long, String)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, String)], (Long, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[LiveEvent],
+            state: GroupState[Seq[(Long, Long, String)]]) =>
+          val incoming = rows.map(e => (TsUs(e.ts), e.event_id, e.event_type)).toSeq
+          val prefix = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+            .sortBy(t => (t._1, t._2))
+            .take(maxSteps)
+          state.update(prefix)
+          Iterator.single((userId, prefix.map(_._3).mkString(">")))
+      }
+  }
 }

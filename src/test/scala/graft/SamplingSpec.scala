@@ -118,6 +118,17 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum stages band each shard by quality rank") {
+    // 8 docs, no stopwords -> score grows with word count; ntile(4)
+    // over 8 rows = 2 per stage, wordiest docs in stage 1
+    val d = docs((1L to 8L).map(i =>
+      (i, Seq.fill(i.toInt * 10)("w").mkString(" "), "en", "src0")): _*)
+    val got = Sampling.curriculumStages(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(8L -> 1L, 7L -> 1L, 6L -> 2L, 5L -> 2L,
+      4L -> 3L, 3L -> 3L, 2L -> 4L, 1L -> 4L))
+  }
+
   test("interleaving orders sources proportionally by exact rank ratios") {
     // src0: 4 docs, src1: 2 docs -> src0 appears twice as often
     val d = docs((0L, "x", "en", "src0"), (2L, "x", "en", "src0"),

@@ -241,6 +241,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("journey stream tracks bounded first-N prefixes, reordering late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def ev(id: Long, min: Int, user: Long, t: String) =
+      LiveEvent(id, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), user, t, 1.0)
+    val in = MemoryStream[LiveEvent]
+    val q = graft.streaming.EventStreamJobs.journeyStream(in.toDS(), maxSteps = 3)
+      .toDF("user_id", "journey")
+      .writeStream.format("memory").queryName("journeys_live")
+      .outputMode("update").start()
+    try {
+      in.addData(ev(2L, 10, 1L, "view"), ev(3L, 20, 1L, "click"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("journeys_live").collect().length
+      assert(spark.table("journeys_live").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "view>click")))
+      // a LATE event earlier in time re-sorts into the prefix, and the
+      // 3-step bound then truncates the newest tail event
+      in.addData(ev(1L, 5, 1L, "signup"), ev(4L, 30, 1L, "purchase"))
+      q.processAllAvailable()
+      val later = spark.table("journeys_live").collect().drop(afterB1)
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(later.toSeq == Seq((1L, "signup>view>click")))
+    } finally q.stop()
+  }
+
   test("stream-static scoring matches batch surprisal on the frozen model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
