@@ -44,7 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     unary("graft_fingerprint", RollingFingerprint, classOf[RollingFingerprint])
     unary("graft_shingle_fps", ShingleFingerprints, classOf[ShingleFingerprints])
-    unary("graft_entropy_stats", CharEntropyStats, classOf[CharEntropyStats])
+    unary("graft_char_entropy", CharEntropyStats, classOf[CharEntropyStats])
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }

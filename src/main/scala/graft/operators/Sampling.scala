@@ -165,6 +165,25 @@ object Sampling {
         md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
   }
 
+  /** Curriculum staging: within each source shard, documents rank by
+    * the shared [[TextOps.qualityScore]] (best first, doc_id
+    * tie-break) and split into `stages` equal bands — stage 1 = the
+    * cleanest quarter a curriculum schedule trains on first. The
+    * score computes inline over ONE scan (no self-join back to the
+    * documents table), and ntile is PARTITIONED by source — a global
+    * ntile would funnel every row through one partition; cross-shard
+    * stage boundaries therefore differ per shard, which is what a
+    * sharded curriculum wants anyway.
+    */
+  def curriculumStages(documents: DataFrame, stages: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), TextOps.qualityScore.as("score"))
+      .withColumn("stage", ntile(stages).over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Proportional source interleaving: the deterministic shuffle that
     * turns per-source shards into ONE training stream where each
     * source appears at a rate proportional to its size. Every doc gets
@@ -181,25 +200,6 @@ object Sampling {
     * row through one partition. The training position is the file
     * order of the sorted output.
     */
-  /** Curriculum staging: within each source shard, documents rank by
-    * the [[TextOps.quality]] score (best first, doc_id tie-break) and
-    * split into `stages` equal bands — stage 1 = the cleanest quarter
-    * a curriculum schedule trains on first. ntile is PARTITIONED by
-    * source (a global ntile would funnel every row through one
-    * partition); cross-shard stage boundaries therefore differ
-    * per shard, which is what a sharded curriculum wants anyway.
-    */
-  def curriculumStages(documents: DataFrame, stages: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score").desc, col("doc_id"))
-    TextOps.quality(documents.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("score"))
-      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .withColumn("stage", ntile(stages).over(w).cast("long"))
-      .select(col("doc_id"), col("source"), col("score"), col("stage"))
-      .orderBy(col("doc_id"))
-  }
-
   def interleaveSources(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     documents

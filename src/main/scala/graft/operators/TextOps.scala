@@ -27,6 +27,14 @@ object TextOps {
   private def stopCount(textCol: String): Column =
     expr(s"size(filter(split($textCol, ' '), w -> w in ('the', 'a')))").cast("long")
 
+  /** The quality score as ONE Column over `text` — shared by
+    * [[quality]] and `Sampling.curriculumStages` so the score
+    * definition cannot drift.
+    */
+  private[operators] def qualityScore: Column =
+    round(least(lit(1.0), wordCount("text") / 100.0) * 0.5
+      + (lit(1.0) - stopCount("text").cast("double") / wordCount("text")) * 0.5, 6)
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum symbols — the
     * pre-tokenizer split most BPE vocabularies assume).
@@ -54,9 +62,7 @@ object TextOps {
         col("n_stop").cast("double") / col("n_words"))
       .withColumn("mean_word_len",
         (length(col("text")) - col("n_words") + 1).cast("double") / col("n_words"))
-      .withColumn("score",
-        round(least(lit(1.0), col("n_words") / 100.0) * 0.5
-          + (lit(1.0) - col("stop_ratio")) * 0.5, 6))
+      .withColumn("score", qualityScore)
       .select(col("doc_id"), col("n_words"), col("n_stop"),
         round(col("stop_ratio"), 6).as("stop_ratio"),
         round(col("mean_word_len"), 6).as("mean_word_len"), col("score"))

@@ -263,8 +263,12 @@ object EventStreamJobs {
     * BOUNDED first-`maxSteps` (ts_us, event_id, type) triples (late
     * events that belong earlier in the prefix displace later ones,
     * exactly like the batch first-N window); each update emits the
-    * user's current path string, so `OutputMode.Update` downstream
-    * counts always reflect batch-equal prefixes once the feed drains.
+    * user's current path string, which converges to the batch
+    * `EventOps.journeys` prefix once the feed drains. Spark forbids a
+    * further streaming aggregation after flatMapGroupsWithState in
+    * Update mode, so journey COUNTS are maintained by the consumer of
+    * this update stream (upsert into a keyed store), not by a
+    * downstream groupBy.
     */
   def journeyStream(events: Dataset[LiveEvent], maxSteps: Int = 8)
       (implicit spark: SparkSession): Dataset[(Long, String)] = {

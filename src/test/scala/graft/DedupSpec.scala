@@ -230,8 +230,8 @@ class DedupSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_fingerprint('abc') AS fp,
         |  size(graft_shingle_fps('a b c d')) AS n_shingles,
-        |  graft_entropy_stats('aab').distinct_chars AS dc,
-        |  graft_entropy_stats('aab').n_chars AS nc
+        |  graft_char_entropy('aab').distinct_chars AS dc,
+        |  graft_char_entropy('aab').n_chars AS nc
         |""".stripMargin).collect().head
     // same values the Column-API surfaces compute
     import spark.implicits._
