@@ -197,4 +197,57 @@ class PropertySpec extends AnyFunSuite {
         assert(math.abs(approxP(r.getString(0)) - exactP50) / exactP50 < 0.05)
       }
   }
+
+  test("chunker invariants hold for random doc lengths and window shapes") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(120))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val lens = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    for ((c, o) <- Seq((32, 8), (16, 0), (10, 9), (7, 3))) {
+      val stride = c - o
+      val chunks = graft.operators.Sampling.chunkSequences(docs, c, o).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      lens.foreach { case (id, n) =>
+        val cs = chunks(id).sortBy(_._2)
+        val expected = 1 + math.max(0, (n - c + stride - 1) / stride)
+        assert(cs.length == expected, s"doc $id n=$n C=$c O=$o")
+        assert(cs.head._3 == 1L) // first chunk starts at token 1
+        cs.foreach { ch => assert(ch._4 >= 1 && ch._4 <= c) }
+        // consecutive starts advance by exactly the stride, and the
+        // last chunk reaches the final token
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._3 == stride)
+          case _ =>
+        }
+        assert(cs.last._3 + cs.last._4 - 1 == n)
+      }
+    }
+  }
+
+  test("interleave prefixes are exactly proportional at rational thresholds") {
+    val rnd = new scala.util.Random(11)
+    val sizes = Map("s0" -> 40, "s1" -> 17, "s2" -> 8, "s3" -> 1)
+    val rows = sizes.toSeq.flatMap { case (src, n) =>
+      (1 to n).map(_ => (rnd.nextLong().abs, "x", "en", src, 1L))
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Sampling.interleaveSources(d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // count_s(rank/n_s <= t) == floor(t * n_s) for every source and
+    // threshold: the defining property of the low-discrepancy order
+    for (t <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val prefix = out.filter { case (_, rank, n) => rank.toDouble / n <= t }
+      sizes.foreach { case (src, n) =>
+        assert(prefix.count(_._1 == src) == math.floor(t * n).toInt,
+          s"source $src at t=$t")
+      }
+    }
+    // per-source ranks appear in increasing order in the global sort
+    sizes.keys.foreach { src =>
+      val ranks = out.filter(_._1 == src).map(_._2)
+      assert(ranks.toSeq == ranks.sorted.toSeq)
+    }
+  }
 }
