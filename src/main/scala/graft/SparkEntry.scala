@@ -894,10 +894,19 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
-        |grams AS (
-        |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |gs AS (
+        |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gstr
         |  FROM base, UNNEST(generate_series(1, CAST(n AS INT) - 2)) AS t(i)
         |  WHERE n >= 3),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(gstr, ''), ch -> ascii(ch)::BIGINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
+        |    + list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(gstr, ''), ch -> ascii(ch)::BIGINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2147483629) AS g
+        |  FROM gs),
         |dup AS (SELECT g FROM grams GROUP BY g
         |        HAVING MIN(doc_id) <> MAX(doc_id)),
         |cov AS (

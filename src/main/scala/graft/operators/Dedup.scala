@@ -597,10 +597,10 @@ object Dedup {
     * duplicated-gram set is one gram-keyed aggregate (near-uniform
     * keys), rejoined on the gram, and coverage collapses through a
     * doc-keyed distinct — every shuffle keys on gram or doc_id, never
-    * a pair. Grams join as strings here because the DuckDB oracle must
-    * group on exact gram identity; at 100 TB key the join on the
-    * 8-byte dual-prime fingerprint instead ([[shingleFps]]) and haul
-    * no strings.
+    * a pair. Grams are keyed by their 62-bit dual-prime fingerprint
+    * ([[tokenHash62]]): the strings die at the map side, only 8-byte
+    * keys shuffle, and the oracle reproduces the fold exactly in SQL
+    * (a cross-doc collision would need ~2³¹ distinct grams).
     */
   def dupSpans(documents: DataFrame, minDocs: Int = 2): DataFrame = {
     val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -614,7 +614,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, int(n) - 2), i -> " +
           "struct(i as pos, concat_ws(' ', w[i-1], w[i], w[i+1]) as g))")).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+      .select(col("doc_id"), col("e.pos").as("pos"), tokenHash62(col("e.g")).as("g"))
       .persist()
     // "appears in ≥2 docs" = min(doc_id) ≠ max(doc_id): one plain
     // min/max aggregate instead of an expand-based count_distinct.
