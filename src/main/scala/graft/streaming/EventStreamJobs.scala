@@ -72,6 +72,23 @@ object EventStreamJobs {
       .withColumn("handler", coalesce(col("handler"), lit("unhandled")))
       .drop("r_event")
 
+  /** Live targeted shutdown (the streaming twin of
+    * `EventOps.closeStreams`): close requests are a STATIC target
+    * dimension broadcast into a stream-static left-semi join — only
+    * targeted instances' events survive — then an Update-mode rollup
+    * maintains each targeted stream's final state (event count,
+    * first/last seen micros) as its traffic drains. Run with
+    * `outputMode("update")`; the last emission per user is the close
+    * report the reference's master handler would log.
+    */
+  def closeStream(stream: DataFrame, targets: DataFrame): DataFrame =
+    stream
+      .join(broadcast(targets), col("user_id") === col("target_user"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
   /** Watermarked tumbling-window counts per event type. Value sums go
     * through DECIMAL(18,2) like the batch twin (`windowTumbling`) —
     * exact and associative, so micro-batch merge order can't change

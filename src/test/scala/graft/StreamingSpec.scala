@@ -241,6 +241,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("close stream reports final state for targeted users only, converging to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, min: Int, user: Long) =
+      LiveEvent(id, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), user, "view", 1.0)
+    val targets = Seq(3L, 7L).toDF("target_user")
+    val in = MemoryStream[LiveEvent]
+    val q = graft.streaming.EventStreamJobs.closeStream(in.toDF(), targets)
+      .writeStream.format("memory").queryName("close_live")
+      .outputMode("update").start()
+    try {
+      in.addData(ev(1L, 10, 3L), ev(2L, 20, 5L), ev(3L, 30, 7L))
+      q.processAllAvailable()
+      in.addData(ev(4L, 40, 3L)) // more traffic drains from target 3
+      q.processAllAvailable()
+      val rows = spark.table("close_live").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(!rows.exists(_._1 == 5L)) // non-target never reported
+      // last emission per user == the batch closeStreams final state
+      val finalByUser = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val batch = graft.operators.EventOps.closeStreams(
+        Seq((1L, "2024-01-01 10:10:00", 3L), (2L, "2024-01-01 10:20:00", 5L),
+          (3L, "2024-01-01 10:30:00", 7L), (4L, "2024-01-01 10:40:00", 3L))
+          .toDF("event_id", "ts_str", "user_id")
+          .withColumn("ts", $"ts_str".cast("timestamp")).drop("ts_str"),
+        targets).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(finalByUser.values.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
   test("journey stream tracks bounded first-N prefixes, reordering late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
