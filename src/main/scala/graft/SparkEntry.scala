@@ -155,6 +155,7 @@ object SparkEntry {
     "samp_len_hist" -> ((s, dir) => Sampling.lengthHistogram(Tables(s, dir).documents)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir).embeddings)),
     "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
+    "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
@@ -1152,6 +1153,20 @@ object SparkEntry {
         |FROM ex
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    UNNEST(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9) AS mean,
+        |  ROUND(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+        |    - (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))
+        |      * (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))), 9)
+        |    AS std
+        |FROM ex
+        |GROUP BY dim
+        |ORDER BY dim""".stripMargin,
     "ann_brute_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

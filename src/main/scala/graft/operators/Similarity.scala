@@ -753,6 +753,29 @@ object Similarity {
         round(col("sx").cast("double") / col("n"), 9).as("mean"), col("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** Per-dimension corpus statistics (dim, n, mean, std): the
+    * whitening/normalization table an embedding pipeline fits before
+    * indexing (zero-center, unit-variance). Same shape as
+    * [[labelCentroids]] — one posexplode + one dim-keyed aggregate
+    * with DECIMAL moment sums (exact, associative ⇒
+    * partitioning-independent), population variance from the two
+    * moments, rounded for engine parity.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(VectorOps.toDoubleArray(col("embedding")))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,15)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,15)")).as("sxx"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 9).as("mean"),
+        round(sqrt(col("sxx").cast("double") / col("n")
+          - (col("sx").cast("double") / col("n"))
+            * (col("sx").cast("double") / col("n"))), 9).as("std"))
+      .orderBy(col("dim"))
+
   /** k-NN majority-label classification of the probes: the k nearest
     * corpus vectors vote; ties break toward the smaller label.
     */

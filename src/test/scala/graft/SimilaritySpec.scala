@@ -188,6 +188,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.forall { case (_, code) => code >= 0L && code < (1L << 32) })
   }
 
+  test("dim stats compute exact per-dimension mean and population std") {
+    val d = Seq((1L, Seq(1f, 3f), 0), (2L, Seq(5f, 7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // dim0: {1,5} -> mean 3, std sqrt(26/2-9)=2; dim1: {3,7} -> 5, 2
+    assert(got.toSeq == Seq((0L, 2L, 3.0, 2.0), (1L, 2L, 5.0, 2.0)))
+  }
+
   test("range search returns exactly the pairs with cosine above tau") {
     val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
     val near = v.map(x => (x * 1.01f + 0.001f))         // cos ≈ 1
