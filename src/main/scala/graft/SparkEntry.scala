@@ -233,6 +233,21 @@ object SparkEntry {
   private def pqCodebookValues(m: Seq[Similarity.PqCentroid]): String =
     m.map(c => s"(${c.s}, ${c.c}, [${c.centroid.mkString(", ")}])").mkString(", ")
 
+  /** The rolling-fingerprint fold family as DuckDB SQL — ONE emitter
+    * shared by every oracle that hashes text
+    * ([[graft.expressions.RollingFingerprint]]'s twin), so the fold
+    * constants and shape cannot drift between sites.
+    */
+  private def foldSql(listExpr: String, prime: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, $listExpr), " +
+      s"(acc, c) -> (acc * 1000003 + c) % $prime)"
+  private def charCodesSql(strExpr: String): String =
+    s"list_transform(string_split($strExpr, ''), ch -> ascii(ch)::BIGINT)"
+  private def hash31Sql(listExpr: String): String =
+    foldSql(listExpr, 2147483647L)
+  private def hash62Sql(listExpr: String): String =
+    s"${foldSql(listExpr, 2147483647L)} * 4294967296 + ${foldSql(listExpr, 2147483629L)}"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
@@ -791,15 +806,10 @@ object SparkEntry {
         |    FROM documents) x) t
         |ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
-        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
-        |  + list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
-        |    (acc, c) -> (acc * 1000003 + c) % 2147483629) AS fp
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH cp AS (SELECT doc_id, ${charCodesSql("text")} AS cps FROM documents)
+         |SELECT doc_id, ${hash62Sql("cps")} AS fp
+         |FROM cp
+         |ORDER BY doc_id""".stripMargin,
     "txt_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch
@@ -892,22 +902,15 @@ object SparkEntry {
         |WHERE inter * 100 >= s_eval * 50
         |ORDER BY eval_id, train_id""".stripMargin,
     "dd_dup_spans" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
         |gs AS (
         |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gstr
         |  FROM base, UNNEST(generate_series(1, CAST(n AS INT) - 2)) AS t(i)
         |  WHERE n >= 3),
-        |grams AS (
-        |  SELECT doc_id, pos,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |        list_transform(string_split(gstr, ''), ch -> ascii(ch)::BIGINT)),
-        |      (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
-        |    + list_reduce(list_prepend(0::BIGINT,
-        |        list_transform(string_split(gstr, ''), ch -> ascii(ch)::BIGINT)),
-        |      (acc, c) -> (acc * 1000003 + c) % 2147483629) AS g
-        |  FROM gs),
+        |gc AS (SELECT doc_id, pos, <<CODES:gstr>> AS cps FROM gs),
+        |grams AS (SELECT doc_id, pos, <<HASH62:cps>> AS g FROM gc),
         |dup AS (SELECT g FROM grams GROUP BY g
         |        HAVING MIN(doc_id) <> MAX(doc_id)),
         |cov AS (
@@ -919,7 +922,9 @@ object SparkEntry {
         |  COALESCE(cnt.n_dup_tokens, 0) AS n_dup_tokens,
         |  COALESCE(cnt.n_dup_tokens, 0) * 100 // b.n AS dup_pct
         |FROM base b LEFT JOIN cnt USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin,
+        |ORDER BY b.doc_id""".stripMargin
+        .replace("<<CODES:gstr>>", charCodesSql("gstr"))
+        .replace("<<HASH62:cps>>", hash62Sql("cps"))),
     "dd_cluster_cc" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1160,9 +1165,10 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT dim, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9) AS mean,
-        |  ROUND(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+        |  ROUND(sqrt(GREATEST(0.0,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
         |    - (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))
-        |      * (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))), 9)
+        |      * (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)))), 9)
         |    AS std
         |FROM ex
         |GROUP BY dim
@@ -1302,9 +1308,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
         |h AS (
-        |  SELECT doc_id, g, list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
-        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+        |  SELECT doc_id, g, <<HASH31:g>> AS h
         |  FROM tri),
         |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
         |pos AS (
@@ -1326,20 +1330,14 @@ object SparkEntry {
         |  CAST(SUM(all_set) AS BIGINT) AS n_maybe_seen
         |FROM per_shingle GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
-        .replace("<<PERMS>>", minhashPermValues(4))),
+        .replace("<<PERMS>>", minhashPermValues(4))
+        .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))),
     "dd_simhash" ->
-      """WITH words AS (
+      ("""WITH words AS (
         |  SELECT doc_id, 'xq' || w AS w FROM (
         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |        list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
-        |      (acc, c) -> (acc * 1000003 + c) % 2147483647) * 4294967296
-        |    + list_reduce(list_prepend(0::BIGINT,
-        |        list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
-        |      (acc, c) -> (acc * 1000003 + c) % 2147483629) AS h
-        |  FROM words),
+        |wc AS (SELECT doc_id, <<CODES:w>> AS cps FROM words),
+        |h AS (SELECT doc_id, <<HASH62:cps>> AS h FROM wc),
         |bits AS (
         |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
         |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) js
@@ -1357,7 +1355,9 @@ object SparkEntry {
         |JOIN chunks c2 ON c1.chunk_idx = c2.chunk_idx AND c1.chunk = c2.chunk
         |WHERE c1.doc_id < c2.doc_id
         |  AND bit_count(xor(c1.sim, c2.sim)) <= 3
-        |ORDER BY doc1, doc2""".stripMargin,
+        |ORDER BY doc1, doc2""".stripMargin
+        .replace("<<CODES:w>>", charCodesSql("w"))
+        .replace("<<HASH62:cps>>", hash62Sql("cps"))),
     "dd_minhash_lsh" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1366,9 +1366,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
         |h AS (
-        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
-        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+        |  SELECT doc_id, <<HASH31:g>> AS h
         |  FROM tri),
         |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
         |mins AS (
@@ -1377,8 +1375,7 @@ object SparkEntry {
         |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, b,
-        |    list_reduce(list_prepend(0::BIGINT, mh[b * 8 + 1 : b * 8 + 8]),
-        |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+        |    <<HASH31:band>> AS band_hash
         |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
         |cand AS (
         |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
@@ -1393,7 +1390,9 @@ object SparkEntry {
         |  JOIN mh m2 ON cand.doc2 = m2.doc_id) t
         |WHERE est_jaccard >= 0.2
         |ORDER BY doc1, doc2""".stripMargin
-        .replace("<<PERMS>>", minhashPermValues())),
+        .replace("<<PERMS>>", minhashPermValues())
+        .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
+        .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),
     "dd_embed_neardup" ->
       ("""WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),

@@ -771,9 +771,12 @@ object Similarity {
         sum((col("x") * col("x")).cast("decimal(38,15)")).as("sxx"))
       .select(col("dim").cast("long").as("dim"), col("n"),
         round(col("sx").cast("double") / col("n"), 9).as("mean"),
-        round(sqrt(col("sxx").cast("double") / col("n")
+        // the central moment clamps at 0: float error can leave a
+        // constant dimension at ~-2e-16, where sqrt would emit NaN
+        // here and crash DuckDB's stricter sqrt in the oracle
+        round(sqrt(greatest(lit(0.0), col("sxx").cast("double") / col("n")
           - (col("sx").cast("double") / col("n"))
-            * (col("sx").cast("double") / col("n"))), 9).as("std"))
+            * (col("sx").cast("double") / col("n")))), 9).as("std"))
       .orderBy(col("dim"))
 
   /** k-NN majority-label classification of the probes: the k nearest
