@@ -411,8 +411,44 @@ object Dedup {
     * compose with [[ngramJaccard]], [[minhashLsh]], [[simhashNearDup]]
     * or [[embedNearDup]] output.
     */
+  /** Below this edge count the pair graph collects to the driver and
+    * labels resolve with one union-find pass — near-dup pair graphs
+    * are tiny next to the corpus (thresholded candidates), so the
+    * common case pays one collect instead of diameter-many iterative
+    * jobs. Above it, the distributed min-label loop below handles
+    * graphs that cannot fit a driver (the same adaptive small-side
+    * reasoning as a broadcast-join threshold).
+    */
+  private val MaxDriverEdges = 1 << 20
+
   def connectedComponents(documents: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
+    val collected = pairs.select(col("doc1"), col("doc2"))
+      .limit(maxDriverEdges + 1).collect()
+    if (collected.length <= maxDriverEdges) {
+      // driver fast path: union-find with path compression; the
+      // component label is the min member id — identical to the
+      // min-label propagation fixpoint by construction
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val spark = documents.sparkSession
+      import spark.implicits._
+      val labels = vertices.map(v => (v, find(v))).toSeq.toDF("doc_id", "comp")
+      return attachLabels(documents, labels)
+    }
     val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -460,10 +496,16 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds; " +
           "the pair graph has a chain longer than maxIters — raise it")
     } finally edges.unpersist(blocking = false)
-    // labels cover only pair-graph vertices — broadcast them so the
-    // corpus-sized document side never shuffles for this join (if the
-    // pair graph ever approached corpus size, near-dup thresholds are
-    // wrong long before this hint is)
+    attachLabels(documents, labels)
+  }
+
+  /** Attach component labels (pair-graph vertices only) back onto the
+    * full document set; singletons label themselves. Labels broadcast
+    * so the corpus-sized document side never shuffles for this join
+    * (if the pair graph ever approached corpus size, near-dup
+    * thresholds are wrong long before this hint is).
+    */
+  private def attachLabels(documents: DataFrame, labels: DataFrame): DataFrame =
     documents.select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -471,7 +513,6 @@ object Dedup {
         when(col("doc_id") === coalesce(col("comp"), col("doc_id")), 1L)
           .otherwise(0L).as("is_canonical"))
       .orderBy(col("doc_id"))
-  }
 
   /** 64-bit SimHash per doc: majority vote of each hash bit across the
     * doc's words (term frequency = weight). Explode + ONE custom fused

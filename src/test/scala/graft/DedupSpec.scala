@@ -144,12 +144,25 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components converges on a long chain (diameter > 2 rounds)") {
-    // path 10-11-12-...-19: min label must traverse the whole chain
+    // path 10-11-12-...-19: min label must traverse the whole chain;
+    // maxDriverEdges = 0 forces the DISTRIBUTED min-label loop
     val docsDf = (10L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = (10L until 19L).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val got = Dedup.connectedComponents(docsDf, pairs).collect()
+    val got = Dedup.connectedComponents(docsDf, pairs, maxDriverEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((10L to 19L).forall(got(_) == 10L))
+  }
+
+  test("driver union-find fast path equals the distributed label loop") {
+    val rnd = new scala.util.Random(13)
+    val docsDf = (0L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = (1 to 50).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val pairs = edges.toDF("doc1", "doc2")
+    def run(cap: Int) = Dedup.connectedComponents(docsDf, pairs, maxDriverEdges = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1 << 20) == run(0))
   }
 
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
