@@ -28,21 +28,28 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
-  /** Eagerly materializes `result` (localCheckpoint truncates lineage,
+  /** Eagerly materializes `result` (checkpointing truncates lineage,
     * so the returned frame no longer references the cached
     * intermediates), then unpersists the intermediates. Keeps the
     * near-dup operators leak-free in long-lived sessions.
     *
-    * Cluster-mode caveat: localCheckpoint pins blocks in executor
-    * storage only and truncates lineage, so losing an executor loses
-    * the result unrecoverably (the job fails instead of recomputing).
-    * Right trade for the single-node bench; on a real cluster set
-    * `spark.checkpoint.dir` and swap in reliable `checkpoint()` (or
-    * write the result to storage and read it back).
+    * Durability is config-gated: when a reliable checkpoint dir is
+    * configured (`SparkContext.setCheckpointDir` / the
+    * `spark.checkpoint.dir` conf), the result goes through
+    * `checkpoint()` — blocks live on shared storage and survive
+    * executor loss, the right choice on a real cluster. Otherwise it
+    * falls back to `localCheckpoint()`: blocks pinned in executor
+    * storage only, so an executor loss fails the job instead of
+    * recomputing — the right (cheaper) trade for single-node runs.
     */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
-    try result.localCheckpoint()
-    finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
+    try {
+      val sc = result.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) // honor the conf even if nobody called setCheckpointDir
+        sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
+      if (sc.getCheckpointDir.isDefined) result.checkpoint()
+      else result.localCheckpoint()
+    } finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words
     * drop out, mirroring the SQL oracle's generate_series emptiness).
@@ -423,33 +430,54 @@ object Dedup {
 
   def connectedComponents(documents: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
-    val collected = pairs.select(col("doc1"), col("doc2"))
-      .limit(maxDriverEdges + 1).collect()
-    if (collected.length <= maxDriverEdges) {
-      // driver fast path: union-find with path compression; the
-      // component label is the min member id — identical to the
-      // min-label propagation fixpoint by construction
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+    // persisted BEFORE the size probe: the candidate pipeline behind
+    // `pairs` (LSH banding, jaccard verification, …) is often the
+    // expensive part, and without this the above-cap path would
+    // recompute it from scratch after a wasted ~1M-row probe collect
+    val p = pairs.select(col("doc1"), col("doc2")).persist()
+    try {
+      val collected = p.limit(maxDriverEdges + 1).collect()
+      if (collected.length <= maxDriverEdges) {
+        // driver fast path: union-find with path compression; the
+        // component label is the min member id — identical to the
+        // min-label propagation fixpoint by construction
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
         }
-        r
-      }
-      collected.foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
-      }
-      val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      val spark = documents.sparkSession
-      import spark.implicits._
-      val labels = vertices.map(v => (v, find(v))).toSeq.toDF("doc_id", "comp")
-      return attachLabels(documents, labels)
-    }
-    val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+        collected.foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val spark = documents.sparkSession
+        import spark.implicits._
+        val labels = vertices.map(v => (v, find(v))).toSeq.toDF("doc_id", "comp")
+        attachLabels(documents, labels)
+      } else distributedCC(documents, p, maxIters)
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** The above-driver-budget path: min-label propagation with a
+    * pointer-jumping shortcut each round. Plain neighbor-min
+    * propagation needs O(diameter) rounds — an adversarial path graph
+    * exhausts any fixed iteration budget. Following each push with
+    * `comp := comp(comp)` (every label is itself a vertex id, so the
+    * label table self-joins as a pointer table) doubles the distance
+    * labels travel per round, giving O(log diameter) convergence —
+    * the shortcutting idea behind hash-to-min / two-phase CC in
+    * MapReduce (Rastogi et al., "Finding Connected Components in
+    * Map-Reduce in Logarithmic Rounds").
+    */
+  private def distributedCC(documents: DataFrame, p: DataFrame,
+      maxIters: Int): DataFrame = {
+    val e = p.select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     // labels only ever decrease, so the (exact, decimal) label total
@@ -480,10 +508,19 @@ object Dedup {
           .join(broadcast(labels.select(col("doc_id").as("src"), col("comp"))), Seq("src"))
           .groupBy(col("dst").as("doc_id"))
           .agg(min(col("comp")).as("nbr_min"))
-        val next = labels
+        val stepped = labels
           .join(pushed, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        // pointer jump: follow the label one hop through the label
+        // table itself (comp is always a vertex id, so the lookup
+        // never misses except at roots) — this is what turns a
+        // length-L chain from L rounds into ~log₂ L
+        val next = stepped
+          .join(broadcast(stepped.select(col("doc_id").as("comp"),
+            col("comp").as("comp2"))), Seq("comp"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
           .localCheckpoint()
         val nextTotal = labelTotal(next)
         converged = nextTotal.compareTo(prevTotal) == 0
@@ -494,7 +531,7 @@ object Dedup {
       // closure contract (and the oracle) — fail loudly instead
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds; " +
-          "the pair graph has a chain longer than maxIters — raise it")
+          "the pair graph has a chain longer than 2^maxIters — raise it")
     } finally edges.unpersist(blocking = false)
     attachLabels(documents, labels)
   }

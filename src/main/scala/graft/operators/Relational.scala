@@ -73,16 +73,19 @@ object Relational {
     * supplier nation and customer nation pair. The fact table reaches
     * both nation dims through different keys (l_suppkey → supplier,
     * o_custkey → customer), so lineitem streams through one orderkey
-    * join while supplier and both nation copies broadcast (at 100 TB
-    * AQE flips the customer join to shuffled hash; the lineitem side
-    * still shuffles only on orderkey). Exact decimal revenue.
+    * join while both fixed-25-row nation copies broadcast. Supplier
+    * and customer grow with SF (billions of rows at 100 TB), so their
+    * joins carry no hint — AQE picks broadcast at bench scale and
+    * flips to shuffled hash when either outgrows the threshold; a
+    * forced broadcast hint would never flip and would OOM the
+    * executors at the stated scale. Exact decimal revenue.
     */
   def q25SupplierFlow(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
         col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
       .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),

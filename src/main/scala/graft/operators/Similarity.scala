@@ -138,27 +138,78 @@ object Similarity {
     */
   private val TrainSampleSize = 4096
 
-  /** Last-trained models, recorded at training time so
-    * `SparkEntry.oracleSql` can interpolate the learned constants into
-    * the DuckDB oracles (the same shared-model pattern as the LSH
-    * plane and MinHash permutation literals — ONE model definition,
-    * assignment/routing/search verified independently in SQL).
-    * Training is deterministic for fixed params + data, and Verify
-    * runs every query before dumping oracle SQL, so at dump time these
-    * hold exactly the model the verified queries used.
+  /** A collected training sample plus a content fingerprint (ids +
+    * exact double bits), so trained models can key on WHAT was
+    * trained on, not on which DataFrame object happened to produce it.
     */
-  private val lastIvf =
-    new java.util.concurrent.atomic.AtomicReference[Seq[Centroid]]()
-  private val lastPq =
-    new java.util.concurrent.atomic.AtomicReference[Seq[PqCentroid]]()
+  private final case class TrainSample(vecs: Array[(Long, Array[Double])], fp: Long)
+
+  /** Cross-query caches. Training is deterministic for fixed params +
+    * data, so retraining the same model per query is pure waste — at
+    * corpus scale each retrain re-runs the TakeOrdered sample collect
+    * over the full corpus. The sample caches on the corpus plan's
+    * `semanticHash` (same source ⇒ same plan ⇒ same sample; assumes
+    * the underlying files are immutable within a JVM session — call
+    * [[clearModelCache]] after rewriting a corpus in place); models
+    * cache on the sample's CONTENT fingerprint + every training
+    * param, which is exact regardless of where the sample came from.
+    */
+  private val sampleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), TrainSample]()
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Seq[Centroid]]()
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Seq[PqCentroid]]()
   // the residual-trained codebook is a DIFFERENT model from the plain
-  // PQ codebook — it gets its own slot so the plain-PQ oracles never
-  // see residual constants (and vice versa)
-  private val lastResPq =
-    new java.util.concurrent.atomic.AtomicReference[Seq[PqCentroid]]()
-  def lastIvfModel: Option[Seq[Centroid]] = Option(lastIvf.get)
-  def lastPqModel: Option[Seq[PqCentroid]] = Option(lastPq.get)
-  def lastResPqModel: Option[Seq[PqCentroid]] = Option(lastResPq.get)
+  // PQ codebook (and depends on the coarse quantizer's params too) —
+  // its own cache so the two can never cross
+  private val resPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int, Int, Int), Seq[PqCentroid]]()
+
+  /** Count of actual Lloyd trainings run this JVM (cache misses only)
+    * — lets specs pin that a suite of ANN queries trains each model
+    * once, and gives operators a cheap signal that a hot loop is
+    * churning the cache.
+    */
+  private[graft] val trainingsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop every cached sample, model and recorded oracle model — for
+    * tests and for sessions that rewrite a corpus path in place.
+    */
+  def clearModelCache(): Unit = {
+    sampleCache.clear(); ivfCache.clear(); pqCache.clear(); resPqCache.clear()
+    recordedIvf.clear(); recordedPq.clear(); recordedResPq.clear()
+  }
+
+  /** Default training params — the single source for the "record this
+    * model for the SQL oracle" checks below.
+    */
+  private val DefaultIvfParams = (16, 3) // (nClusters, iters)
+  private val DefaultPqParams = (8, 16, 3) // (nSub, kCodes, iters)
+
+  /** Models recorded for `SparkEntry.oracleSql`, which interpolates
+    * the learned constants into the DuckDB oracles (the same
+    * shared-model pattern as the LSH plane and MinHash permutation
+    * literals — ONE model definition, assignment/routing/search
+    * verified independently in SQL). Keyed by sample fingerprint and
+    * recorded ONLY for default-param trainings: the oracle queries run
+    * with defaults, so a non-default training (a spec, an ad-hoc call)
+    * can never overwrite the model the verified queries used. If two
+    * DIFFERENT corpora both train with defaults in one JVM the model
+    * is ambiguous — the accessors return None and the affected queries
+    * degrade to rows-only rather than emit a wrong oracle.
+    */
+  private val recordedIvf =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Centroid]]()
+  private val recordedPq =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[PqCentroid]]()
+  private val recordedResPq =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[PqCentroid]]()
+  private def soleValue[V](m: java.util.concurrent.ConcurrentHashMap[Long, V]): Option[V] =
+    if (m.size == 1) Some(m.values.iterator.next()) else None
+  def lastIvfModel: Option[Seq[Centroid]] = soleValue(recordedIvf)
+  def lastPqModel: Option[Seq[PqCentroid]] = soleValue(recordedPq)
+  def lastResPqModel: Option[Seq[PqCentroid]] = soleValue(recordedResPq)
 
   /** Deterministic, content-independent training sample: the n corpus
     * vectors with the lowest `md5(vec_id)` (vec_id tie-break),
@@ -189,6 +240,21 @@ object Similarity {
       }
       .sortBy(_._1)
 
+  /** The cached sample for a corpus plan: one TakeOrdered collect per
+    * (corpus, n) per JVM, shared by every model that trains on it.
+    */
+  private def trainSample(corpusVecs: DataFrame, n: Int = TrainSampleSize): TrainSample =
+    sampleCache.computeIfAbsent((corpusVecs.semanticHash(), n), { _ =>
+      val vecs = sampleUnitVecs(corpusVecs, n)
+      var h = 1125899906842597L // FNV-ish seeded polynomial over exact bits
+      vecs.foreach { case (id, v) =>
+        h = h * 31 + id
+        var i = 0
+        while (i < v.length) { h = h * 31 + java.lang.Double.doubleToLongBits(v(i)); i += 1 }
+      }
+      TrainSample(vecs, h)
+    })
+
   /** IVF coarse quantizer: deterministic spherical k-means trained on
     * a bounded [[sampleUnitVecs]] sample, Lloyd run in memory on the
     * driver (init = the sample's lowest-vec_id vectors; assignment =
@@ -202,7 +268,7 @@ object Similarity {
     * model would be shuffle for nothing.
     */
   def ivfTrain(corpusVecs: DataFrame, nClusters: Int = 16, iters: Int = 3): Seq[Centroid] =
-    ivfTrainOnSample(sampleUnitVecs(corpusVecs, TrainSampleSize), nClusters, iters)
+    ivfTrainOnSample(trainSample(corpusVecs), nClusters, iters)
 
   /** The ONE coarse-assignment rule: argmax dot, strict > so ties
     * keep the smaller cluster id — shared by Lloyd training and
@@ -222,8 +288,17 @@ object Similarity {
     best
   }
 
-  private def ivfTrainOnSample(samplePairs: Array[(Long, Array[Double])],
+  private def ivfTrainOnSample(ts: TrainSample,
       nClusters: Int, iters: Int): Seq[Centroid] = {
+    val model = ivfCache.computeIfAbsent((ts.fp, nClusters, iters),
+      _ => ivfLloyd(ts.vecs, nClusters, iters))
+    if ((nClusters, iters) == DefaultIvfParams) recordedIvf.put(ts.fp, model)
+    model
+  }
+
+  private def ivfLloyd(samplePairs: Array[(Long, Array[Double])],
+      nClusters: Int, iters: Int): Seq[Centroid] = {
+    trainingsRun.incrementAndGet()
     val sample = samplePairs.map(_._2)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
@@ -252,9 +327,7 @@ object Similarity {
         else sums(c).map(_ / norm)
       }
     }
-    val model = centroids.zipWithIndex.map { case (v, i) => Centroid(i, v.toSeq) }.toSeq
-    lastIvf.set(model)
-    model
+    centroids.zipWithIndex.map { case (v, i) => Centroid(i, v.toSeq) }.toSeq
   }
 
   /** IVF ANN: corpus vectors are assigned once to their nearest coarse
@@ -366,12 +439,13 @@ object Similarity {
     */
   def pqTrain(corpusVecs: DataFrame, nSub: Int = 8, kCodes: Int = 16,
       iters: Int = 3): Seq[PqCentroid] =
-    pqTrainOnSample(sampleUnitVecs(corpusVecs, TrainSampleSize), nSub, kCodes, iters)
+    pqTrainOnSample(trainSample(corpusVecs), nSub, kCodes, iters)
 
-  private def pqTrainOnSample(sample: Array[(Long, Array[Double])],
+  private def pqTrainOnSample(ts: TrainSample,
       nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
-    val model = lloydPq(sample, nSub, kCodes, iters)
-    lastPq.set(model)
+    val model = pqCache.computeIfAbsent((ts.fp, nSub, kCodes, iters),
+      _ => lloydPq(ts.vecs, nSub, kCodes, iters))
+    if ((nSub, kCodes, iters) == DefaultPqParams) recordedPq.put(ts.fp, model)
     model
   }
 
@@ -384,23 +458,28 @@ object Similarity {
     * list the residual magnitudes are a fraction of the vector norms,
     * so the same 4-bit budget spends on much finer structure.
     */
-  private def pqTrainResidualsOnSample(sample: Array[(Long, Array[Double])],
-      centroids: Seq[Centroid], nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
-    val cents = centroids.sortBy(_.cluster_id).map(_.centroid.toArray).toArray
-    val residuals = sample.map { case (id, v) =>
-      val best = nearestCentroid(v, cents)
-      val r = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
-      (id, r)
-    }
-    val model = lloydPq(residuals, nSub, kCodes, iters)
-    lastResPq.set(model)
+  private def pqTrainResidualsOnSample(ts: TrainSample, centroids: Seq[Centroid],
+      nClusters: Int, ivfIters: Int, nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
+    val model = resPqCache.computeIfAbsent(
+      (ts.fp, nClusters, ivfIters, nSub, kCodes, iters), { _ =>
+        val cents = centroids.sortBy(_.cluster_id).map(_.centroid.toArray).toArray
+        val residuals = ts.vecs.map { case (id, v) =>
+          val best = nearestCentroid(v, cents)
+          val r = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
+          (id, r)
+        }
+        lloydPq(residuals, nSub, kCodes, iters)
+      })
+    if ((nClusters, ivfIters) == DefaultIvfParams && (nSub, kCodes, iters) == DefaultPqParams)
+      recordedResPq.put(ts.fp, model)
     model
   }
 
   private def lloydPq(sample: Array[(Long, Array[Double])],
       nSub: Int, kCodes: Int, iters: Int): Seq[PqCentroid] = {
+    trainingsRun.incrementAndGet()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0)._2.length
     val subDim = dim / nSub
@@ -450,16 +529,22 @@ object Similarity {
   /** (vec_id, s, sub): the unit-normalized vector's nSub contiguous
     * subvectors — one narrow map, the corpus never shuffles.
     */
-  private def subVectors(corpusVecs: DataFrame, nSub: Int): DataFrame = {
-    val subDim = 64 / nSub
+  private def subVectors(corpusVecs: DataFrame, nSub: Int): DataFrame =
     corpusVecs
       .withColumn("norm", sqrt(VectorOps.dot(col("cv"), col("cv"))))
+      // subDim derives from the vector itself (size(cv) div nSub), so
+      // a corpus of any dimensionality splits correctly — with a guard
+      // that the dimension actually divides into nSub subspaces
+      // instead of silently slicing a ragged tail off
+      .withColumn("subdim",
+        when(pmod(size(col("cv")), lit(nSub)) === 0, size(col("cv")).cast("int") / nSub)
+          .otherwise(raise_error(concat(lit(s"embedding dim "), size(col("cv")),
+            lit(s" not divisible by nSub=$nSub")))).cast("int"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${nSub - 1})," +
-          s" s -> struct(s as s, transform(slice(cv, s * $subDim + 1, $subDim)," +
+          " s -> struct(s as s, transform(slice(cv, s * subdim + 1, subdim)," +
           " x -> x / norm) as sub))")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
-  }
 
   /** Per (vec_id, s): the L2-nearest code (tie → smaller c) against a
     * broadcast codebook — shared by training, encoding and search so
@@ -500,8 +585,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val c = corpus(embeddings, nProbes)
-    val codebook = pqTrainOnSample(
-      sampleUnitVecs(c, TrainSampleSize), nSub, kCodes, iters)
+    val codebook = pqTrainOnSample(trainSample(c), nSub, kCodes, iters)
     val cb = broadcast(spark.createDataset(codebook).toDF())
     body(subVectors(c, nSub), cb)
   }
@@ -635,15 +719,18 @@ object Similarity {
     * kCodes rows) that makes residual arithmetic linear — derived by
     * both Spark and the SQL oracle from the same model literals.
     */
-  private def centroidCodeDots(cDF: DataFrame, cb: DataFrame, nSub: Int): DataFrame = {
-    val subDim = 64 / nSub
+  private def centroidCodeDots(cDF: DataFrame, cb: DataFrame, nSub: Int): DataFrame =
     cDF.select(col("cluster_id"), col("centroid").as("ivf_centroid"))
       .crossJoin(cb)
+      // subDim = the code centroid's own length (not a hardcoded
+      // dim/nSub): any corpus dimensionality slices correctly, and the
+      // guard fails loudly if the two models' shapes ever disagree
       .select(col("cluster_id"), col("s"), col("c"),
         VectorOps.dot(
-          expr(s"slice(ivf_centroid, s * $subDim + 1, $subDim)"),
+          expr("CASE WHEN size(ivf_centroid) = size(centroid) * " + nSub +
+            " THEN slice(ivf_centroid, s * size(centroid) + 1, size(centroid)) " +
+            "ELSE raise_error('IVF centroid dim <> code subdim * nSub') END"),
           col("centroid")).as("cdot"))
-  }
 
   /** Per (vec_id, s): the residual code — argmax over codes of
     * (sub − c_sub)·q − ‖q‖²/2, computed WITHOUT materializing residual
@@ -685,9 +772,10 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val c = corpus(embeddings, nProbes)
-    val sample = sampleUnitVecs(c, TrainSampleSize)
+    val sample = trainSample(c)
     val centroids = ivfTrainOnSample(sample, nClusters, ivfIters)
-    val codebook = pqTrainResidualsOnSample(sample, centroids, nSub, kCodes, pqIters)
+    val codebook = pqTrainResidualsOnSample(sample, centroids,
+      nClusters, ivfIters, nSub, kCodes, pqIters)
     val cDF = broadcast(spark.createDataset(centroids).toDF())
     val cb = broadcast(spark.createDataset(codebook).toDF())
     val cdot = broadcast(centroidCodeDots(cDF, cb, nSub))

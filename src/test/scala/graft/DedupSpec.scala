@@ -153,6 +153,22 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 19L).forall(got(_) == 10L))
   }
 
+  test("distributed CC resolves a path graph far longer than the round budget") {
+    // a 300-edge path is the adversarial case for plain neighbor-min
+    // propagation (needs 300 rounds > maxIters=50); the pointer-jump
+    // shortcut must close it in ~log2(300) rounds. Both paths must
+    // also agree exactly.
+    val n = 300L
+    val docsDf = (0L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val dist = Dedup.connectedComponents(docsDf, pairs, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dist.forall(_._2 == 0L))
+    val driver = Dedup.connectedComponents(docsDf, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dist == driver)
+  }
+
   test("driver union-find fast path equals the distributed label loop") {
     val rnd = new scala.util.Random(13)
     val docsDf = (0L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

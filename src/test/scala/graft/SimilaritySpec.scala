@@ -234,4 +234,15 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(norm - 1.0) < 1e-9)
     }
   }
+
+  test("trained models are cached across queries: a repeated ANN query trains nothing") {
+    Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
+    Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists
+    val before = Similarity.trainingsRun.get
+    Similarity.annIvfTopK(emb, k = 3).collect() // different query params, same model
+    Similarity.annPqTopK(emb, k = 3, rerank = 10).collect()
+    Similarity.annIvfPqTopK(emb).collect() // composes the two already-trained models
+    assert(Similarity.trainingsRun.get == before,
+      "rerunning ANN queries with identical training params must hit the model cache")
+  }
 }
