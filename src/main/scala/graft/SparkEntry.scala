@@ -117,6 +117,10 @@ object SparkEntry {
       EventOps.closeStreams(Tables(s, dir).events, EventOps.targetInstances(s))),
     "ev_purge_consumers" -> ((s, dir) =>
       EventOps.purgeConsumers(Tables(s, dir).events, EventOps.targetInstances(s))),
+    "ev_requeue" -> ((s, dir) => EventOps.requeue(Tables(s, dir).events)),
+    "ev_inbox_read" -> ((s, dir) =>
+      EventOps.inboxRead(Tables(s, dir).events, EventOps.targetInstances(s))),
+    "ev_organize" -> ((s, dir) => EventOps.organizeStreams(Tables(s, dir).events)),
     "ev_config_registry" -> ((s, _) =>
       EventOps.registryFromConfig(s, EventOps.sampleBusConfig)),
     "ev_journeys" -> ((s, dir) => EventOps.journeys(Tables(s, dir).events)),
@@ -780,6 +784,47 @@ object SparkEntry {
         |WHERE user_id IN (3, 7, 11)
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "ev_requeue" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value) AS BIGINT) AS value_key
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type, value_key) + 1
+        |      AS delivery_count
+        |  FROM e)
+        |SELECT event_id, user_id, event_type, delivery_count,
+        |  CASE WHEN delivery_count >= 3 THEN 'dead_letter' ELSE 'inbox' END
+        |    AS destination
+        |FROM w WHERE rn <= 10
+        |ORDER BY event_id""".stripMargin,
+    "ev_inbox_read" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id IN (3, 7, 11)),
+        |p AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |i AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS ir
+        |  FROM p WHERE rn <= 10)
+        |SELECT event_id, user_id, event_type, value, ts_us,
+        |  'worker_1' AS claimed_by
+        |FROM i WHERE ir = 1
+        |ORDER BY event_id""".stripMargin,
+    "ev_organize" ->
+      """SELECT 'stream_' || CAST(user_id % 4 AS VARCHAR) AS stream, event_type,
+        |  COUNT(*) AS n_messages,
+        |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY stream, event_type""".stripMargin,
     "ev_purge_consumers" ->
       """SELECT event_id, user_id, event_type, 'inbox' AS destination FROM (
         |  SELECT event_id, user_id, event_type,

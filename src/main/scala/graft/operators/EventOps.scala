@@ -511,6 +511,82 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Requeue / retry (reference `utilities/communication.py:550`
+    * return_message_to_inbox, exercised by
+    * `tests/test_communication.py:230`): a failed delivery returns to
+    * the shared inbox consumer for redelivery with its delivery count
+    * incremented; a message whose incremented count reaches the
+    * dead-letter threshold routes to the dead-letter destination
+    * instead (the [[deadLetter]] cap, composed). Pending set = the
+    * newest-`pendingN` per user ([[purgeConsumers]]' unacked-tail
+    * model); delivery count = observed deliveries of the same logical
+    * payload ([[deadLetter]]'s identity). The user window runs first,
+    * so the identity window (whose keys extend user_id) reuses the
+    * same hash exchange — one shuffle, then a sort.
+    */
+  def requeue(events: DataFrame, maxDeliveries: Int = 3,
+      pendingN: Int = 10): DataFrame = {
+    val wIdentity = Window.partitionBy(col("user_id"), col("event_type"),
+      col("value_key"))
+    withTsUs(events)
+      .withColumn("value_key", floor(col("value")).cast("long"))
+      .withColumn("rn", row_number().over(byArrivalDesc))
+      .withColumn("delivery_count", count(lit(1)).over(wIdentity) + 1)
+      .filter(col("rn") <= pendingN)
+      .withColumn("destination",
+        when(col("delivery_count") >= maxDeliveries, "dead_letter")
+          .otherwise("inbox"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("delivery_count"), col("destination"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Inbox-targeted read (reference `utilities/communication.py:715`
+    * get_messages_from_inbox): claim what is currently assigned to the
+    * shared inbox consumer — a different view from group-pending
+    * ([[idleMessages]]) — and hand it to `consumer`, organized in
+    * message-id order (`organize_messages` sorts on id,
+    * `communication.py:618`). Inbox contents = what [[purgeConsumers]]
+    * transferred (the targets' unacked newest-N); the claim collapses
+    * to the newest copy per logical identity (user, type) — an older
+    * returned copy is superseded by the newer redelivery.
+    */
+  def inboxRead(events: DataFrame, targets: DataFrame,
+      consumer: String = "worker_1", pendingN: Int = 10): DataFrame =
+    withTsUs(events)
+      .join(broadcast(targets), col("user_id") === col("target_user"), "left_semi")
+      .withColumn("rn", row_number().over(byArrivalDesc))
+      .filter(col("rn") <= pendingN)
+      .withColumn("ir", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("ir") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"), lit(consumer).as("claimed_by"))
+      .orderBy(col("event_id"))
+
+  /** Multi-stream organize (reference `utilities/communication.py:586`
+    * organize_stream_messages + `:618` organize_messages): a mixed
+    * read across several streams pivots into per-(stream, event)
+    * groups in message-id order. Stream assignment = the deterministic
+    * instance→stream sharding (user_id mod nStreams; the reference
+    * keys one stream per application instance — sharding instances
+    * onto streams IS the multi-stream read). The reference's nested
+    * stream→id→payload map in relational form: one row per
+    * (stream, event_type) with id-ordered group boundaries and the
+    * payload total. One hash aggregate on small keys.
+    */
+  def organizeStreams(events: DataFrame, nStreams: Int = 4): DataFrame =
+    events
+      .withColumn("stream",
+        concat(lit("stream_"), pmod(col("user_id"), lit(nStreams)).cast("string")))
+      .groupBy(col("stream"), col("event_type"))
+      .agg(count(lit(1)).as("n_messages"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("stream"), col("event_type"))
+
   /** Universal completion status (reference
     * `utilities/communication.py:1029-1056` message_is_applied_to_all /
     * get_universal_message_status: a message is complete once every

@@ -38,6 +38,14 @@ final case class DeadLettered(
     user_id: Long, event_type: String, value_key: Long,
     event_id: Long, delivery_count: Long)
 
+/** A message returned to the inbox for redelivery — or dead-lettered
+  * at the cap — on a failed delivery (reference
+  * `utilities/communication.py:550` return_message_to_inbox).
+  */
+final case class Requeued(
+    user_id: Long, event_type: String, value_key: Long,
+    event_id: Long, delivery_count: Long, destination: String)
+
 /** Exact microseconds from a java.sql.Timestamp: getTime() alone
   * truncates to milliseconds (the nanos field holds the full
   * fractional second), which would diverge from the batch twins'
@@ -243,6 +251,50 @@ object EventStreamJobs {
                 s = s.copy(dead = true)
                 out += DeadLettered(key._1, key._2, key._3, e.event_id, s.n)
               }
+            }
+            state.update(s)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Live requeue / retry (reference `utilities/communication.py:550`
+    * return_message_to_inbox as a standing query): each delivery of an
+    * identity returns to the inbox with the incremented running count,
+    * flipping to the dead-letter destination once the count reaches
+    * the cap — the streaming twin of `EventOps.requeue`, sharing
+    * [[DeliveryState]] and the delivery-identity key with
+    * [[deadLetterStream]] so the two bookkeeping views can never
+    * disagree on what a "delivery" is. The LAST emission per identity
+    * carries the full count — the batch operator's value once the
+    * feed drains. Same TTL story as [[deadLetterStream]].
+    */
+  def requeueStream(events: Dataset[LiveEvent], maxDeliveries: Int = 3,
+      ttlMs: Long = 0L)
+      (implicit spark: SparkSession): Dataset[Requeued] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(e => (e.user_id, e.event_type, math.floor(e.value).toLong))
+      .flatMapGroupsWithState[DeliveryState, Requeued](
+        OutputMode.Append, timeoutConf) {
+        (key: (Long, String, Long), rows: Iterator[LiveEvent],
+            state: GroupState[DeliveryState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(DeliveryState(0L, dead = false))
+            val out = Seq.newBuilder[Requeued]
+            sorted.foreach { e =>
+              s = s.copy(n = s.n + 1)
+              val requeued = s.n + 1 // the redelivery increment, as in batch
+              out += Requeued(key._1, key._2, key._3, e.event_id, requeued,
+                if (requeued >= maxDeliveries) "dead_letter" else "inbox")
             }
             state.update(s)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)

@@ -153,6 +153,42 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("requeue returns pending messages to the inbox, dead-letters at the cap") {
+    // identity (1, view, 7): 2 observed deliveries → incremented to 3 ⇒
+    // dead_letter at cap 3; (1, click, 7): 1 delivery → 2 ⇒ inbox.
+    // pendingN = 2 keeps only the newest 2 per user: events 2 and 3.
+    val out = EventOps.requeue(events(
+      (1L, 0, 1, "view", 7.2), (2L, 5, 1, "view", 7.9), // same identity
+      (3L, 6, 1, "click", 7.4),
+      (4L, 0, 2, "view", 1.0)), maxDeliveries = 3, pendingN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (2L, 3L, "dead_letter"), (3L, 2L, "inbox"), (4L, 2L, "inbox")))
+  }
+
+  test("inboxRead claims the newest copy per identity from targeted inboxes only") {
+    // user 3 is a target: two views → only the newest (id 2) is claimed;
+    // the click keeps its own identity; user 1 is not a target
+    val out = EventOps.inboxRead(events(
+      (1L, 0, 3, "view", 1.0), (2L, 5, 3, "view", 2.0),
+      (3L, 6, 3, "click", 3.0),
+      (4L, 0, 1, "view", 4.0)), EventOps.targetInstances(spark)).collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    assert(out.toSeq == Seq((2L, "worker_1"), (3L, "worker_1")))
+  }
+
+  test("organizeStreams pivots a mixed read into per-(stream, type) id-ordered groups") {
+    // users 1 and 5 shard to stream_1, user 2 to stream_2
+    val out = EventOps.organizeStreams(events(
+      (1L, 0, 1, "view", 1.0), (2L, 1, 5, "view", 2.0),
+      (3L, 2, 1, "click", 3.0), (4L, 3, 2, "view", 4.0))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("stream_1", "click", 1L, 3L, 3L),
+      ("stream_1", "view", 2L, 1L, 2L),
+      ("stream_2", "view", 1L, 4L, 4L)))
+  }
+
   test("universalStatus: complete only when every registered handler acked") {
     // purchase fans to 2 handlers; ack predicate: (id*31+len(handler))%10 != 0
     // id=10: 10*31+15=325 → 5≠0 acked; 10*31+13=323 → 3≠0 acked ⇒ complete

@@ -206,6 +206,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live requeue returns every redelivery to the inbox, dead-letters at the cap") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.requeueStream(in.toDS(), maxDeliveries = 3)
+      .writeStream.format("memory").queryName("requeued").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "view"), ev(2, 1, 1, "view")) // deliveries 1, 2
+      q.processAllAvailable()
+      val first = spark.table("requeued").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("delivery_count"),
+          r.getAs[String]("destination")))
+      // delivery 1 requeues as count 2 (inbox); delivery 2 hits the cap
+      assert(first.toSet == Set((1L, 2L, "inbox"), (2L, 3L, "dead_letter")))
+      in.addData(ev(3, 2, 1, "view")) // state persists across batches
+      q.processAllAvailable()
+      val all = spark.table("requeued").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("delivery_count"),
+          r.getAs[String]("destination")))
+      assert(all.toSet == first.toSet + ((3L, 4L, "dead_letter")))
+    } finally q.stop()
+  }
+
   test("streaming document pipeline cleans, fingerprints and dedups like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
