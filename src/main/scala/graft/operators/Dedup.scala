@@ -161,6 +161,45 @@ object Dedup {
       docSets)
   }
 
+  /** The statistic that decides count-join vs PPJoin prefix filter:
+    * singleton mass — the fraction of shingle OCCURRENCES whose
+    * shingle appears in exactly ONE document. df=1 shingles produce
+    * zero join pairs but still flow through the count-join's
+    * self-join shuffle; the prefix filter prunes them (and everything
+    * rare) before any join. ProfileJaccard measured the crossover on
+    * this corpus: a dense ~30-word vocabulary has almost no df=1
+    * shingles and the prefix variant LOSES (extra global df aggregate
+    * + array hauling, ~3.4 s vs ~3.0 s at sf0.1); a realistic
+    * long-tail vocabulary is majority-singleton and the prune wins.
+    * One cheap keyed aggregate over the fused fingerprint table —
+    * a fraction of either join's cost.
+    */
+  def jaccardStrategy(documents: DataFrame,
+      singletonMassCutover: Double = 0.5): String = {
+    val r = shingleFps(documents)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("occ"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"))
+      .head()
+    val occ = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val singles = if (r.isNullAt(1)) 0L else r.getLong(1)
+    if (occ > 0 && singles.toDouble / occ >= singletonMassCutover) "prefix"
+    else "count"
+  }
+
+  /** Adaptive exact Jaccard: measure the vocabulary with
+    * [[jaccardStrategy]], then dispatch to [[ngramJaccardPrefix]]
+    * (long-tail vocabulary) or [[ngramJaccard]] (dense vocabulary).
+    * Both produce identical results (spec-pinned), so the switch is a
+    * pure cost decision — the corpus tells the planner which plan it
+    * wants instead of a hardcoded default guessing.
+    */
+  def ngramJaccardAdaptive(documents: DataFrame, tauNum: Int = 50,
+      tauDenom: Int = 100, singletonMassCutover: Double = 0.5): DataFrame =
+    if (jaccardStrategy(documents, singletonMassCutover) == "prefix")
+      ngramJaccardPrefix(documents, tauNum, tauDenom)
+    else ngramJaccard(documents, tauNum, tauDenom)
+
   /** Benchmark-contamination check: which training documents contain
     * an eval document's content? Asymmetric shingle containment —
     * |shingles(train) ∩ shingles(eval)| / |shingles(eval)| ≥ τ — the

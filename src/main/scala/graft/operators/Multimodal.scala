@@ -48,8 +48,9 @@ object Multimodal {
   }
 
   /** STUB deterministic "decode": an 8-bin byte histogram, L1
-    * normalized — stands in for pixel/audio feature extraction.
-    * Deterministic per input, so specs can assert exact values.
+    * normalized — stands in for pixel/audio feature extraction for
+    * formats with no in-container codec (jpeg/png/mp4). Deterministic
+    * per input, so specs can assert exact values.
     */
   private[operators] def fakeDecode(r: MMRecord): MMFeatures = {
     val bins = new Array[Double](8)
@@ -58,7 +59,117 @@ object Multimodal {
     MMFeatures(r.doc_id, r.format, r.content.length, bins.map(_ / total))
   }
 
-  /** Batched per-partition decode: the real plumbing around the stub.
+  /** REAL pure-JVM decoder: uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    * BI_RGB, bottom-up, 4-byte row padding — the baseline every BMP
+    * writer emits). Parses the actual byte layout: pixel-array offset
+    * at 10, width/height at 18/22, bpp at 28, compression at 30;
+    * pixels are BGR triples. Features: [meanR, meanG, meanB,
+    * meanLuma] in 0–1 plus [width, height, nPixels, 2.0] (codec tag).
+    * Returns None for any shape this baseline doesn't cover (other
+    * bpp, compressed, truncated) — the caller falls back, as a real
+    * pipeline routes unsupported codecs to a fallback lane.
+    */
+  private[operators] def decodeBmp(r: MMRecord): Option[MMFeatures] = {
+    val c = r.content
+    if (c.length < 54 || c(0) != 'B'.toByte || c(1) != 'M'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22) // positive = bottom-up; sign only flips row order
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    val absH = math.abs(height)
+    if (bpp != 24 || compression != 0 || width <= 0 || absH == 0) return None
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * absH > c.length) return None
+    var (sr, sg, sb2, sl) = (0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < absH) {
+      var x = 0
+      val row = pixelOffset + y * rowSize
+      while (x < width) {
+        val b = c(row + 3 * x) & 0xff
+        val g = c(row + 3 * x + 1) & 0xff
+        val rr = c(row + 3 * x + 2) & 0xff
+        sr += rr; sg += g; sb2 += b
+        sl += 0.299 * rr + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * absH
+    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
+      sr / n / 255.0, sg / n / 255.0, sb2 / n / 255.0, sl / n / 255.0,
+      width.toDouble, absH.toDouble, n, 2.0)))
+  }
+
+  /** REAL pure-JVM decoder: RIFF/WAVE PCM 16-bit. Walks the chunk list
+    * (id + little-endian size, word-aligned) to the `fmt ` and `data`
+    * chunks, then folds the signed-16 samples once. Features:
+    * [mean, rms, zeroCrossRate, maxAbs] of amplitude normalized by
+    * 32768, plus [nSamples, sampleRate, nChannels, 3.0] (codec tag).
+    * None for non-PCM / non-16-bit / malformed — fallback lane.
+    */
+  private[operators] def decodeWav(r: MMRecord): Option[MMFeatures] = {
+    val c = r.content
+    if (c.length < 44) return None
+    def tag(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOk = false; var nChannels = 0; var sampleRate = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= c.length && (dataOff < 0 || !fmtOk)) {
+      val id = tag(off); val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > c.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        nChannels = bb.getShort(off + 10).toInt
+        sampleRate = bb.getInt(off + 12)
+        val bitsPerSample = bb.getShort(off + 22).toInt
+        if (audioFormat != 1 || bitsPerSample != 16 || nChannels <= 0) return None
+        fmtOk = true
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return None
+    val nSamples = dataLen / 2
+    if (nSamples == 0) return None
+    var (sum, sumSq, maxAbs) = (0.0, 0.0, 0.0)
+    var crossings = 0L; var prevNeg = false; var first = true
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + 2 * i) / 32768.0
+      sum += s; sumSq += s * s
+      if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+      val neg = s < 0
+      if (!first && neg != prevNeg) crossings += 1
+      prevNeg = neg; first = false
+      i += 1
+    }
+    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
+      sum / nSamples, math.sqrt(sumSq / nSamples),
+      if (nSamples > 1) crossings.toDouble / (nSamples - 1) else 0.0, maxAbs,
+      nSamples.toDouble, sampleRate.toDouble, nChannels.toDouble, 3.0)))
+  }
+
+  /** Content-sniffing dispatch, like a real codec registry: magic
+    * bytes pick the decoder; anything unrecognized (or recognized but
+    * outside the baseline profile) takes the declared stub lane.
+    */
+  private[operators] def decodeOne(r: MMRecord): MMFeatures = {
+    val c = r.content
+    if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte)
+      decodeBmp(r).getOrElse(fakeDecode(r))
+    else if (c.length >= 12 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
+        c(2) == 'F'.toByte && c(3) == 'F'.toByte)
+      decodeWav(r).getOrElse(fakeDecode(r))
+    else fakeDecode(r)
+  }
+
+  /** Batched per-partition decode: real byte-parsing codecs (BMP,
+    * WAV) behind content sniffing, the declared histogram stub for
+    * formats whose libraries aren't in this container.
     * `grouped(batchSize)` is the batch shape a vectorized (Arrow)
     * decoder consumes; no shuffle — runs at scan parallelism.
     */
@@ -68,8 +179,8 @@ object Multimodal {
     records.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
         // real codecs initialize per batch here (decoder handle, GPU
-        // context, ...); the stub just maps
-        batch.iterator.map(fakeDecode)
+        // context, ...); BMP/WAV need none, so the batch just maps
+        batch.iterator.map(decodeOne)
       }
     }
   }

@@ -181,6 +181,25 @@ class DedupSpec extends AnyFunSuite {
     assert(run(1 << 20) == run(0))
   }
 
+  test("adaptive jaccard picks prefix on long-tail vocab, count-join on dense vocab") {
+    // long-tail: every doc is built from its own unique words, so
+    // every shingle is df=1 (singleton mass = 1.0)
+    val longTail = (1L to 20L).map(i =>
+      (i, (0 until 8).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.jaccardStrategy(longTail) == "prefix")
+    // dense: all docs drawn from the same 5-word rotation — every
+    // shingle repeats across docs, singleton mass ≈ 0
+    val dense = (1L to 20L).map(i =>
+      (i, (0 until 8).map(j => s"v${(i + j) % 5}").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.jaccardStrategy(dense) == "count")
+    // the switch is a pure cost decision: both strategies agree
+    val viaAdaptive = Dedup.ngramJaccardAdaptive(dense).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCount = Dedup.ngramJaccard(dense).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaAdaptive == viaCount)
+  }
+
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
     // eval doc 1 is wholly contained in train doc 10 (tail appended);
     // train doc 11 shares nothing

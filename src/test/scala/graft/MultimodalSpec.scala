@@ -35,6 +35,43 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
   }
 
+  test("real BMP and WAV fixture bytes decode through the batched path") {
+    implicit val s = spark
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a real 2x2 24bpp bottom-up BMP: bottom row red,green; top row
+    // blue,white — rows padded to 4 bytes (6 pixel bytes + 2 pad)
+    val bmp = ByteBuffer.allocate(54 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0).putInt(54)
+    bmp.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // BGR triples: red=(0,0,255) green=(0,255,0); blue=(255,0,0) white=(255,255,255)
+    bmp.put(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0)) // bottom row + pad
+    bmp.put(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0)) // top row + pad
+    // a real PCM16 mono WAV at 8 kHz: samples ±16384 (±0.5 normalized)
+    val wav = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(8)
+      .putShort(16384).putShort(-16384).putShort(16384).putShort(-16384)
+    val rec = Seq(
+      graft.operators.MMRecord(1L, bmp.array(), "bmp", 2, 2, 1),
+      graft.operators.MMRecord(2L, wav.array(), "wav", 0, 0, 1),
+      graft.operators.MMRecord(3L, "not a codec payload".getBytes, "jpeg", 8, 8, 1)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(rec, batchSize = 2).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    // BMP: mean R=G=B=0.5 by construction, luma mean 0.5, 2x2=4 px, tag 2
+    assert(feats(1L).map(v => math.rint(v * 1e9) / 1e9).toSeq ==
+      Seq(0.5, 0.5, 0.5, 0.5, 2.0, 2.0, 4.0, 2.0))
+    // WAV: mean 0, rms 0.5, every adjacent pair crosses zero, max 0.5
+    assert(feats(2L).map(v => math.rint(v * 1e9) / 1e9).toSeq ==
+      Seq(0.0, 0.5, 1.0, 0.5, 4.0, 8000.0, 1.0, 3.0))
+    // unrecognized payload falls back to the declared histogram stub
+    assert(math.abs(feats(3L).sum - 1.0) < 1e-9)
+  }
+
   test("frame sampling explodes every 30th frame for video rows only") {
     implicit val s = spark
     val out = Multimodal.frameSample(Multimodal.records(docs)).collect()
