@@ -166,6 +166,17 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, 3L, "dead_letter"), (3L, 2L, "inbox"), (4L, 2L, "inbox")))
   }
 
+  test("requeue's two windows share one hash exchange (subset-key reuse)") {
+    // the identity window's keys extend the user window's, so Spark's
+    // ClusteredDistribution check must satisfy it from the same
+    // exchange — a regression here silently doubles the shuffle
+    val plan = EventOps.requeue(events(
+      (1L, 0, 1, "view", 1.0), (2L, 1, 1, "view", 1.0)))
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
   test("inboxRead claims the newest copy per identity from targeted inboxes only") {
     // user 3 is a target: two views → only the newest (id 2) is claimed;
     // the click keeps its own identity; user 1 is not a target
