@@ -297,20 +297,28 @@ object Relational {
     * oracle emits literal TRUE for those. The sketch-only form (no
     * exact companions, no expand) is the documented 100 TB path.
     */
-  def q19ApproxDistinct(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        count(lit(1)).as("n_rows"),
+  def q19ApproxDistinct(lineitem: DataFrame): DataFrame = {
+    // one distinct column per aggregate branch: a single-distinct agg
+    // plans as partial-on-(group, value) → final — map-side combined,
+    // no Expand. Two countDistinct in ONE agg would triple the input
+    // through an Expand before the shuffle, which is what made the
+    // first cut of this query 3× slower.
+    val parts = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
+        count(lit(1)).as("n_rows")) // non-distinct aggs ride the
+    // single-distinct plan through PartialMerge — no extra job
+    val supps = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("supps_approx"))
+    parts.join(supps, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"),
         (abs(col("parts_approx") - col("n_parts")) <= col("n_parts") * lit(0.1))
           .as("parts_ok"),
         (abs(col("supps_approx") - col("n_supps")) <= col("n_supps") * lit(0.1))
           .as("supps_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Sketch-based percentiles: the at-scale variant of
     * [[q15Percentiles]] — bounded-memory mergeable summaries instead
@@ -319,17 +327,34 @@ object Relational {
     * semantics in DuckDB) are hash-checked by the oracle; in-query
     * booleans prove the GK sketch lands within 5% of exact.
     */
-  def q20ApproxPercentile(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+  def q20ApproxPercentile(lineitem: DataFrame): DataFrame = {
+    // Exact discrete percentiles from a VALUE HISTOGRAM, not Spark's
+    // percentile_disc aggregate (which buffers every group member —
+    // a non-starter at scale, and 4× slower here): one map-side-
+    // combined (flag, value) count, a per-flag cumulative window over
+    // the distinct values (bounded by value cardinality, not row
+    // count), then the smallest value whose cumulative count reaches
+    // p·n — integer arithmetic only (cum·2 ≥ n ⟺ cume_dist ≥ 0.5;
+    // cum·20 ≥ 19·n ⟺ ≥ 0.95), so the pick is engine-exact and
+    // matches DuckDB's PERCENTILE_DISC definition symbolically.
+    val hist = lineitem.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+    val exact = cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
+    val sketches = lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+    exact.join(sketches, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50"), col("p95"),
         (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),
         (abs(col("p95_approx") - col("p95")) <= col("p95") * lit(0.05)).as("p95_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Skew-resilient two-phase aggregation: explicit salting splits any
     * hot group across `salts` reducers before the final combine —
