@@ -147,6 +147,10 @@ object SparkEntry {
       val docs = Tables(s, dir).documents
       Dedup.connectedComponents(docs, Dedup.ngramJaccard(docs))
     }),
+    "dd_canonicalize" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.canonicalize(docs, Dedup.ngramJaccard(docs))
+    }),
     "txt_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables(s, dir).documents)),
     "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
     "txt_bm25" -> ((s, dir) => TextOps.bm25TopK(Tables(s, dir).documents)),
@@ -1038,6 +1042,42 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         |ORDER BY d.doc_id""".stripMargin,
+    "dd_canonicalize" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pr AS (
+        |  SELECT doc1, doc2 FROM (
+        |    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sizes s1 ON doc1 = s1.doc_id
+        |  JOIN sizes s2 ON doc2 = s2.doc_id
+        |  WHERE inter * 100 >= (s1.s + s2.s - inter) * 50),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM pr
+        |      UNION SELECT doc2, doc1 FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+        |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v),
+        |alldocs AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |ranked AS (
+        |  SELECT doc_id, component,
+        |    COUNT(*) OVER (PARTITION BY component) AS n_members,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM alldocs)
+        |SELECT doc_id, component, n_members,
+        |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
     "txt_pii_redact" ->
       """WITH wp AS (
         |  SELECT doc_id,

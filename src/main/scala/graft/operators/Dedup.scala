@@ -575,6 +575,31 @@ object Dedup {
     attachLabels(documents, labels)
   }
 
+  /** Canonical-member selection over near-dup components: the policy
+    * step that turns clustering into an actual dedup decision. Keeps
+    * the LONGEST member per component (`n_chars`, tie → smallest
+    * doc_id) — the standard keep-best policy (longest survivor
+    * preserves the most content; swap the ordering column for a
+    * quality score to change policy). Output: every document with its
+    * component, the component size, and keep ∈ {0,1}; filtering
+    * keep=1 yields the deduplicated corpus. Component labels attach
+    * via one doc_id equi-join, then BOTH window functions (size,
+    * rank) share the single component-keyed exchange.
+    */
+  def canonicalize(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(documents, pairs)
+      .select(col("doc_id"), col("component"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(comps, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("rnk", row_number().over(
+        wc.orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        when(col("rnk") === 1, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Attach component labels (pair-graph vertices only) back onto the
     * full document set; singletons label themselves. Labels broadcast
     * so the corpus-sized document side never shuffles for this join

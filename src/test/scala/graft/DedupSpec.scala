@@ -153,6 +153,23 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 19L).forall(got(_) == 10L))
   }
 
+  test("canonicalize keeps the longest member per component, smallest id on ties") {
+    val docsDf = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // component 1: 3 wins? no — 2 and 3 tie at 30, keep 2
+      (4L, "d", 5L), // singleton keeps itself
+      (5L, "e", 1L), (6L, "f", 2L) // component 5: 6 is longer
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val got = Dedup.canonicalize(docsDf, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0L), (2L, 1L, 3L, 1L), (3L, 1L, 3L, 0L),
+      (4L, 4L, 1L, 1L),
+      (5L, 5L, 2L, 0L), (6L, 5L, 2L, 1L)))
+    // exactly one keeper per component
+    got.groupBy(_._2).foreach { case (_, g) => assert(g.count(_._4 == 1L) == 1) }
+  }
+
   test("distributed CC resolves a path graph far longer than the round budget") {
     // a 300-edge path is the adversarial case for plain neighbor-min
     // propagation (needs 300 rounds > maxIters=50); the pointer-jump
