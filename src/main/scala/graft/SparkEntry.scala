@@ -167,6 +167,7 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
+    "ann_recall_eval" -> ((s, dir) => Similarity.recallAtK(Tables(s, dir).embeddings)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
     "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
@@ -1572,6 +1573,58 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin
+        .replace("<<PLANES>>", planeValues(72))),
+    // recall@k: the brute and LSH top-5 pipelines above, joined —
+    // n_hits = |brute ∩ lsh| per probe, recall = n_hits/k
+    "ann_recall_eval" ->
+      ("""WITH p0 AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |c0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |bs AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, cv) /
+        |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c0 CROSS JOIN p0),
+        |bt AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM bs) t WHERE rnk <= 5),
+        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
+        |ps AS (
+        |  SELECT probe_id, (pid // 6)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(pv, p) > 0
+        |        THEN (1::BIGINT << (pid % 6)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM p0 CROSS JOIN planes GROUP BY probe_id, pid // 6),
+        |cs AS (
+        |  SELECT vec_id, (pid // 6)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(cv, p) > 0
+        |        THEN (1::BIGINT << (pid % 6)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM c0 CROSS JOIN planes GROUP BY vec_id, pid // 6),
+        |cand AS (SELECT DISTINCT probe_id, vec_id FROM ps JOIN cs USING (bucket)),
+        |ls AS (
+        |  SELECT probe_id, vec_id, list_dot_product(pv, cv) /
+        |    (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM cand JOIN p0 USING (probe_id) JOIN c0 USING (vec_id)),
+        |lt AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM ls) t WHERE rnk <= 5)
+        |SELECT bt.probe_id,
+        |  CAST(SUM(CASE WHEN lt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  ROUND(CAST(SUM(CASE WHEN lt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) / 5.0, 6) AS recall
+        |FROM bt LEFT JOIN lt
+        |  ON bt.probe_id = lt.probe_id AND bt.vec_id = lt.vec_id
+        |GROUP BY bt.probe_id
+        |ORDER BY bt.probe_id""".stripMargin
         .replace("<<PLANES>>", planeValues(72)))
   )
 

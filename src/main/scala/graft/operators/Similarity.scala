@@ -806,6 +806,27 @@ object Similarity {
     rerankExact(embeddings, approx, nProbes, k, rerank)
   }
 
+  /** ANN quality harness: per-probe recall@k of the LSH index against
+    * the exact [[bruteTopK]] baseline — the measurement every
+    * approximate-index rollout needs before trusting it at corpus
+    * scale. Both sides are top-k tables (nProbes·k rows), so the
+    * comparison join is trivially small whatever the corpus size; the
+    * cost is the two searches themselves. n_hits is exact integer,
+    * recall = n_hits/k in one fixed-order double division.
+    */
+  def recallAtK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val brute = bruteTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("vec_id"))
+    val approx = annLshTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    brute.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Range search: every corpus vector within cosine ≥ tau of each
     * probe (the "all near neighbors" companion to top-k — what a
     * contamination / near-dup-against-eval check runs). Probes

@@ -235,6 +235,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall@k compares LSH to brute per probe, consistent with the raw top-k sets") {
+    val got = Similarity.recallAtK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10) // one row per probe
+    got.foreach { case (_, hits, recall) =>
+      assert(hits >= 0 && hits <= 5)
+      assert(recall == math.rint(hits / 5.0 * 1e6) / 1e6)
+    }
+    // independent recomputation from the two top-k sets
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val lsh = Similarity.annLshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    got.foreach { case (p, hits, _) =>
+      val expected = brute(p).map(_._2).toSet
+        .intersect(lsh.getOrElse(p, Array.empty[(Long, Long)]).map(_._2).toSet).size
+      assert(hits == expected, s"probe $p")
+    }
+  }
+
   test("trained models are cached across queries: a repeated ANN query trains nothing") {
     Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
     Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists
