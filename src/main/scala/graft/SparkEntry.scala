@@ -158,6 +158,7 @@ object SparkEntry {
     "samp_interleave" -> ((s, dir) => Sampling.interleaveSources(Tables(s, dir).documents)),
     "samp_curriculum" -> ((s, dir) => Sampling.curriculumStages(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
+    "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
     "samp_mix_weights" -> ((s, dir) => Sampling.mixtureWeights(Tables(s, dir).documents)),
@@ -1217,6 +1218,13 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '28' ELSE '50' END
+        |ORDER BY doc_id""".stripMargin,
+    "samp_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "samp_domain_mix" ->
       """SELECT doc_id, source, pick_rank FROM (

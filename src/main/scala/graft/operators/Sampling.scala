@@ -50,6 +50,30 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test holdout split: the same md5 coin as
+    * [[stratifiedSample]] cut at two hex thresholds (defaults ≈
+    * 80/10/10). A pure per-row function — no global coordination, no
+    * rand(), identical assignment on any cluster size, any partition
+    * layout, any re-run; a document can never migrate between splits
+    * when the corpus grows (the property that keeps eval sets
+    * uncontaminated across crawls). Narrow map, decision fused into
+    * the scan.
+    */
+  def holdoutSplit(documents: DataFrame, trainHex: String = "cc",
+      valHex: String = "e6"): DataFrame = {
+    Seq(trainHex, valHex).foreach { t =>
+      require(t.matches("[0-9a-f]{2}"),
+        s"threshold '$t' must be two lowercase hex chars (1/256 steps)")
+    }
+    require(trainHex < valHex, "train cut must precede val cut")
+    documents
+      .select(col("doc_id"), col("source"),
+        when(hashBucket < trainHex, "train")
+          .when(hashBucket < valHex, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-mix quota: at most `quota` docs per source, chosen by the
     * deterministic hash order (hash rank ⇒ an unbiased, reproducible
     * "random" subset; doc_id tie-break). One shuffle on source; the

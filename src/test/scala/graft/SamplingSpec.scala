@@ -41,6 +41,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("holdout split is exhaustive, disjoint, deterministic, and matches the md5 coin") {
+    val d = docs((1L to 400L).map(i => (i, s"text $i", "en", "web")): _*)
+    val got = Sampling.holdoutSplit(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 400) // every doc gets exactly one split
+    // assignment is the pure md5 coin — recompute independently
+    got.foreach { case (id, split) =>
+      val b = md5hex2(id)
+      val expected = if (b < "cc") "train" else if (b < "e6") "val" else "test"
+      assert(split == expected, s"doc $id bucket $b")
+    }
+    // roughly 80/10/10 at this n (loose bounds; the coin is uniform)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+    // growing the corpus never migrates an existing assignment
+    val grown = Sampling.holdoutSplit(
+      docs((1L to 800L).map(i => (i, s"text $i", "en", "web")): _*)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (id, s) => assert(grown(id) == s) }
+  }
+
   test("domain mix quota takes at most N per source, deterministically") {
     val d = docs((0L until 120L).map(i => (i, s"t $i", "en", s"src${i % 3}")): _*)
     val out = Sampling.domainMixQuota(d, quota = 10).collect()
