@@ -92,7 +92,7 @@ object Dedup {
     * See [[ngramJaccardPrefix]] for the PPJoin variant and PLANS.md
     * for when each wins.
     */
-  def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
+  def ngramJaccard(documents: DataFrame, tauNum: Int = 50, tauDenom: Int = 100): DataFrame =
     // the self-join keys on the 62-bit shingle fingerprint, not the
     // string: fixed 8-byte shuffle keys instead of ~20-byte strings,
     // and long-vs-long probes in the join hash table. Distinct
@@ -103,7 +103,14 @@ object Dedup {
     // tri feeds three plan branches (sizes + both join sides) —
     // persisted so the scan + fused shingling run once, not three
     // times, then released after the small result materializes
-    val tri = shingleFps(documents).persist()
+    ngramJaccardOnFps(shingleFps(documents).persist(), tauNum, tauDenom)
+
+  /** The count-join body over an ALREADY-PERSISTED fingerprint table —
+    * split out so [[ngramJaccardAdaptive]]'s vocabulary probe and the
+    * join can share one shingling pass instead of two. Takes ownership
+    * of `tri`: releases it once the result materializes.
+    */
+  private def ngramJaccardOnFps(tri: DataFrame, tauNum: Int, tauDenom: Int): DataFrame = {
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val pairs = tri.select(col("doc_id").as("doc1"), col("h"))
       .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
@@ -175,8 +182,12 @@ object Dedup {
     * a fraction of either join's cost.
     */
   def jaccardStrategy(documents: DataFrame,
-      singletonMassCutover: Double = 0.5): String = {
-    val r = shingleFps(documents)
+      singletonMassCutover: Double = 0.5): String =
+    jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover)
+
+  private def jaccardStrategyOnFps(tri: DataFrame,
+      singletonMassCutover: Double): String = {
+    val r = tri
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df")).as("occ"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"))
@@ -192,13 +203,20 @@ object Dedup {
     * (long-tail vocabulary) or [[ngramJaccard]] (dense vocabulary).
     * Both produce identical results (spec-pinned), so the switch is a
     * pure cost decision — the corpus tells the planner which plan it
-    * wants instead of a hardcoded default guessing.
+    * wants instead of a hardcoded default guessing. The probe and the
+    * count-join SHARE one persisted shingling pass — the probe must
+    * not cost a second corpus scan; on the prefix path the persisted
+    * fingerprints release immediately (that path re-shingles as
+    * strings for the document-frequency sort order it needs).
     */
   def ngramJaccardAdaptive(documents: DataFrame, tauNum: Int = 50,
-      tauDenom: Int = 100, singletonMassCutover: Double = 0.5): DataFrame =
-    if (jaccardStrategy(documents, singletonMassCutover) == "prefix")
+      tauDenom: Int = 100, singletonMassCutover: Double = 0.5): DataFrame = {
+    val tri = shingleFps(documents).persist()
+    if (jaccardStrategyOnFps(tri, singletonMassCutover) == "prefix") {
+      tri.unpersist(blocking = false)
       ngramJaccardPrefix(documents, tauNum, tauDenom)
-    else ngramJaccard(documents, tauNum, tauDenom)
+    } else ngramJaccardOnFps(tri, tauNum, tauDenom)
+  }
 
   /** Benchmark-contamination check: which training documents contain
     * an eval document's content? Asymmetric shingle containment —

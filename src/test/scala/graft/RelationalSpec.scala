@@ -65,4 +65,14 @@ class RelationalSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q19's distinct-count branches plan without Expand") {
+    // one distinct column per aggregate keeps the single-distinct
+    // rewrite (partial-on-(group, value)); a multi-distinct Expand
+    // tripling the scan is the regression this pins out
+    val t = graft.sources.Tables(spark, TestSpark.sfDir)
+    val plan = graft.operators.Relational.q19ApproxDistinct(t.lineitem)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand found in plan:\n$plan")
+  }
 }
