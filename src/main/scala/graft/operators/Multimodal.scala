@@ -153,6 +153,97 @@ object Multimodal {
       nSamples.toDouble, sampleRate.toDouble, nChannels.toDouble, 3.0)))
   }
 
+  /** REAL pure-JVM decoder: PNG, 8-bit truecolor (RGB / RGBA),
+    * non-interlaced — the baseline every PNG encoder can emit. This
+    * one is a full real codec: big-endian chunk walk (IHDR first,
+    * IDAT concatenation), zlib inflate via `java.util.zip.Inflater`
+    * (in the JDK), then per-scanline unfiltering (None/Sub/Up/
+    * Average/Paeth — the complete PNG filter set). Features: the same
+    * [meanR, meanG, meanB, meanLuma, width, height, nPixels, tag]
+    * contract as BMP with tag 4.0; alpha is ignored for the color
+    * means. None for palette/gray/16-bit/interlaced — fallback lane.
+    */
+  private[operators] def decodePng(r: MMRecord): Option[MMFeatures] = {
+    val c = r.content
+    if (c.length < 45 || (c(0) & 0xff) != 0x89 || c(1) != 'P'.toByte ||
+      c(2) != 'N'.toByte || c(3) != 'G'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(c) // PNG integers are big-endian
+    def tag(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bb.getInt(8) != 13 || tag(12) != "IHDR") return None
+    val width = bb.getInt(16); val height = bb.getInt(20)
+    val bitDepth = c(24).toInt; val colorType = c(25).toInt; val interlace = c(28).toInt
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0 ||
+      (colorType != 2 && colorType != 6)) return None
+    val channels = if (colorType == 2) 3 else 4
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33 // past signature + IHDR
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= c.length) {
+      val len = bb.getInt(off); val typ = tag(off + 4)
+      if (len < 0 || off + 12 + len > c.length) return None
+      if (typ == "IDAT") idat.write(c, off + 8, len)
+      if (typ == "IEND") sawEnd = true
+      off += 12 + len
+    }
+    if (idat.size == 0) return None
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var n = 0
+    try {
+      while (n < raw.length && !inflater.finished()) {
+        val got = inflater.inflate(raw, n, raw.length - n)
+        if (got == 0 && (inflater.needsInput() || inflater.needsDictionary())) return None
+        n += got
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    if (n < raw.length) return None
+    // unfilter scanlines in place into unsigned-int samples
+    val img = new Array[Int](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      if (filter > 4) return None
+      val rowOff = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rowOff + x) & 0xff
+        val a = if (x >= channels) img(y * stride + x - channels) else 0 // left
+        val b = if (y > 0) img((y - 1) * stride + x) else 0 // up
+        val cc = if (x >= channels && y > 0) img((y - 1) * stride + x - channels) else 0
+        val v = filter match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + b
+          case 3 => rv + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+        }
+        img(y * stride + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    var (sr, sg, sb2, sl) = (0.0, 0.0, 0.0, 0.0)
+    var i = 0
+    while (i < width * height) {
+      val base = i * channels
+      val rr = img(base); val g = img(base + 1); val b = img(base + 2)
+      sr += rr; sg += g; sb2 += b
+      sl += 0.299 * rr + 0.587 * g + 0.114 * b
+      i += 1
+    }
+    val np = width.toDouble * height
+    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
+      sr / np / 255.0, sg / np / 255.0, sb2 / np / 255.0, sl / np / 255.0,
+      width.toDouble, height.toDouble, np, 4.0)))
+  }
+
   /** Content-sniffing dispatch, like a real codec registry: magic
     * bytes pick the decoder; anything unrecognized (or recognized but
     * outside the baseline profile) takes the declared stub lane.
@@ -164,6 +255,9 @@ object Multimodal {
     else if (c.length >= 12 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
         c(2) == 'F'.toByte && c(3) == 'F'.toByte)
       decodeWav(r).getOrElse(fakeDecode(r))
+    else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
+        c(2) == 'N'.toByte && c(3) == 'G'.toByte)
+      decodePng(r).getOrElse(fakeDecode(r))
     else fakeDecode(r)
   }
 

@@ -72,6 +72,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(feats(3L).sum - 1.0) < 1e-9)
   }
 
+  test("real PNG bytes (ImageIO-encoded) decode through the full inflate+unfilter path") {
+    implicit val s = spark
+    import spark.implicits._
+    // encode a REAL png with the JDK's own encoder (different codebase
+    // from our parser) — 2x2: red, green / blue, white
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // also a bigger gradient image to exercise Sub/Up/Paeth filters
+    val grad = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val (r, g, b) = (x * 4 % 256, y * 4 % 256, (x + y) * 2 % 256)
+      sumR += r; sumG += g; sumB += b
+      grad.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(grad, "png", bos2))
+    val rec = Seq(
+      graft.operators.MMRecord(1L, png, "png", 2, 2, 1),
+      graft.operators.MMRecord(2L, bos2.toByteArray, "png", 64, 64, 1)).toDS()
+    val feats = Multimodal.decodeFeatures(rec, batchSize = 8).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    val f1 = feats(1L)
+    assert(f1(7) == 4.0, "must take the real PNG lane, not the stub")
+    assert(math.rint(f1(0) * 1e9) / 1e9 == 0.5) // mean R
+    assert(math.rint(f1(1) * 1e9) / 1e9 == 0.5)
+    assert(math.rint(f1(2) * 1e9) / 1e9 == 0.5)
+    assert(f1(4) == 2.0 && f1(5) == 2.0 && f1(6) == 4.0)
+    val f2 = feats(2L)
+    assert(f2(7) == 4.0)
+    val n = 64.0 * 64.0
+    assert(math.abs(f2(0) - sumR / n / 255.0) < 1e-12)
+    assert(math.abs(f2(1) - sumG / n / 255.0) < 1e-12)
+    assert(math.abs(f2(2) - sumB / n / 255.0) < 1e-12)
+  }
+
   test("frame sampling explodes every 30th frame for video rows only") {
     implicit val s = spark
     val out = Multimodal.frameSample(Multimodal.records(docs)).collect()
