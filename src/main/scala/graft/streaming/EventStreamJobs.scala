@@ -259,6 +259,25 @@ object EventStreamJobs {
       }
   }
 
+  /** Live multi-stream organize (reference
+    * `utilities/communication.py:586` organize_stream_messages as a
+    * standing view): the per-(stream, event) pivot of
+    * `EventOps.organizeStreams` maintained incrementally — a plain
+    * streaming aggregation keyed on (stream, type), so state is one
+    * row per group (bounded by stream count × event-type vocabulary),
+    * checkpointed and partitioned like any keyed agg. Run in Complete
+    * mode for the full registry view or Update mode for deltas.
+    */
+  def organizeStream(events: Dataset[LiveEvent], nStreams: Int = 4)
+      (implicit spark: SparkSession): DataFrame =
+    events.toDF()
+      .withColumn("stream",
+        concat(lit("stream_"), pmod(col("user_id"), lit(nStreams)).cast("string")))
+      .groupBy(col("stream"), col("event_type"))
+      .agg(count(lit(1)).as("n_messages"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+
   /** Live requeue / retry (reference `utilities/communication.py:550`
     * return_message_to_inbox as a standing query): each delivery of an
     * identity returns to the inbox with the incremented running count,

@@ -206,6 +206,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live organize view converges to the batch per-(stream, type) pivot") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.organizeStream(in.toDS())
+      .writeStream.format("memory").queryName("organized").outputMode("complete").start()
+    try {
+      val evs = Seq(ev(1, 0, 1, "view"), ev(2, 1, 5, "view"),
+        ev(3, 2, 1, "click"), ev(4, 3, 2, "view"))
+      in.addData(evs.take(2)); q.processAllAvailable()
+      in.addData(evs.drop(2)); q.processAllAvailable()
+      val live = spark.table("organized").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.EventOps.organizeStreams(
+        evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .drop("total_value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("live requeue returns every redelivery to the inbox, dead-letters at the cap") {
     import spark.implicits._
     implicit val s = spark
