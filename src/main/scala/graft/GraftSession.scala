@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place that knows how a graft session should be configured —
+  * what a user of the library calls instead of hand-assembling a
+  * builder (and what every graft main uses, so the mains can't drift
+  * from the documented recommendation):
+  *
+  *  - `graft.GraftExtensions` registered (SQL `graft_dot` /
+  *    `graft_match_count`, the as-of join strategy and its pushdown
+  *    rule);
+  *  - UTC session timezone (timestamp arithmetic must not depend on
+  *    the submitting host);
+  *  - shuffle partitions sized to the parallelism at hand — cores on
+  *    a single node; on a cluster pass ~2–3× total executor cores
+  *    (AQE coalesces down, it never splits up);
+  *  - AQE left ON (default since Spark 3.2) for runtime broadcast
+  *    flips and skew splitting.
+  *
+  * `local(...)` is the single-JVM shape (tests, Verify, Bench);
+  * `builder(...)` is the cluster shape — master/deploy settings come
+  * from spark-submit, only graft's requirements are added.
+  */
+object GraftSession {
+
+  /** Builder with graft's requirements applied; master/deploy left to
+    * spark-submit. `shufflePartitions <= 0` keeps the cluster or
+    * spark-defaults value.
+    */
+  def builder(shufflePartitions: Int = -1): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (shufflePartitions > 0)
+      b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b
+  }
+
+  /** Single-JVM session: `local[cpus]` with shuffle partitions = cpus
+    * and the UI off — the shape every graft main and spec runs.
+    */
+  def local(cpus: Int, quietUi: Boolean = true): SparkSession = {
+    val b = builder(cpus)
+      .master(s"local[$cpus]")
+    val session = (if (quietUi) b.config("spark.ui.enabled", "false") else b)
+      .getOrCreate()
+    session.sparkContext.setLogLevel("WARN")
+    session
+  }
+}
