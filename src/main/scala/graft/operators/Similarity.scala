@@ -372,6 +372,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incrementally extend a stored IVF index with new vectors: assign
+    * them with the STORED centroids (no retrain — the coarse
+    * quantizer is the contract every existing list was built against;
+    * retraining would silently orphan them) and append to the
+    * partitioned lists. This is the daily-crawl maintenance path:
+    * cost is one assignment pass over the NEW vectors only, the
+    * existing lists are untouched on storage, and a search
+    * immediately sees old + new identically to a from-scratch build
+    * (spec-pinned). Re-train + rebuild only when drift accumulates —
+    * that decision belongs to the operator, not this function.
+    * `newVecs` must be (vec_id, cv) rows like the stored lists.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cDF = broadcast(spark.read.parquet(s"$dir/centroids"))
+    assignClusters(newVecs.select(col("vec_id"), col("cv")), cDF)
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/lists")
+  }
+
   /** Search a stored IVF index: probes rank the (collected, tiny)
     * centroid table, and the list scan is filtered to the probed
     * cluster_ids — partition pruning keeps the read at

@@ -95,6 +95,31 @@ class SimilaritySpec extends AnyFunSuite {
       inline.collect().map(_.toSeq).toSeq)
   }
 
+  test("IVF index append: new vectors join their lists with no retrain; search sees them") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.buildIvfIndex(emb, dir, nProbes = 10, nClusters = 16, iters = 3)
+    val baseline = Similarity.searchIvfIndex(emb, dir, nProbes = 10, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val before = Similarity.trainingsRun.get
+    // append an exact copy of probe 3's vector as a new corpus row:
+    // identical vector ⇒ identical coarse assignment ⇒ it lands in a
+    // list probe 3 probes first, so recall at rank 1 is guaranteed
+    val pv = emb.filter($"vec_id" === 3L)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))"))
+      .collect().head.getSeq[Double](0)
+    Similarity.appendToIvfIndex(Seq((99999L, pv)).toDF("vec_id", "cv"), dir)
+    assert(Similarity.trainingsRun.get == before,
+      "append must assign with the stored centroids, never retrain")
+    val got = Similarity.searchIvfIndex(emb, dir, nProbes = 10, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(3L)._1 == 99999L && got(3L)._2 > 0.999999)
+    // other probes' results are untouched unless the new vector wins
+    got.foreach { case (p, (v, c)) =>
+      if (p != 3L && v != 99999L) assert((v, c) == baseline(p))
+    }
+  }
+
   test("stored PQ index: code-only ADC search equals the inline operator") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
     Similarity.buildPqIndex(emb, dir, nProbes = 10)
