@@ -255,6 +255,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming requeue's final counts converge to the batch operator on random feeds") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // random redelivery pattern: 30 events over 4 users × 2 types,
+    // values collide into delivery identities via floor()
+    val evs = (1 to 30).map { i =>
+      LiveEvent(i.toLong, new Timestamp((base + i) * 60000L),
+        1L + rnd.nextInt(4), if (rnd.nextBoolean()) "view" else "click",
+        (1 + rnd.nextInt(3)).toDouble + rnd.nextDouble() * 0.9)
+    }
+    val in = MemoryStream[LiveEvent]
+    val q = EventStreamJobs.requeueStream(in.toDS(), maxDeliveries = 3)
+      .writeStream.format("memory").queryName("rq_x").outputMode("append").start()
+    try {
+      evs.grouped(7).foreach { batch => in.addData(batch); q.processAllAvailable() }
+      // the LAST emission per identity carries the full running count
+      val live = spark.table("rq_x").collect()
+        .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("value_key")), r.getAs[Long]("delivery_count")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // batch requeue with an unbounded pending window sees every
+      // delivery; its per-identity count must equal the stream's final
+      val batchDf = EventOps.requeue(
+        evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        maxDeliveries = 3, pendingN = Int.MaxValue)
+      val batch = batchDf.collect()
+        .map(r => ((r.getLong(1), r.getString(2),
+          math.floor(evs.find(_.event_id == r.getLong(0)).get.value).toLong),
+          r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("streaming document pipeline cleans, fingerprints and dedups like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
