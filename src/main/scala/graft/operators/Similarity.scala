@@ -433,6 +433,21 @@ object Similarity {
     ()
   }
 
+  /** Incrementally extend a stored PQ index: encode new vectors with
+    * the STORED codebook (same no-retrain contract as
+    * [[appendToIvfIndex]] — the codebook is what every stored code
+    * means) and append their (vec_id, s, c) triples to the code
+    * table. One subvector-encode pass over the new vectors only.
+    * `newVecs` must be (vec_id, cv) rows.
+    */
+  def appendToPqIndex(newVecs: DataFrame, dir: String, nSub: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
+    assignCodes(subVectors(newVecs.select(col("vec_id"), col("cv")), nSub), cb)
+      .select(col("vec_id"), col("s"), col("c"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Search a stored PQ index: the broadcast codebook rebuilds the
     * per-probe distance tables, the stored code table feeds the ADC
     * scan, and only the rerank finalists read their full vectors.

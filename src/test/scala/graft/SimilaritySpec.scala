@@ -133,6 +133,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("struct<vec_id:bigint,s:int,c:int>"))
   }
 
+  test("PQ index append: new vectors encode with the stored codebook; ADC search sees them") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString
+    Similarity.buildPqIndex(emb, dir, nProbes = 10)
+    val before = Similarity.trainingsRun.get
+    val pv = emb.filter($"vec_id" === 4L)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))"))
+      .collect().head.getSeq[Double](0)
+    Similarity.appendToPqIndex(Seq((88888L, pv)).toDF("vec_id", "cv"), dir)
+    assert(Similarity.trainingsRun.get == before,
+      "append must encode with the stored codebook, never retrain")
+    // the rerank stage reads exact vectors from the base table, so a
+    // real append grows that table too — search against the grown one
+    val embPlus = emb.select($"vec_id", $"embedding", $"label")
+      .union(Seq((88888L, pv.map(_.toFloat), 0)).toDF("vec_id", "embedding", "label"))
+    // the appended exact copy of probe 4's vector re-ranks to cos ≈ 1
+    val got = Similarity.searchPqIndex(embPlus, dir, nProbes = 10, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(4L)._1 == 88888L && got(4L)._2 > 0.999999)
+  }
+
   test("PQ ANN: planted identical vector is recalled at rank 1 via ADC + re-rank") {
     val v = Array.tabulate(64)(i => math.sin(i * 0.7 + 1).toFloat).toSeq
     val corpus = (0 until 60).map(j =>
