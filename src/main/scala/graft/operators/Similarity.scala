@@ -433,6 +433,43 @@ object Similarity {
     ()
   }
 
+  /** The retrain signal for an aging IVF index: per-cluster assignment
+    * quality (mean cosine of members to their centroid) for the STORED
+    * lists vs a batch of NEW vectors assigned by the same centroids.
+    * Positive drift = new data aligns worse with the old coarse
+    * quantizer than the data it was trained on — when that grows past
+    * the operator's threshold (with enough n_new behind it), rebuild;
+    * [[appendToIvfIndex]] otherwise. Both sides are one broadcast
+    * score + keyed aggregate; the stored side reads the lists once.
+    */
+  def ivfDriftStats(newVecs: DataFrame, dir: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    val cDF = broadcast(spark.read.parquet(s"$dir/centroids"))
+    def quality(assigned: DataFrame): DataFrame =
+      assigned.join(cDF, Seq("cluster_id"))
+        .withColumn("cos", VectorOps.dot(col("cv"), col("centroid")) /
+          sqrt(VectorOps.dot(col("cv"), col("cv"))))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cos").cast("decimal(38,15)")) / count(lit(1)))
+            .cast("double").as("mean_cos"))
+    val stored = quality(spark.read.parquet(s"$dir/lists"))
+      .select(col("cluster_id"), col("n").as("n_stored"),
+        col("mean_cos").as("stored_cos"))
+    val fresh = quality(
+      assignClusters(newVecs.select(col("vec_id"), col("cv")), cDF))
+      .select(col("cluster_id"), col("n").as("n_new"),
+        col("mean_cos").as("new_cos"))
+    stored.join(fresh, Seq("cluster_id"), "full")
+      .select(col("cluster_id"),
+        coalesce(col("n_stored"), lit(0L)).as("n_stored"),
+        round(col("stored_cos"), 6).as("stored_cos"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(col("new_cos"), 6).as("new_cos"),
+        round(coalesce(col("stored_cos") - col("new_cos"), lit(0.0)), 6).as("drift"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Incrementally extend a stored PQ index: encode new vectors with
     * the STORED codebook (same no-retrain contract as
     * [[appendToIvfIndex]] — the codebook is what every stored code

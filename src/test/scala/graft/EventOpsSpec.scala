@@ -200,6 +200,19 @@ class EventOpsSpec extends AnyFunSuite {
       ("stream_2", "view", 1L, 4L, 4L)))
   }
 
+  test("round-4 operators are total on empty input") {
+    val empty = events()
+    assert(EventOps.requeue(empty).collect().isEmpty)
+    assert(EventOps.inboxRead(empty, EventOps.targetInstances(spark)).collect().isEmpty)
+    assert(EventOps.organizeStreams(empty).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(graft.operators.Dedup.canonicalize(noDocs, noPairs).collect().isEmpty)
+    // empty corpus → "count" (no singleton mass evidence for prefix)
+    assert(graft.operators.Dedup.jaccardStrategy(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")) == "count")
+  }
+
   test("universalStatus: complete only when every registered handler acked") {
     // purchase fans to 2 handlers; ack predicate: (id*31+len(handler))%10 != 0
     // id=10: 10*31+15=325 → 5≠0 acked; 10*31+13=323 → 3≠0 acked ⇒ complete

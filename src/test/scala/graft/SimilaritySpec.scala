@@ -133,6 +133,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("struct<vec_id:bigint,s:int,c:int>"))
   }
 
+  test("IVF drift stats: zero for in-distribution data, positive for decorrelated data") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    Similarity.buildIvfIndex(emb, dir, nProbes = 10)
+    val cvs = emb.filter($"vec_id" >= 10)
+      .select($"vec_id" + 100000L as "vec_id",
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> cast(x as double))").as("cv"))
+    // an exact re-send of the corpus: same assignments, same per-
+    // cluster means → drift exactly 0 everywhere
+    val same = Similarity.ivfDriftStats(cvs, dir).collect()
+    assert(same.nonEmpty)
+    same.foreach(r => assert(r.getDouble(5) == 0.0, s"cluster ${r.getInt(0)}"))
+    // decorrelated new data (fixed sinusoidal offset) aligns worse
+    // with the old quantizer: aggregate weighted drift must be > 0
+    val shifted = cvs.select($"vec_id",
+      org.apache.spark.sql.functions.expr(
+        "transform(cv, (x, j) -> x + 0.5 * sin(cast(j + 1 as double)))").as("cv"))
+    val drift = Similarity.ivfDriftStats(shifted, dir).collect()
+    val weighted = drift.map(r => r.getDouble(5) * r.getLong(3)).sum /
+      math.max(1L, drift.map(_.getLong(3)).sum)
+    assert(weighted > 0.01, s"weighted drift $weighted")
+  }
+
   test("PQ index append: new vectors encode with the stored codebook; ADC search sees them") {
     val dir = java.nio.file.Files.createTempDirectory("pq-append").toString
     Similarity.buildPqIndex(emb, dir, nProbes = 10)
