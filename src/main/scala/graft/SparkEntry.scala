@@ -159,6 +159,7 @@ object SparkEntry {
     "samp_curriculum" -> ((s, dir) => Sampling.curriculumStages(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
+    "samp_corpus_report" -> ((s, dir) => Sampling.corpusReport(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
     "samp_mix_weights" -> ((s, dir) => Sampling.mixtureWeights(Tables(s, dir).documents)),
@@ -1219,6 +1220,31 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '28' ELSE '50' END
         |ORDER BY doc_id""".stripMargin,
+    "samp_corpus_report" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, norm_text,
+        |    CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(norm_text, ' '),
+        |      w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM n),
+        |kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, MIN_BY(source, doc_id) AS source,
+        |    MIN(n_words) AS n_words
+        |  FROM f
+        |  WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500
+        |  GROUP BY md5(norm_text))
+        |SELECT
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |FROM kept
+        |GROUP BY 1, 2
+        |ORDER BY split, source""".stripMargin,
     "samp_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

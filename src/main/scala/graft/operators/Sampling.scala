@@ -74,6 +74,32 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end corpus-build report: what a training-data run
+    * publishes after assembly — normalize → quality cut → exact-dedup
+    * keep-canonical (the [[graft.operators.TextOps.cleanPipeline]]
+    * stages, via the same shared `cleanScored` prefix so the numbers
+    * CANNOT disagree with the pipeline) → [[holdoutSplit]]'s md5 coin
+    * → per-(split, source) document and token totals. One scan, one
+    * dedup shuffle, one tiny rollup; every stage composes the
+    * already-verified operators rather than re-implementing them.
+    */
+  def corpusReport(documents: DataFrame, minWords: Int = 5,
+      maxStopRatio: Double = 0.5, trainHex: String = "cc",
+      valHex: String = "e6"): DataFrame = {
+    val kept = graft.operators.TextOps.cleanScored(documents, minWords, maxStopRatio)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        expr("min_by(source, doc_id)").as("source"),
+        min(col("n_words")).as("n_words"))
+    kept
+      .withColumn("split",
+        when(hashBucket < trainHex, "train")
+          .when(hashBucket < valHex, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Domain-mix quota: at most `quota` docs per source, chosen by the
     * deterministic hash order (hash rank ⇒ an unbiased, reproducible
     * "random" subset; doc_id tie-break). One shuffle on source; the

@@ -63,6 +63,26 @@ class SamplingSpec extends AnyFunSuite {
     got.foreach { case (id, s) => assert(grown(id) == s) }
   }
 
+  test("corpus report composes clean, dedup, split and rollup consistently") {
+    // doc 2 duplicates doc 1 after normalization (case/extra spaces);
+    // doc 3 is too short; docs from two sources
+    val d = docs(
+      (1L, "spark engines shuffle partitions across executors", "en", "web"),
+      (2L, "Spark  engines shuffle  partitions across executors", "en", "books"),
+      (3L, "hi", "en", "web"),
+      (4L, "broadcast small dimension tables for colocated joins", "en", "books"))
+    val rep = Sampling.corpusReport(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // survivors: doc 1 (canonical of {1,2}, source of min id = web), doc 4
+    val total = rep.map(_._3).sum
+    assert(total == 2, s"got $rep")
+    assert(rep.forall(r => Set("train", "val", "test")(r._1)))
+    // token totals follow the kept docs' word counts (6 + 7)
+    assert(rep.map(_._4).sum == 13)
+    // the kept doc's source is the canonical member's source
+    assert(rep.collect { case (_, s, n, _) if n > 0 => s }.toSet.subsetOf(Set("web", "books")))
+  }
+
   test("domain mix quota takes at most N per source, deterministically") {
     val d = docs((0L until 120L).map(i => (i, s"t $i", "en", s"src${i % 3}")): _*)
     val out = Sampling.domainMixQuota(d, quota = 10).collect()
