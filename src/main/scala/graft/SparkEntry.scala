@@ -173,6 +173,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables(s, dir).embeddings)),
     "ann_knn_vote" -> ((s, dir) => Similarity.knnVote(Tables(s, dir).embeddings)),
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
+    "emb_sq8_codes" -> ((s, dir) => Similarity.sq8Codes(Tables(s, dir).embeddings)),
+    "ann_sq8_topk" -> ((s, dir) => Similarity.annSq8TopK(Tables(s, dir).embeddings)),
     "ann_pq_topk" -> ((s, dir) => Similarity.annPqTopK(Tables(s, dir).embeddings)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.annIvfPqTopK(Tables(s, dir).embeddings)),
     "ann_ivfpq_res_topk" -> ((s, dir) => Similarity.annIvfPqResTopK(Tables(s, dir).embeddings)),
@@ -1353,6 +1355,33 @@ object SparkEntry {
         |  FROM s) t
         |WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
+    "emb_sq8_codes" ->
+      (EmbBase + ",\n" + Sq8Ctes + ",\n" +
+        s"""cl AS (SELECT vec_id, list(code ORDER BY dim) AS cs FROM codes GROUP BY vec_id)
+          |SELECT vec_id,
+          |  CAST(list_min(cs) AS BIGINT) AS code_min,
+          |  CAST(list_max(cs) AS BIGINT) AS code_max,
+          |  CAST(list_sum(cs) AS BIGINT) AS code_sum,
+          |  ${hash62Sql("cs")} AS code_fp
+          |FROM cl
+          |ORDER BY vec_id""".stripMargin),
+    "ann_sq8_topk" ->
+      (EmbBase + ",\n" + Sq8Ctes + ",\n" +
+        """dq AS (
+          |  SELECT vec_id,
+          |    list(lo + (CAST(code AS DOUBLE) * (hi - lo)) / 255.0 ORDER BY dim) AS dqv
+          |  FROM codes GROUP BY vec_id),
+          |s AS (
+          |  SELECT probe_id, vec_id,
+          |    list_dot_product(pv, dqv) /
+          |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(dqv, dqv))) AS cos
+          |  FROM dq CROSS JOIN p)
+          |SELECT probe_id, rnk, vec_id, ROUND(cos, 6) AS cos FROM (
+          |  SELECT probe_id, vec_id, cos,
+          |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+          |  FROM s) t
+          |WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
     "ann_knn_vote" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
@@ -1677,6 +1706,24 @@ object SparkEntry {
       |  SELECT vec_id, embedding::DOUBLE[] AS cv
       |  FROM embeddings WHERE vec_id >= 10
       |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)""".stripMargin
+
+  /** SQ8 CTEs: exact per-dimension min/max and the half-up code rule —
+    * the SQL re-derivation of `Similarity.sq8Codes`' transform lambda.
+    * No literal interpolation: the "model" is corpus min/max, so the
+    * oracle recomputes it from the table.
+    */
+  private val Sq8Ctes =
+    """ex AS (
+      |  SELECT vec_id, CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim,
+      |    UNNEST(cv) AS x
+      |  FROM c),
+      |st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY dim),
+      |codes AS (
+      |  SELECT vec_id, dim, lo, hi,
+      |    CASE WHEN hi = lo THEN 0 ELSE
+      |      CAST(floor(least(255.0, greatest(0.0,
+      |        (x - lo) * 255.0 / (hi - lo) + 0.5))) AS BIGINT) END AS code
+      |  FROM ex JOIN st USING (dim))""".stripMargin
 
   /** Coarse-quantizer CTEs: corpus argmax assignment (tie → smaller
     * cluster_id) and per-probe nearest-4 routing — the SQL re-derivation

@@ -959,6 +959,78 @@ object Similarity {
             * (col("sx").cast("double") / col("n")))), 9).as("std"))
       .orderBy(col("dim"))
 
+  /** One-row frame carrying the per-dimension quantization range as
+    * two aligned arrays (lo_arr, hi_arr), built entirely in-plan:
+    * posexplode → 64-row min/max agg → sort_array(collect_list) so
+    * the array order is dim order regardless of partial-agg arrival.
+    * Broadcast wherever it joins — the "model" here is just corpus
+    * min/max, so unlike IVF/PQ there is nothing to train and the SQL
+    * oracle re-derives it exactly with no literal interpolation.
+    */
+  private def sq8StatsRow(c: DataFrame): DataFrame =
+    c.select(posexplode(col("cv")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo"), col("hi")))).as("st"))
+      .select(expr("transform(st, s -> s.lo)").as("lo_arr"),
+        expr("transform(st, s -> s.hi)").as("hi_arr"))
+
+  /** codes[i] = round((x−lo)·255/(hi−lo)) clamped to [0,255]; a
+    * constant dimension (hi = lo) codes to 0. floor(v + 0.5) instead
+    * of round() because the half-up rule is then explicit and
+    * identical in Spark and DuckDB. One narrow transform per vector —
+    * no per-dimension explode ever touches corpus-sized data.
+    */
+  private val sq8CodeLambda: String =
+    "CASE WHEN hi_arr[i] = lo_arr[i] THEN 0L ELSE CAST(floor(least(255.0, " +
+      "greatest(0.0, (x - lo_arr[i]) * 255.0 / (hi_arr[i] - lo_arr[i]) + 0.5))) AS BIGINT) END"
+
+  /** Per-dimension affine int8 scalar quantization (the FAISS
+    * `SQ8`-style codec): each corpus vector compresses to one byte per
+    * dimension against corpus min/max — 8× smaller than the double
+    * arrays the ANN scans otherwise carry, with no training step.
+    * Output is a compact per-vector summary (bounds, sum, 62-bit fold
+    * fingerprint of the code sequence) rather than 64 exploded rows,
+    * so the result stays |corpus|-sized. Fully SQL-oracled: the range
+    * stats are exact min/max and the code arithmetic is fixed-order
+    * IEEE double ops, identical in DuckDB.
+    */
+  def sq8Codes(embeddings: DataFrame, nProbes: Int = 10): DataFrame = {
+    val c = corpus(embeddings, nProbes)
+    c.crossJoin(broadcast(sq8StatsRow(c)))
+      .withColumn("codes", expr(s"transform(cv, (x, i) -> $sq8CodeLambda)"))
+      .select(col("vec_id"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+        (expr("aggregate(codes, 0L, (acc, x) -> pmod(acc * 1000003L + x, 2147483647))")
+          * lit(4294967296L)
+          + expr("aggregate(codes, 0L, (acc, x) -> pmod(acc * 1000003L + x, 2147483629))"))
+          .as("code_fp"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ANN over the SQ8-compressed corpus: vectors dequantize on the fly
+    * (dq[i] = lo + code·(hi−lo)/255, a narrow map inside the scan) and
+    * then score through the exact [[bruteTopK]] contract — same
+    * cosine, same rank/tie/round epilogue. At rest the corpus is 1
+    * byte/dim; at 100 TB that is the difference between a scan that
+    * fits page cache and one that doesn't, while 8-bit resolution
+    * keeps neighbor order essentially intact (recall vs brute is the
+    * spec's property). Probes stay full-precision and broadcast —
+    * asymmetric search, the standard SQ trade.
+    */
+  def annSq8TopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val c = corpus(embeddings, nProbes)
+    val dq = c.crossJoin(broadcast(sq8StatsRow(c)))
+      .withColumn("dqv", expr("transform(cv, (x, i) -> " +
+        s"lo_arr[i] + (CAST(($sq8CodeLambda) AS DOUBLE) * (hi_arr[i] - lo_arr[i])) / 255.0)"))
+      .select(col("vec_id"), col("dqv"))
+    rankTopK(
+      dq.crossJoin(broadcast(probes(embeddings, nProbes)))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("dqv"))), k)
+  }
+
   /** k-NN majority-label classification of the probes: the k nearest
     * corpus vectors vote; ties break toward the smaller label.
     */

@@ -324,6 +324,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 codes stay in [0,255] and fingerprints are deterministic across runs") {
+    val a = Similarity.sq8Codes(emb).collect()
+    val b = Similarity.sq8Codes(emb).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) <= 255L) // code_min / code_max
+      assert(r.getLong(3) >= r.getLong(2)) // sum over 64 dims ≥ max
+    }
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("SQ8 ANN: 8-bit dequantized search preserves brute-force neighbors almost exactly") {
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.annSq8TopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(sq.distinct.length == sq.length)
+    // 8 bits per dimension is near-lossless on unit-scale data: the
+    // quantization cell is (hi−lo)/255 ≈ 0.8% of the range, so the
+    // top-5 sets should essentially coincide with exact search.
+    val hits = sq.count(brute.contains)
+    assert(hits >= (sq.length * 9) / 10,
+      s"SQ8 recall vs brute collapsed: $hits/${sq.length}")
+    info(s"SQ8 recall vs brute force: $hits/${sq.length}")
+  }
+
+  test("SQ8 dequantization error is bounded by half a quantization cell per dimension") {
+    val v = Array.tabulate(64)(i => math.sin(i * 1.3).toFloat).toSeq
+    val w = Array.tabulate(64)(i => math.cos(i * 0.9).toFloat).toSeq
+    val df = Seq((0L, v, 0), (10L, v, 0), (11L, w, 1))
+      .toDF("vec_id", "embedding", "label")
+    // probe 0 equals corpus vector 10: after SQ8 the pair must still
+    // score at cos ≈ 1 (error ≤ 64 cells of (hi−lo)/255/2 each)
+    val top = Similarity.annSq8TopK(df, nProbes = 1, k = 1).collect().head
+    assert(top.getLong(2) == 10L)
+    assert(top.getDouble(3) > 0.9999)
+  }
+
   test("trained models are cached across queries: a repeated ANN query trains nothing") {
     Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
     Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists
