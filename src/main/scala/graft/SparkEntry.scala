@@ -175,6 +175,10 @@ object SparkEntry {
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
     "emb_sq8_codes" -> ((s, dir) => Similarity.sq8Codes(Tables(s, dir).embeddings)),
     "ann_sq8_topk" -> ((s, dir) => Similarity.annSq8TopK(Tables(s, dir).embeddings)),
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.hybridRrf(t.documents, t.embeddings)
+    }),
     "ann_pq_topk" -> ((s, dir) => Similarity.annPqTopK(Tables(s, dir).embeddings)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.annIvfPqTopK(Tables(s, dir).embeddings)),
     "ann_ivfpq_res_topk" -> ((s, dir) => Similarity.annIvfPqResTopK(Tables(s, dir).embeddings)),
@@ -1382,6 +1386,79 @@ object SparkEntry {
           |  FROM s) t
           |WHERE rnk <= 5
           |ORDER BY probe_id, rnk""".stripMargin),
+    "ann_hybrid_rrf" ->
+      """WITH qt AS (SELECT * FROM (VALUES
+        |    (0, 'spark'), (0, 'join'), (1, 'hash'), (1, 'table'),
+        |    (2, 'stream'), (2, 'window'), (2, 'batch'),
+        |    (3, 'vector'), (3, 'scan')) v(query_id, term)),
+        |corpus AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |tf0 AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |      UNNEST(string_split(text, ' ')) AS term
+        |    FROM documents) t
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |tf AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf0),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(
+        |      ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,15))) AS score_exact
+        |  FROM tf JOIN qt USING (term)
+        |  CROSS JOIN (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+        |              FROM corpus) c
+        |  GROUP BY query_id, doc_id),
+        |lexr AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank AS lex_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_exact DESC, doc_id) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 20),
+        |p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, cv) /
+        |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN p WHERE probe_id IN (0, 1, 2, 3)),
+        |semr AS (
+        |  SELECT CAST(probe_id AS BIGINT) AS query_id, vec_id AS doc_id,
+        |    rnk AS sem_rank FROM (
+        |    SELECT probe_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM s) t
+        |  WHERE rnk <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+        |    COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank,
+        |    COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank)
+        |        AS DECIMAL(38,15)), CAST(0 AS DECIMAL(38,15)))
+        |      + COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + r.sem_rank)
+        |        AS DECIMAL(38,15)), CAST(0 AS DECIMAL(38,15))) AS rrf_exact
+        |  FROM lexr l FULL OUTER JOIN semr r
+        |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+        |SELECT query_id, rrf_rank, doc_id,
+        |  ROUND(CAST(rrf_exact AS DOUBLE), 9) AS rrf_score,
+        |  COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank FROM (
+        |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_exact,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_exact DESC, doc_id) AS rrf_rank
+        |  FROM fused) t
+        |WHERE rrf_rank <= 10
+        |ORDER BY query_id, rrf_rank""".stripMargin,
     "ann_knn_vote" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

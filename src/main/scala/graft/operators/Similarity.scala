@@ -1031,6 +1031,51 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("dqv"))), k)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
+    * 1/(kRrf+rank) rule) of a lexical arm ([[TextOps.bm25TopK]], the
+    * keyword queries) and a semantic arm (exact cosine over the
+    * embedding probes that share those query ids). The arms never see
+    * each other — each produces its own top-armK ranking, and only the
+    * two ~|queries|·armK rank tables meet in a full-outer join, so the
+    * fusion step is constant-sized no matter how large the corpus
+    * grew. A document found by both arms outranks any single-arm
+    * document of comparable rank; per-arm ranks are carried through
+    * (0 = not retrieved by that arm) so the output explains itself.
+    * Contributions sum as DECIMAL(38,15) — exact, associative, and
+    * re-derivable in the SQL oracle.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Int, String)] = TextOps.defaultBm25Queries,
+      nProbes: Int = 10, armK: Int = 20, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val qIds = queries.map(_._1).distinct.map(_.toLong)
+    val lex = TextOps.bm25TopK(documents, queries, k = armK)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rank").as("lex_rank"))
+    val sem = rankTopK(
+      corpus(embeddings, nProbes)
+        .crossJoin(broadcast(probes(embeddings, nProbes)
+          .filter(col("probe_id").isin(qIds: _*))))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), armK)
+      .select(col("probe_id").cast("long").as("query_id"),
+        col("vec_id").as("doc_id"), col("rnk").as("sem_rank"))
+    // 1/(kRrf+rank) as double (identical IEEE division in DuckDB),
+    // then the decimal cast so the two-term sum is order-independent
+    def contrib(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce((lit(1.0) / (lit(kRrf) + r)).cast("decimal(38,15)"),
+        lit(0).cast("decimal(38,15)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_exact").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_exact", contrib(col("lex_rank")) + contrib(col("sem_rank")))
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("rrf_rank"), col("doc_id"),
+        round(col("rrf_exact").cast("double"), 9).as("rrf_score"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .orderBy(col("query_id"), col("rrf_rank"))
+  }
+
   /** k-NN majority-label classification of the probes: the k nearest
     * corpus vectors vote; ties break toward the smaller label.
     */

@@ -362,6 +362,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getDouble(3) > 0.9999)
   }
 
+  test("hybrid RRF: a doc ranked 1 by both arms fuses to rank 1 at exactly 2/(60+1)") {
+    val docs = ((0L until 40L).map(i => (i, s"filler w$i body", "web")) :+
+      (30L, "zebra crossing zebra", "web")).toDF("doc_id", "text", "source")
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat).toSeq
+    val emb1 = ((0L, v, 0) +: (10L until 40L).map(j =>
+      (j, Array.tabulate(64)(i => math.cos(i * (j + 2.0)).toFloat).toSeq, 1)) :+
+      (30L, v, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hybridRrf(docs, emb1, queries = Seq(0 -> "zebra"),
+      nProbes = 1).collect()
+    val top = out.minBy(_.getLong(1))
+    assert(top.getLong(2) == 30L) // doc 30: lexical rank 1 AND semantic rank 1
+    assert(top.getLong(4) == 1L && top.getLong(5) == 1L)
+    assert(math.abs(top.getDouble(3) - 2.0 / 61.0) < 1e-9)
+  }
+
+  test("hybrid RRF over the real tables: ranks contiguous, scores non-increasing, arms traceable") {
+    val docs = Tables(spark, TestSpark.sfDir).documents
+    val rows = Similarity.hybridRrf(docs, emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // every fused row must be explained by at least one arm
+      assert(byRank.forall(r => r.getLong(4) > 0L || r.getLong(5) > 0L))
+    }
+  }
+
   test("trained models are cached across queries: a repeated ANN query trains nothing") {
     Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
     Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists
