@@ -159,6 +159,7 @@ object SparkEntry {
     "samp_curriculum" -> ((s, dir) => Sampling.curriculumStages(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
+    "samp_shard" -> ((s, dir) => Sampling.shardShuffle(Tables(s, dir).documents)),
     "samp_corpus_report" -> ((s, dir) => Sampling.corpusReport(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -1251,6 +1252,17 @@ object SparkEntry {
         |FROM kept
         |GROUP BY 1, 2
         |ORDER BY split, source""".stripMargin,
+    "samp_shard" ->
+      (s"""WITH k AS (
+        |  SELECT doc_id, source,
+        |    (${hash31Sql(charCodesSql("CAST(doc_id AS VARCHAR)"))}
+        |      * 2654435761) % 2147483647 AS mx
+        |  FROM documents)
+        |SELECT mx % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY mx % 8 ORDER BY mx, doc_id) AS pos,
+        |  doc_id, source
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin),
     "samp_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

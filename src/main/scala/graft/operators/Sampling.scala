@@ -74,6 +74,36 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global shuffle into training shards — the step
+    * that breaks crawl/source ordering before sequence packing, so no
+    * training batch is a run of one domain. Shard = 31-bit fold hash
+    * of the doc key mod nShards (a pure row function: no global sort,
+    * no rand(), stable when the corpus grows), position within the
+    * shard = rank of that hash (ties → doc_id), i.e. a reproducible
+    * pseudo-random read order. The only shuffle keys on `shard`; each
+    * shard's sequence is produced by one task — exactly one writer
+    * per output file, so nShards is chosen the way any sharded writer
+    * chooses file count: corpus bytes / target shard size. The fold
+    * hash is the same charcode fold the fingerprint oracles use; it
+    * is monotone on same-length decimal keys (digit polynomial), so
+    * it passes through a multiplicative mix mod the Mersenne prime —
+    * a permutation of the hash space — before ordering anything.
+    * Pure BIGINT arithmetic end to end, so the whole query re-derives
+    * in DuckDB.
+    */
+  def shardShuffle(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hk = expr("aggregate(split(CAST(doc_id AS STRING), ''), 0L," +
+      " (acc, ch) -> pmod(acc * 1000003L + ascii(ch), 2147483647))")
+    documents
+      .withColumn("mx", pmod(hk * lit(2654435761L), lit(2147483647L)))
+      .withColumn("shard", pmod(col("mx"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("mx"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** The end-to-end corpus-build report: what a training-data run
     * publishes after assembly — normalize → quality cut → exact-dedup
     * keep-canonical (the [[graft.operators.TextOps.cleanPipeline]]

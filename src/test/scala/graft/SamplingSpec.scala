@@ -184,4 +184,35 @@ class SamplingSpec extends AnyFunSuite {
       (0L, "src0", 1L, 4L), (2L, "src0", 2L, 4L), (1L, "src1", 1L, 2L),
       (4L, "src0", 3L, 4L), (6L, "src0", 4L, 4L), (3L, "src1", 2L, 2L)))
   }
+
+  test("shard shuffle: disjoint exhaustive shards, contiguous positions, layout-independent") {
+    val d = docs((0L until 120L).map(i =>
+      (i, s"doc $i", "en", s"src${i % 3}")): _*)
+    val out = Sampling.shardShuffle(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 120L).toSeq) // every doc exactly once
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq) // pos contiguous
+    }
+    // identical assignment AND order on a different partition layout
+    val re = Sampling.shardShuffle(d.repartition(7), nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == re.toSeq)
+  }
+
+  test("shard shuffle: a document's shard never changes when the corpus grows") {
+    val small = docs((0L until 40L).map(i => (i, s"d$i", "en", "web")): _*)
+    val large = docs((0L until 200L).map(i => (i, s"d$i", "en", "web")): _*)
+    val sSmall = Sampling.shardShuffle(small).collect()
+      .map(r => r.getLong(2) -> r.getLong(0)).toMap
+    val sLarge = Sampling.shardShuffle(large).collect()
+      .map(r => r.getLong(2) -> r.getLong(0)).toMap
+    sSmall.foreach { case (doc, shard) => assert(sLarge(doc) == shard) }
+    // the shuffle actually breaks the id order: within some shard the
+    // doc ids must not be monotone (otherwise it's not a shuffle)
+    val ordered = Sampling.shardShuffle(large).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq)
+    assert(ordered.exists(ids => ids != ids.sorted))
+  }
 }
