@@ -69,7 +69,16 @@ object Multimodal {
     * bpp, compressed, truncated) — the caller falls back, as a real
     * pipeline routes unsupported codecs to a fallback lane.
     */
-  private[operators] def decodeBmp(r: MMRecord): Option[MMFeatures] = {
+  private[operators] def decodeBmp(r: MMRecord): Option[MMFeatures] =
+    bmpPixels(r).map { case (w, h, px) => rgbFeatures(r, w, h, px, 2.0) }
+
+  /** The BMP byte parse, exposed as a packed-RGB pixel grid in
+    * **top-down row-major order** (positive biHeight means the file
+    * stores rows bottom-up; the flip is normalized here so every
+    * pixel consumer — feature means, perceptual hash — sees the same
+    * orientation regardless of container).
+    */
+  private[operators] def bmpPixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
     val c = r.content
     if (c.length < 54 || c(0) != 'B'.toByte || c(1) != 'M'.toByte) return None
     val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -82,25 +91,43 @@ object Multimodal {
     if (bpp != 24 || compression != 0 || width <= 0 || absH == 0) return None
     val rowSize = ((24 * width + 31) / 32) * 4
     if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * absH > c.length) return None
-    var (sr, sg, sb2, sl) = (0.0, 0.0, 0.0, 0.0)
+    val px = new Array[Int](width * absH)
     var y = 0
     while (y < absH) {
+      val srcRow = if (height > 0) absH - 1 - y else y // normalize to top-down
+      val row = pixelOffset + srcRow * rowSize
       var x = 0
-      val row = pixelOffset + y * rowSize
       while (x < width) {
         val b = c(row + 3 * x) & 0xff
         val g = c(row + 3 * x + 1) & 0xff
         val rr = c(row + 3 * x + 2) & 0xff
-        sr += rr; sg += g; sb2 += b
-        sl += 0.299 * rr + 0.587 * g + 0.114 * b
+        px(y * width + x) = (rr << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
-    val n = width.toDouble * absH
-    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
+    Some((width, absH, px))
+  }
+
+  /** Shared feature epilogue over a packed-RGB grid: channel means +
+    * luma mean in 0–1, then the [w, h, nPixels, codecTag] block — the
+    * contract both image decoders emit.
+    */
+  private def rgbFeatures(r: MMRecord, w: Int, h: Int, px: Array[Int],
+      tag: Double): MMFeatures = {
+    var (sr, sg, sb2, sl) = (0.0, 0.0, 0.0, 0.0)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += rr; sg += g; sb2 += b
+      sl += 0.299 * rr + 0.587 * g + 0.114 * b
+      i += 1
+    }
+    val n = w.toDouble * h
+    MMFeatures(r.doc_id, r.format, r.content.length, Array(
       sr / n / 255.0, sg / n / 255.0, sb2 / n / 255.0, sl / n / 255.0,
-      width.toDouble, absH.toDouble, n, 2.0)))
+      w.toDouble, h.toDouble, n, tag))
   }
 
   /** REAL pure-JVM decoder: RIFF/WAVE PCM 16-bit. Walks the chunk list
@@ -163,7 +190,15 @@ object Multimodal {
     * contract as BMP with tag 4.0; alpha is ignored for the color
     * means. None for palette/gray/16-bit/interlaced — fallback lane.
     */
-  private[operators] def decodePng(r: MMRecord): Option[MMFeatures] = {
+  private[operators] def decodePng(r: MMRecord): Option[MMFeatures] =
+    pngPixels(r).map { case (w, h, px) => rgbFeatures(r, w, h, px, 4.0) }
+
+  /** The PNG inflate+unfilter parse, exposed as a packed-RGB top-down
+    * pixel grid (PNG already stores top-down; alpha, when present, is
+    * dropped after unfiltering — it participates in filter prediction
+    * but not in color features or hashes).
+    */
+  private[operators] def pngPixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
     val c = r.content
     if (c.length < 45 || (c(0) & 0xff) != 0x89 || c(1) != 'P'.toByte ||
       c(2) != 'N'.toByte || c(3) != 'G'.toByte) return None
@@ -229,19 +264,14 @@ object Multimodal {
       }
       y += 1
     }
-    var (sr, sg, sb2, sl) = (0.0, 0.0, 0.0, 0.0)
+    val px = new Array[Int](width * height)
     var i = 0
     while (i < width * height) {
       val base = i * channels
-      val rr = img(base); val g = img(base + 1); val b = img(base + 2)
-      sr += rr; sg += g; sb2 += b
-      sl += 0.299 * rr + 0.587 * g + 0.114 * b
+      px(i) = (img(base) << 16) | (img(base + 1) << 8) | img(base + 2)
       i += 1
     }
-    val np = width.toDouble * height
-    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
-      sr / np / 255.0, sg / np / 255.0, sb2 / np / 255.0, sl / np / 255.0,
-      width.toDouble, height.toDouble, np, 4.0)))
+    Some((width, height, px))
   }
 
   /** Content-sniffing dispatch, like a real codec registry: magic
@@ -305,6 +335,105 @@ object Multimodal {
       when(greatest(col("width"), col("height")) <= maxDim, col("height"))
         .otherwise(expr(s"height * $maxDim div greatest(width, height)")
           .cast("int")).as("out_height"))
+
+  /** 64-bit difference hash (dHash) of a packed-RGB grid: box-average
+    * luma into a 9×8 grid, bit k = (cell left of k) < (cell right of
+    * k) row-wise — the standard perceptual image fingerprint. Small
+    * brightness/compression/resize changes keep most bits; Hamming
+    * distance is the visual-similarity metric. Images narrower than
+    * the grid get degenerate (empty-box) cells — callers should treat
+    * sub-9×8 images as unhashable rather than trust their hash.
+    */
+  private[operators] def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val gw = 9; val gh = 8
+    val cell = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val p = px(y * w + x)
+            s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = if (n > 0) s / n else 0.0
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L; var k = 0
+    var i = 0
+    while (i < gh) {
+      var j = 0
+      while (j < gw - 1) {
+        if (cell(i)(j) < cell(i)(j + 1)) hash |= (1L << k)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash per image record: real pixel decode (BMP or PNG
+    * lanes — the containers with in-repo codecs) → [[dHash64]]. Rows
+    * whose bytes don't decode are dropped, the fallback lane a real
+    * pipeline routes to a slower codec fleet. Narrow mapPartitions at
+    * scan parallelism; output is 8 bytes a row no matter the image
+    * size, so everything downstream is corpus-count-sized, not
+    * pixel-sized. Orientation is normalized by the decoders (BMP's
+    * bottom-up flip), so the same pixels hash identically from either
+    * container — the cross-container spec pins that.
+    */
+  def imagePhash(records: Dataset[MMRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val c = r.content
+        val px =
+          if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) bmpPixels(r)
+          else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
+            c(2) == 'N'.toByte && c(3) == 'G'.toByte) pngPixels(r)
+          else None
+        px.map { case (w, h, arr) => (r.doc_id, r.format, dHash64(w, h, arr)) }
+      }
+    }.toDF("doc_id", "format", "phash")
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ maxDist,
+    * found the scale-correct way: 4×16-bit banding (the same
+    * pigeonhole as SimHash text dedup — ≤3 differing bits leave ≥1
+    * band untouched, so recall is exact), candidate pairs only within
+    * a band bucket, popcount verification on candidates only. Only
+    * (band, key) pairs shuffle; no all-pairs join ever forms.
+    */
+  def phashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding guarantees recall only for maxDist <= 3, got $maxDist")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(phash, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("phash").as("pb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      // the same pair collides in up to 4 bands; dist is identical on
+      // every copy, so min dedups in the one shuffle ranking needs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(expr("bit_count(pa ^ pb)")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** The rows-only `mm_meta` query: binary length + typed metadata,
     * all mirrorable by exact integer SQL.

@@ -114,6 +114,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f2(2) - sumB / n / 255.0) < 1e-12)
   }
 
+  test("perceptual hash: identical pixels hash identically from PNG and BMP containers") {
+    implicit val s = spark
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 11 % 256) << 8) | ((x + y) * 3 % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val rec = Seq(
+      graft.operators.MMRecord(1L, enc("png"), "png", 32, 24, 1),
+      graft.operators.MMRecord(2L, enc("bmp"), "bmp", 32, 24, 1)).toDS()
+    val hashes = Multimodal.imagePhash(rec).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashes.size == 2)
+    // same pixels, two container formats, two independent encoders —
+    // the decoder-side orientation normalization must make them equal
+    assert(hashes(1L) == hashes(2L))
+  }
+
+  test("perceptual near-dup pairing finds the slightly-edited image and not the unrelated one") {
+    implicit val s = spark
+    import spark.implicits._
+    def render(edit: Boolean, noise: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (noise) (x * 37 + y * 91 + x * y) % 256 else (x * 4) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // the "edit": a small logo-sized patch, < 1 grid cell
+      if (edit) for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    val rec = Seq(
+      graft.operators.MMRecord(1L, render(edit = false, noise = false), "png", 64, 64, 1),
+      graft.operators.MMRecord(2L, render(edit = true, noise = false), "png", 64, 64, 1),
+      graft.operators.MMRecord(3L, render(edit = false, noise = true), "png", 64, 64, 1)).toDS()
+    val pairs = Multimodal.phashPairs(Multimodal.imagePhash(rec)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 <= 3L)
+    // rerunning produces the identical hash set (pure function of bytes)
+    val h1 = Multimodal.imagePhash(rec).collect().map(_.getLong(2)).sorted.toSeq
+    val h2 = Multimodal.imagePhash(rec).collect().map(_.getLong(2)).sorted.toSeq
+    assert(h1 == h2)
+  }
+
   test("frame sampling explodes every 30th frame for video rows only") {
     implicit val s = spark
     val out = Multimodal.frameSample(Multimodal.records(docs)).collect()
