@@ -176,6 +176,7 @@ object SparkEntry {
     "emb_pq_codes" -> ((s, dir) => Similarity.pqCodes(Tables(s, dir).embeddings)),
     "emb_sq8_codes" -> ((s, dir) => Similarity.sq8Codes(Tables(s, dir).embeddings)),
     "ann_sq8_topk" -> ((s, dir) => Similarity.annSq8TopK(Tables(s, dir).embeddings)),
+    "ann_ivf_sq8_topk" -> ((s, dir) => Similarity.annIvfSq8TopK(Tables(s, dir).embeddings)),
     "ann_hybrid_rrf" -> ((s, dir) => {
       val t = Tables(s, dir)
       Similarity.hybridRrf(t.documents, t.embeddings)
@@ -1969,6 +1970,43 @@ object SparkEntry {
             AdcEpilogue)
             .replace("<<CODEBOOK>>", pqCodebookValues(m)))
     }
+    val ivfSq8Entry = graft.operators.Similarity.lastIvfModel.map { m =>
+      "ann_ivf_sq8_topk" ->
+        (EmbBase + ",\n" + Sq8Ctes + ",\n" +
+          """dq AS (
+            |  SELECT vec_id,
+            |    list(lo + (CAST(code AS DOUBLE) * (hi - lo)) / 255.0 ORDER BY dim) AS dqv
+            |  FROM codes GROUP BY vec_id),
+            |cent AS (SELECT * FROM (VALUES <<CENTROIDS>>) q0(cluster_id, centroid)),
+            |assigned AS (
+            |  SELECT vec_id, dqv, cluster_id FROM (
+            |    SELECT dq.vec_id, dq.dqv, cent.cluster_id,
+            |      ROW_NUMBER() OVER (PARTITION BY dq.vec_id
+            |        ORDER BY list_dot_product(dqv, centroid) DESC, cluster_id) AS r
+            |    FROM dq CROSS JOIN cent) t
+            |  WHERE r = 1),
+            |pc AS (
+            |  SELECT probe_id, cluster_id FROM (
+            |    SELECT p.probe_id, cent.cluster_id,
+            |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+            |        ORDER BY list_dot_product(pv, centroid) DESC, cluster_id) AS r
+            |    FROM p CROSS JOIN cent) t
+            |  WHERE r <= 4),
+            |sc AS (
+            |  SELECT pc.probe_id, assigned.vec_id,
+            |    list_dot_product(pv, dqv) /
+            |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(dqv, dqv))) AS cos
+            |  FROM assigned
+            |  JOIN pc ON assigned.cluster_id = pc.cluster_id
+            |  JOIN p ON pc.probe_id = p.probe_id)
+            |SELECT probe_id, rnk, vec_id, ROUND(cos, 6) AS cos FROM (
+            |  SELECT probe_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+            |  FROM sc) t
+            |WHERE rnk <= 5
+            |ORDER BY probe_id, rnk""".stripMargin)
+          .replace("<<CENTROIDS>>", centroidValues(m))
+    }
     val ivfPqResEntry = for {
       ivf <- graft.operators.Similarity.lastIvfModel
       rpq <- graft.operators.Similarity.lastResPqModel
@@ -2018,6 +2056,7 @@ object SparkEntry {
         AdcEpilogue)
         .replace("<<CENTROIDS>>", centroidValues(ivf))
         .replace("<<CODEBOOK>>", pqCodebookValues(pq))
-    (ivfEntry.toList ++ pqEntries ++ ivfPqEntry.toList ++ ivfPqResEntry.toList).toMap
+    (ivfEntry.toList ++ ivfSq8Entry.toList ++ pqEntries ++
+      ivfPqEntry.toList ++ ivfPqResEntry.toList).toMap
   }
 }

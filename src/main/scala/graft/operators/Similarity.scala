@@ -1031,6 +1031,36 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("dqv"))), k)
   }
 
+  /** IVF routing over the SQ8-compressed corpus: the corpus is stored
+    * ONLY as int8 codes (assignment itself runs on the dequantized
+    * reconstruction — a stored compressed index has nothing else to
+    * assign), probes route to their nProbeClusters nearest coarse
+    * centroids at full precision, and the pruned lists score as
+    * dequantized vectors. The two compressions multiply: ~(probed/
+    * total) of the corpus is read, at 1 byte/dim — IVF-PQ's shape
+    * with a byte-per-dim codec instead of 4 bits/subspace, the
+    * standard middle point of the FAISS compression ladder. Shares
+    * the cached IVF model (and its oracle literals) with
+    * [[annIvfTopK]]; the SQ8 range stats re-derive in SQL.
+    */
+  def annIvfSq8TopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nClusters: Int = 16, nProbeClusters: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val centroids = ivfTrain(c, nClusters, iters)
+    val cDF = broadcast(spark.createDataset(centroids).toDF())
+    val dq = c.crossJoin(broadcast(sq8StatsRow(c)))
+      .withColumn("cv", expr("transform(cv, (x, i) -> " +
+        s"lo_arr[i] + (CAST(($sq8CodeLambda) AS DOUBLE) * (hi_arr[i] - lo_arr[i])) / 255.0)"))
+      .select(col("vec_id"), col("cv"))
+    val assigned = assignClusters(dq, cDF)
+    val pc = probeClusters(probes(embeddings, nProbes), cDF, nProbeClusters)
+    rankTopK(
+      assigned.join(broadcast(pc), Seq("cluster_id"))
+        .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
     * 1/(kRrf+rank) rule) of a lexical arm ([[TextOps.bm25TopK]], the
     * keyword queries) and a semantic arm (exact cosine over the

@@ -362,6 +362,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getDouble(3) > 0.9999)
   }
 
+  test("IVF over SQ8 codes: probing every list equals the full compressed-corpus search") {
+    val all = Similarity.annIvfSq8TopK(emb, nProbeClusters = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val flat = Similarity.annSq8TopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // with no pruning the routed search must reproduce the unrouted
+    // one exactly — same dequantization, same ranking contract
+    assert(all == flat)
+    val pruned = Similarity.annIvfSq8TopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.distinct.length == pruned.length)
+    val hits = pruned.count(flat.map(t => (t._1, t._3)).toSet.contains)
+    info(s"IVF-SQ8 recall vs full SQ8 scan (4/16 lists): $hits/${pruned.length}")
+  }
+
   test("hybrid RRF: a doc ranked 1 by both arms fuses to rank 1 at exactly 2/(60+1)") {
     val docs = ((0L until 40L).map(i => (i, s"filler w$i body", "web")) :+
       (30L, "zebra crossing zebra", "web")).toDF("doc_id", "text", "source")
