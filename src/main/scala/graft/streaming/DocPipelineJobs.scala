@@ -103,6 +103,42 @@ object DocPipelineJobs {
     * bound. With None, state is one bit array per distinct source
     * forever (only safe when the shard universe is bounded).
     */
+  /** Live perceptual-hash gate: the streaming twin of
+    * `Multimodal.imagePhash` + `phashPairs`, for the "is this upload
+    * a near-copy of something we already hold?" check. Arriving image
+    * records decode and dHash in the same stateless narrow map the
+    * batch operator runs (shared code), then probe a STATIC
+    * known-hash index through the same 4×16-bit banding — as a
+    * broadcast stream-static join, so every micro-batch verifies at
+    * ingest speed with no state store at all. Multi-band collisions
+    * of one (doc, known) pair collapse by keeping only the first
+    * colliding band — a pure expression over the two hashes in the
+    * row, not a stateful dedup. Emits one row per flagged pair
+    * (doc_id, known_id, phash, dist ≤ maxDist); recall is exact for
+    * distance ≤ 3 by the SimHash pigeonhole, same as batch.
+    */
+  def phashGateStream(stream: org.apache.spark.sql.Dataset[graft.operators.MMRecord],
+      knownHashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding guarantees recall only for maxDist <= 3, got $maxDist")
+    implicit val spark: org.apache.spark.sql.SparkSession = stream.sparkSession
+    val hashed = graft.operators.Multimodal.imagePhash(stream)
+    val sBanded = hashed.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(phash, band * 16) & 65535"))
+    val kBanded = broadcast(knownHashes.select(col("doc_id").as("known_id"),
+        col("phash").as("known_phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(known_phash, band * 16) & 65535")))
+    sBanded.join(kBanded, Seq("band", "key"))
+      .withColumn("dist", expr("bit_count(phash ^ known_phash)").cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("first_band", expr("filter(sequence(0, 3), b -> " +
+        "(shiftright(phash, b * 16) & 65535) = (shiftright(known_phash, b * 16) & 65535))[0]"))
+      .filter(col("band") === col("first_band"))
+      .select(col("doc_id"), col("known_id"), col("phash"), col("dist"))
+  }
+
   def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4,
       ttl: Option[(String, Long)] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

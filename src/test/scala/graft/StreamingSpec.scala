@@ -568,4 +568,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((1L, "keyed"), (2L, "generic"), (3L, "unparseable")))
     } finally q.stop()
   }
+
+  test("live phash gate flags a near-copy upload against the static index, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def render(edit: Boolean, noise: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (noise) (x * 37 + y * 91 + x * y) % 256 else (x * 4) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (edit) for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    // the static index: hashes of the corpus we already hold (doc 1)
+    implicit val s = spark
+    val known = graft.operators.Multimodal.imagePhash(
+      Seq(graft.operators.MMRecord(1L, render(edit = false, noise = false),
+        "png", 64, 64, 1)).toDS())
+    val in = MemoryStream[graft.operators.MMRecord]
+    val q = graft.streaming.DocPipelineJobs.phashGateStream(in.toDS(), known)
+      .writeStream.format("memory").queryName("phash_gate").outputMode("append").start()
+    try {
+      // arrivals: a lightly-edited near-copy, an unrelated image, and
+      // a payload that doesn't decode (falls out, not flagged)
+      in.addData(
+        graft.operators.MMRecord(100L, render(edit = true, noise = false), "png", 64, 64, 1),
+        graft.operators.MMRecord(101L, render(edit = false, noise = true), "png", 64, 64, 1),
+        graft.operators.MMRecord(102L, "not an image".getBytes, "jpeg", 0, 0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("phash_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(rows.map(t => (t._1, t._2)).toSeq == Seq((100L, 1L)))
+      assert(rows.head._3 <= 3L)
+      // exactly one row per flagged pair even when several bands collide
+      assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+    } finally q.stop()
+  }
 }
