@@ -160,6 +160,7 @@ object SparkEntry {
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
     "samp_shard" -> ((s, dir) => Sampling.shardShuffle(Tables(s, dir).documents)),
+    "samp_dsir" -> ((s, dir) => Sampling.dsirScore(Tables(s, dir).documents)),
     "samp_corpus_report" -> ((s, dir) => Sampling.corpusReport(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -1264,6 +1265,41 @@ object SparkEntry {
         |  doc_id, source
         |FROM k
         |ORDER BY shard, pos""".stripMargin),
+    "samp_dsir" ->
+      """WITH wt AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        |  WHERE source = 'src0'),
+        |wg AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        |  WHERE source <> 'src0'),
+        |tft AS (SELECT w, COUNT(*) AS tf_t FROM wt GROUP BY w),
+        |tfg AS (SELECT w, COUNT(*) AS tf_g FROM wg GROUP BY w),
+        |vocab AS (
+        |  SELECT COALESCE(tft.w, tfg.w) AS w,
+        |    COALESCE(tf_t, 0) AS tf_t, COALESCE(tf_g, 0) AS tf_g
+        |  FROM tft FULL OUTER JOIN tfg ON tft.w = tfg.w),
+        |scal AS (
+        |  SELECT CAST(SUM(tf_t) AS BIGINT) AS n_t,
+        |    CAST(SUM(tf_g) AS BIGINT) AS n_g, COUNT(*) AS v
+        |  FROM vocab),
+        |dw AS (
+        |  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_tokens,
+        |    SUM(CAST(
+        |      log2(CAST(tf_t AS DOUBLE) + 1.0)
+        |      - log2(CAST(n_t AS DOUBLE) + CAST(v AS DOUBLE))
+        |      - log2(CAST(tf_g AS DOUBLE) + 1.0)
+        |      + log2(CAST(n_g AS DOUBLE) + CAST(v AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS llr
+        |  FROM dw JOIN vocab USING (w) CROSS JOIN scal
+        |  GROUP BY doc_id, source)
+        |SELECT doc_id, source, n_tokens,
+        |  ROUND(CAST(llr AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_llr_bits,
+        |  llr > 0 AS target_like
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
     "samp_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

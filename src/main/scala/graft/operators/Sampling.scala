@@ -104,6 +104,50 @@ object Sampling {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** DSIR-style importance score for domain-targeted data selection
+    * (the published importance-resampling recipe: score documents by
+    * how much more likely a target-domain unigram LM finds them than
+    * the general-corpus LM, then keep the high scorers). Both LMs are
+    * add-1-smoothed over the UNION vocabulary, so out-of-domain words
+    * score, not crash. Per-token log-likelihood ratio in bits; the
+    * `target_like` flag is the sign of the exact decimal sum.
+    *
+    * Scale shape: two vocabulary aggregates + a one-row scalar frame,
+    * broadcast into the scoring scan (the same frozen-LM broadcast as
+    * [[graft.operators.TextOps.surprisal]] — vocabulary is sublinear
+    * in corpus size); the only corpus-sized shuffle is the per-doc
+    * score aggregation, map-side combined. Decimal term sums make the
+    * score independent of partial-agg order — and SQL-re-derivable.
+    */
+  def dsirScore(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val tfT = graft.operators.TextOps.unigramStats(
+      documents.filter(col("source") === targetSource)).withColumnRenamed("tf", "tf_t")
+    val tfG = graft.operators.TextOps.unigramStats(
+      documents.filter(col("source") =!= targetSource)).withColumnRenamed("tf", "tf_g")
+    val vocab = tfT.join(tfG, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
+        coalesce(col("tf_g"), lit(0L)).as("tf_g"))
+    val scal = vocab.agg(sum(col("tf_t")).as("n_t"), sum(col("tf_g")).as("n_g"),
+      count(lit(1)).as("v"))
+    val stats = broadcast(vocab.crossJoin(broadcast(scal)))
+    documents.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(stats, Seq("w")) // every corpus word is in the union vocab
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((log2(col("tf_t").cast("double") + 1.0)
+          - log2(col("n_t").cast("double") + col("v").cast("double"))
+          - log2(col("tf_g").cast("double") + 1.0)
+          + log2(col("n_g").cast("double") + col("v").cast("double")))
+          .cast("decimal(28,12)")).as("llr"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("llr").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("avg_llr_bits"),
+        (col("llr") > 0).as("target_like"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end corpus-build report: what a training-data run
     * publishes after assembly — normalize → quality cut → exact-dedup
     * keep-canonical (the [[graft.operators.TextOps.cleanPipeline]]

@@ -185,6 +185,28 @@ class SamplingSpec extends AnyFunSuite {
       (4L, "src0", 3L, 4L), (6L, "src0", 4L, 4L), (3L, "src1", 2L, 2L)))
   }
 
+  test("DSIR importance score ranks target-vocabulary docs above general ones") {
+    // target domain (tgt) speaks about physics; general corpus about cooking
+    val d = docs(
+      (0L, "quark lepton boson field quark", "en", "tgt"),
+      (1L, "boson field quantum spin lepton", "en", "tgt"),
+      (2L, "flour butter sugar oven bake", "en", "webA"),
+      (3L, "boson quark field lepton quantum", "en", "webB"), // physics text outside the domain
+      (4L, "bake sugar oven whisk flour", "en", "webB"))
+    val out = Sampling.dsirScore(d, targetSource = "tgt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    // the physics doc from a general source must score like the domain...
+    assert(out(3L)._1 > 0 && out(3L)._2)
+    // ...and strictly above every cooking doc
+    assert(out(3L)._1 > out(2L)._1 && out(3L)._1 > out(4L)._1)
+    // cooking docs are anti-target
+    assert(!out(2L)._2 && !out(4L)._2)
+    // deterministic across runs
+    val again = Sampling.dsirScore(d, targetSource = "tgt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out == again)
+  }
+
   test("shard shuffle: disjoint exhaustive shards, contiguous positions, layout-independent") {
     val d = docs((0L until 120L).map(i =>
       (i, s"doc $i", "en", s"src${i % 3}")): _*)
