@@ -161,6 +161,8 @@ object SparkEntry {
     "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
     "samp_shard" -> ((s, dir) => Sampling.shardShuffle(Tables(s, dir).documents)),
     "samp_dsir" -> ((s, dir) => Sampling.dsirScore(Tables(s, dir).documents)),
+    "samp_len_bucket" -> ((s, dir) => Sampling.lengthBuckets(Tables(s, dir).documents)),
+    "emb_sq8_drift" -> ((s, dir) => Similarity.sq8DriftStats(Tables(s, dir).embeddings)),
     "samp_corpus_report" -> ((s, dir) => Sampling.corpusReport(Tables(s, dir).documents)),
     "samp_domain_mix" -> ((s, dir) => Sampling.domainMixQuota(Tables(s, dir).documents)),
     "samp_pack" -> ((s, dir) => Sampling.packSequences(Tables(s, dir).documents)),
@@ -1300,6 +1302,37 @@ object SparkEntry {
         |  llr > 0 AS target_like
         |FROM sc
         |ORDER BY doc_id""".stripMargin,
+    "samp_len_bucket" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+        |  FROM t)
+        |SELECT bucket, (rk - 1) // 8 AS batch_idx, COUNT(*) AS n_docs,
+        |  MAX(n_tokens) AS max_tokens,
+        |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_waste
+        |FROM r
+        |GROUP BY bucket, (rk - 1) // 8
+        |ORDER BY bucket, batch_idx""".stripMargin,
+    "emb_sq8_drift" ->
+      (EmbBase + ",\n" +
+        """exc AS (
+          |  SELECT CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim,
+          |    UNNEST(cv) AS x
+          |  FROM c),
+          |st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM exc GROUP BY dim),
+          |exn AS (
+          |  SELECT CAST(generate_subscripts(pv, 1) - 1 AS BIGINT) AS dim,
+          |    UNNEST(pv) AS x
+          |  FROM p)
+          |SELECT dim, COUNT(*) AS n_new,
+          |  CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          |  CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+          |FROM exn JOIN st USING (dim)
+          |GROUP BY dim
+          |ORDER BY dim""".stripMargin),
     "samp_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

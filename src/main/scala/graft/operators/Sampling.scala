@@ -148,6 +148,32 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-length bucketing: group documents into fixed-width
+    * token-length buckets and cut each bucket into training batches,
+    * reporting per-batch padding waste (max_len·n − Σlen — the tokens
+    * a padded dataloader would burn). Homogeneous-length batches are
+    * the standard padding-efficiency move in every LLM dataloader;
+    * this operator is its planning/accounting step. Integer
+    * arithmetic only; one shuffle keyed on the (bounded-cardinality)
+    * bucket, same skew posture as the per-shard packing operator.
+    */
+  def lengthBuckets(documents: DataFrame, bucketWidth: Int = 16,
+      batchSize: Int = 8): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val toks = documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    toks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .withColumn("batch_idx", expr(s"CAST(rk - 1 AS BIGINT) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens"))).as("pad_waste"))
+      .orderBy(col("bucket"), col("batch_idx"))
+  }
+
   /** The end-to-end corpus-build report: what a training-data run
     * publishes after assembly — normalize → quality cut → exact-dedup
     * keep-canonical (the [[graft.operators.TextOps.cleanPipeline]]

@@ -1031,6 +1031,32 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("dqv"))), k)
   }
 
+  /** Drift signal for the SQ8 codec, paralleling the IVF drift stats:
+    * per dimension, how many components of NEW vectors (here the
+    * probe set — the freshest arrivals) fall outside the stored
+    * [lo, hi] quantization range and would clip to code 0/255.
+    * Rising clip counts mean the stored range no longer spans the
+    * data — the re-derive-stats trigger, decided by the operator, not
+    * here. Tiny query: stats broadcast, new-vector explode is
+    * |new|·dim rows, output is one row per dimension.
+    */
+  def sq8DriftStats(embeddings: DataFrame, nProbes: Int = 10): DataFrame = {
+    val stats = corpus(embeddings, nProbes)
+      .select(posexplode(col("cv")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    probes(embeddings, nProbes)
+      .select(posexplode(col("pv")).as(Seq("dim", "x")))
+      .join(broadcast(stats), Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .select(col("dim").cast("long").as("dim"), col("n_new"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy(col("dim"))
+  }
+
   /** IVF routing over the SQ8-compressed corpus: the corpus is stored
     * ONLY as int8 codes (assignment itself runs on the dequantized
     * reconstruction — a stored compressed index has nothing else to

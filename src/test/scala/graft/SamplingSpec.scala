@@ -207,6 +207,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("length bucketing forms homogeneous batches and accounts padding waste exactly") {
+    val d = docs((0L until 30L).map(i =>
+      (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" "), "en", "web")): _*)
+    val out = Sampling.lengthBuckets(d, bucketWidth = 4, batchSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._3).sum == 30L) // every doc lands in exactly one batch
+    out.foreach { case (_, _, nDocs, maxTok, waste) =>
+      assert(nDocs >= 1 && nDocs <= 4)
+      assert(waste >= 0 && waste <= (maxTok - 1) * (nDocs - 1))
+    }
+    // bucket b holds only lengths in [4b, 4b+4): waste within a batch
+    // is bounded by (width-1) per doc
+    out.foreach { case (_, _, nDocs, _, waste) => assert(waste <= 3 * nDocs) }
+  }
+
   test("shard shuffle: disjoint exhaustive shards, contiguous positions, layout-independent") {
     val d = docs((0L until 120L).map(i =>
       (i, s"doc $i", "en", s"src${i % 3}")): _*)

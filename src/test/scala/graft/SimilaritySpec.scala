@@ -362,6 +362,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getDouble(3) > 0.9999)
   }
 
+  test("SQ8 drift is zero for in-range data and counts out-of-range components") {
+    // corpus spans [-1, 1] per dim; probe 0 stays inside, probe 1
+    // blows past the range on every dimension
+    val corpus = (10L until 40L).map(j =>
+      (j, Array.tabulate(64)(i => math.sin(i * (j + 1.0)).toFloat).toSeq, 0))
+    // exact copy of corpus vector 10 ⇒ inside [lo, hi] on every dim
+    val inRange = (0L, Array.tabulate(64)(i => math.sin(i * 11.0).toFloat).toSeq, 0)
+    val outRange = (1L, Array.fill(64)(9.0f).toSeq, 0)
+    val df = (inRange +: outRange +: corpus).toDF("vec_id", "embedding", "label")
+    val drift = Similarity.sq8DriftStats(df, nProbes = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(drift.size == 64)
+    drift.values.foreach { case (n, lo, hi) =>
+      assert(n == 2L) // two probe vectors contribute per dimension
+      assert(lo == 0L) // nothing undershoots
+      assert(hi == 1L) // exactly the out-of-range probe clips high
+    }
+  }
+
   test("IVF over SQ8 codes: probing every list equals the full compressed-corpus search") {
     val all = Similarity.annIvfSq8TopK(emb, nProbeClusters = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
