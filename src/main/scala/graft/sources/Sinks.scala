@@ -52,4 +52,38 @@ object Sinks {
   def eventsFromJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventJsonSchema).json(path)
       .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** The documents JSONL schema — the interchange format corpora
+    * usually arrive in (one JSON object per line).
+    */
+  val docJsonSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Ingest a JSONL corpus dump with the explicit schema (no
+    * inference scan — at 100 TB the sampling pass alone would be a
+    * full read). Malformed lines surface as nulls under the default
+    * PERMISSIVE mode; pipelines that must fail loudly pass
+    * mode=FAILFAST at the call site.
+    */
+  def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(docJsonSchema).json(path)
+
+  /** Materialize [[graft.operators.Sampling.shardShuffle]] as a
+    * sharded training set on storage: one directory per shard, rows
+    * carrying their in-shard position. Rows are clustered by shard
+    * and sorted by (shard, pos) before the write, so each shard
+    * directory is written by the task that owns it and a sequential
+    * reader streams positions in order — the one-writer-per-output-
+    * file contract every sharded dataloader feed relies on.
+    */
+  def writeTrainingShards(documents: DataFrame, path: String,
+      nShards: Int = 8): Unit =
+    graft.operators.Sampling.shardShuffle(documents, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
 }

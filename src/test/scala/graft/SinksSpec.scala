@@ -73,4 +73,32 @@ class SinksSpec extends AnyFunSuite {
     val expected = events.filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
     assert(filtered.count() == expected && expected > 0)
   }
+
+  test("JSONL corpus round-trip and sharded training-set write") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"doc body $i", "en", s"src${i % 3}", (9 + i % 4)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // JSONL round-trip with the explicit schema (no inference pass)
+    val dumpDir = Files.createTempDirectory("graft-docs-jsonl").toString
+    docs.write.mode("overwrite").json(dumpDir)
+    val back = Sinks.documentsFromJsonl(spark, dumpDir)
+    assert(back.schema == Sinks.docJsonSchema)
+    assert(back.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 60L).toSeq)
+    // sharded write: one directory per shard, content = shardShuffle
+    val shardDir = Files.createTempDirectory("graft-shards").toString
+    Sinks.writeTrainingShards(docs, shardDir, nShards = 4)
+    val stored = spark.read.option("basePath", shardDir).json(shardDir)
+      .select(col("shard").cast("long"), col("pos").cast("long"),
+        col("doc_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expect = graft.operators.Sampling.shardShuffle(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stored == expect)
+    val dirs = new java.io.File(shardDir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 4)
+  }
 }
