@@ -185,6 +185,18 @@ class SamplingSpec extends AnyFunSuite {
       (4L, "src0", 3L, 4L), (6L, "src0", 4L, 4L), (3L, "src1", 2L, 2L)))
   }
 
+  test("shard/DSIR/bucket operators are total on empty input") {
+    val empty = docs()
+    assert(Sampling.shardShuffle(empty).collect().isEmpty)
+    assert(Sampling.dsirScore(empty).collect().isEmpty)
+    assert(Sampling.lengthBuckets(empty).collect().isEmpty)
+    // a corpus with no target-source docs still scores (target LM is
+    // all-smoothing): every doc is anti-target by construction
+    val noTarget = docs((0L, "alpha beta", "en", "web"), (1L, "beta gamma", "en", "web"))
+    val out = Sampling.dsirScore(noTarget, targetSource = "tgt").collect()
+    assert(out.length == 2 && out.forall(!_.getBoolean(4)))
+  }
+
   test("DSIR importance score ranks target-vocabulary docs above general ones") {
     // target domain (tgt) speaks about physics; general corpus about cooking
     val d = docs(

@@ -425,6 +425,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 and hybrid operators are total on empty input") {
+    val noVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.sq8Codes(noVecs).collect().isEmpty)
+    assert(Similarity.annSq8TopK(noVecs).collect().isEmpty)
+    assert(Similarity.sq8DriftStats(noVecs).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Similarity.hybridRrf(noDocs, noVecs).collect().isEmpty)
+    // one-sided emptiness: a lexical-only corpus still fuses
+    val docsOnly = Seq((7L, "zebra stripe zebra", "web"))
+      .toDF("doc_id", "text", "source")
+    val fused = Similarity.hybridRrf(docsOnly, noVecs,
+      queries = Seq(0 -> "zebra")).collect()
+    assert(fused.length == 1 && fused.head.getLong(2) == 7L)
+    assert(fused.head.getLong(5) == 0L) // no semantic arm
+  }
+
   test("trained models are cached across queries: a repeated ANN query trains nothing") {
     Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
     Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists
