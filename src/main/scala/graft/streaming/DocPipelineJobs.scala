@@ -139,6 +139,77 @@ object DocPipelineJobs {
       .select(col("doc_id"), col("known_id"), col("phash"), col("dist"))
   }
 
+  /** Live MinHash-LSH gate: the text twin of [[phashGateStream]] —
+    * "is this arriving document a near-duplicate of the corpus we
+    * already indexed?". Each arrival's 128-perm signature computes in
+    * a stateless per-row map (same fused shingles, same permutation
+    * family as the batch `Dedup.minhashSignatures` — a streaming
+    * groupBy would be stateful; per-row evaluation of the same math
+    * is not), then its 16 band folds probe a STATIC signature table
+    * through a broadcast stream-static join, and candidates verify by
+    * positional match count exactly like the batch operator.
+    * Documents too short to shingle emit nothing — identical to their
+    * absence from the batch signature table. No state store; recall
+    * follows the same 16×8 banding probability as batch LSH.
+    */
+  def minhashGateStream(stream: DataFrame, knownSigs: DataFrame,
+      minEst: Double = 0.2): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val permA = graft.expressions.MinhashSignature.permA
+    val permB = graft.expressions.MinhashSignature.permB
+    val prime = graft.expressions.MinhashSignature.Prime
+    val sigd = stream
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val fps = graft.expressions.ShingleFingerprints
+          .compute(if (text == null) "" else text).toLongArray()
+        if (fps.isEmpty) None
+        else {
+          val mh = Array.fill(permA.length)(Long.MaxValue)
+          fps.foreach { fp =>
+            val h = fp >>> 32
+            var i = 0
+            while (i < mh.length) {
+              val v = Math.floorMod(permA(i) * h + permB(i), prime)
+              if (v < mh(i)) mh(i) = v
+              i += 1
+            }
+          }
+          Some((id, mh))
+        }
+      }
+      .toDF("doc_id", "mh")
+    val bandFold = (arr: String) =>
+      s"transform(sequence(0, 15), b -> aggregate(slice($arr, b * 8 + 1, 8), 0L," +
+        s" (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))"
+    val sBanded = sigd.select(col("doc_id"), col("mh"),
+      posexplode(expr(bandFold("mh")))).toDF("doc_id", "mh", "band_idx", "band_hash")
+    val kBanded = broadcast(knownSigs
+      .select(col("doc_id").as("known_id"), col("mh").as("known_mh"),
+        posexplode(expr(bandFold("mh"))))
+      .toDF("known_id", "known_mh", "band_idx", "band_hash"))
+    val est = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      column(graft.expressions.ArrayMatchCount(
+        expression(col("mh")), expression(col("known_mh"))))
+        .cast("double") / 128.0
+    }
+    sBanded.join(kBanded, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("known_id"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEst)
+      // collapse multi-band hits with the first colliding band — a
+      // pure expression over the two signatures, no stateful dedup
+      .withColumn("first_band", expr(
+        "filter(sequence(0, 15), b -> " +
+          "aggregate(slice(mh, b * 8 + 1, 8), 0L, (acc, x) -> pmod(acc * 1000003 + x, 2147483647)) = " +
+          "aggregate(slice(known_mh, b * 8 + 1, 8), 0L, (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))[0]"))
+      .filter(col("band_idx") === col("first_band"))
+      .select(col("doc_id"), col("known_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4,
       ttl: Option[(String, Long)] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -569,6 +569,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live minhash gate flags an arriving near-duplicate against the static signature index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content about databases indexes and storage engines here"
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val known = graft.operators.Dedup.minhashSignatures(corpus)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .minhashGateStream(in.toDF().toDF("doc_id", "text"), known)
+      .writeStream.format("memory").queryName("mh_gate").outputMode("append").start()
+    try {
+      in.addData(
+        (100L, textA), // verbatim copy → signature identical to doc 1
+        (101L, "unrelated words about sailing boats across the open sea at dawn"),
+        (102L, "too short")) // < 3 words: no shingles, must emit nothing
+      q.processAllAvailable()
+      val rows = spark.table("mh_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the copy is flagged against doc 1 with estimated Jaccard 1.0 —
+      // which also proves the per-row streaming signature is
+      // bit-identical to the batch groupBy aggregate's
+      assert(rows.exists(t => t._1 == 100L && t._2 == 1L && t._3 == 1.0))
+      // nothing else flagged, and exactly one row per flagged pair
+      assert(rows.forall(_._1 == 100L))
+      assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+    } finally q.stop()
+  }
+
   test("live phash gate flags a near-copy upload against the static index, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
