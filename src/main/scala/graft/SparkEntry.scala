@@ -133,6 +133,7 @@ object SparkEntry {
     "txt_surprisal" -> ((s, dir) => TextOps.surprisal(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
+    "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
@@ -944,6 +945,27 @@ object SparkEntry {
         |FROM f
         |WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500
         |GROUP BY md5(norm_text)
+        |ORDER BY doc_id""".stripMargin,
+    "dd_incremental" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, md5(norm_text) AS h,
+        |    CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(norm_text, ' '),
+        |      w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM n),
+        |sc AS (
+        |  SELECT * FROM f
+        |  WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500),
+        |old AS (SELECT DISTINCT h FROM sc WHERE doc_id < 250)
+        |SELECT MIN(doc_id) AS doc_id, h, COUNT(*) AS n_batch_dups,
+        |  MIN(n_words) AS n_words
+        |FROM sc
+        |WHERE doc_id >= 250 AND h NOT IN (SELECT h FROM old)
+        |GROUP BY h
         |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS canonical

@@ -76,6 +76,36 @@ object Dedup {
         expression(col("text"))))).as("h"))
   }
 
+  /** Incremental crawl-over-crawl exact dedup — the daily-ingest
+    * shape: a NEW batch of documents dedups against the hash index of
+    * everything already accepted, then within itself, and only the
+    * survivors ship. Here the "stored index" derives from the
+    * previous crawl's rows (doc_id < splitId); in production it is a
+    * parquet hash table maintained by exactly this query's output.
+    * The index side is corpus-sized, so the anti-join shuffles BOTH
+    * sides on the uniform content hash (never broadcast — that is
+    * what [[bloomShingleFilter]]'s cheap pre-pass is for); the batch
+    * side then keeps its canonical copy per hash in the same keyed
+    * shuffle. Normalization/quality stages are the shared
+    * [[graft.operators.TextOps.cleanScored]] prefix, so incremental
+    * and full-rebuild pipelines cannot drift.
+    */
+  def incrementalDedup(documents: DataFrame, splitId: Long = 250,
+      minWords: Int = 5, maxStopRatio: Double = 0.5): DataFrame = {
+    val scored = graft.operators.TextOps.cleanScored(
+      documents, minWords, maxStopRatio)
+    val storedIndex = scored.filter(col("doc_id") < splitId)
+      .select(col("h")).distinct()
+    scored.filter(col("doc_id") >= splitId)
+      .join(storedIndex, Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_batch_dups"),
+        min(col("n_words")).as("n_words"))
+      .select(col("doc_id"), col("h"), col("n_batch_dups"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: hash-groupBy on md5 of the text. Emitting every
     * group (not just dups) doubles as an md5-parity check against the
     * oracle; the key is uniform so the shuffle cannot skew.

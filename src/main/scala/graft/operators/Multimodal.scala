@@ -137,7 +137,31 @@ object Multimodal {
     * 32768, plus [nSamples, sampleRate, nChannels, 3.0] (codec tag).
     * None for non-PCM / non-16-bit / malformed — fallback lane.
     */
-  private[operators] def decodeWav(r: MMRecord): Option[MMFeatures] = {
+  private[operators] def decodeWav(r: MMRecord): Option[MMFeatures] =
+    wavSamples(r).map { case (sampleRate, nChannels, s) =>
+      var (sum, sumSq, maxAbs) = (0.0, 0.0, 0.0)
+      var crossings = 0L; var prevNeg = false; var first = true
+      var i = 0
+      while (i < s.length) {
+        val v = s(i)
+        sum += v; sumSq += v * v
+        if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+        val neg = v < 0
+        if (!first && neg != prevNeg) crossings += 1
+        prevNeg = neg; first = false
+        i += 1
+      }
+      MMFeatures(r.doc_id, r.format, r.content.length, Array(
+        sum / s.length, math.sqrt(sumSq / s.length),
+        if (s.length > 1) crossings.toDouble / (s.length - 1) else 0.0, maxAbs,
+        s.length.toDouble, sampleRate.toDouble, nChannels.toDouble, 3.0))
+    }
+
+  /** The WAV chunk walk, exposed as normalized [-1, 1) samples —
+    * the audio analog of [[bmpPixels]]/[[pngPixels]], shared by the
+    * feature decoder and the acoustic fingerprint.
+    */
+  private[operators] def wavSamples(r: MMRecord): Option[(Int, Int, Array[Double])] = {
     val c = r.content
     if (c.length < 44) return None
     def tag(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -162,22 +186,13 @@ object Multimodal {
     if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return None
     val nSamples = dataLen / 2
     if (nSamples == 0) return None
-    var (sum, sumSq, maxAbs) = (0.0, 0.0, 0.0)
-    var crossings = 0L; var prevNeg = false; var first = true
+    val samples = new Array[Double](nSamples)
     var i = 0
     while (i < nSamples) {
-      val s = bb.getShort(dataOff + 2 * i) / 32768.0
-      sum += s; sumSq += s * s
-      if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
-      val neg = s < 0
-      if (!first && neg != prevNeg) crossings += 1
-      prevNeg = neg; first = false
+      samples(i) = bb.getShort(dataOff + 2 * i) / 32768.0
       i += 1
     }
-    Some(MMFeatures(r.doc_id, r.format, c.length, Array(
-      sum / nSamples, math.sqrt(sumSq / nSamples),
-      if (nSamples > 1) crossings.toDouble / (nSamples - 1) else 0.0, maxAbs,
-      nSamples.toDouble, sampleRate.toDouble, nChannels.toDouble, 3.0)))
+    Some((sampleRate, nChannels, samples))
   }
 
   /** REAL pure-JVM decoder: PNG, 8-bit truecolor (RGB / RGBA),
@@ -404,6 +419,56 @@ object Multimodal {
             c(2) == 'N'.toByte && c(3) == 'G'.toByte) pngPixels(r)
           else None
         px.map { case (w, h, arr) => (r.doc_id, r.format, dHash64(w, h, arr)) }
+      }
+    }.toDF("doc_id", "format", "phash")
+  }
+
+  /** 64-bit acoustic fingerprint: RMS energy envelope over 65 equal
+    * time windows, bit k = (window k) < (window k+1) — the audio
+    * analog of [[dHash64]] (difference hash over time instead of
+    * space). Robust to gain changes that preserve envelope shape and
+    * to small sample noise; clips shorter than one sample per window
+    * are unhashable and must be dropped by the caller.
+    */
+  private[operators] def aHash64(samples: Array[Double]): Long = {
+    val nw = 65
+    val rms = new Array[Double](nw)
+    var w = 0
+    while (w < nw) {
+      val i0 = (w.toLong * samples.length / nw).toInt
+      val i1 = math.max(i0 + 1, ((w + 1).toLong * samples.length / nw).toInt)
+      var s = 0.0; var n = 0
+      var i = i0
+      while (i < i1 && i < samples.length) { s += samples(i) * samples(i); n += 1; i += 1 }
+      rms(w) = if (n > 0) math.sqrt(s / n) else 0.0
+      w += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (rms(k) < rms(k + 1)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Acoustic fingerprint per audio record: real WAV sample decode →
+    * [[aHash64]] energy-envelope hash. Emits the same (doc_id,
+    * format, phash) shape as [[imagePhash]], so [[phashPairs]] (and
+    * the streaming gate) serve both modalities unchanged — one banded
+    * Hamming pairing operator, two fingerprint front-ends. Clips with
+    * fewer than 65 samples drop to the unhashable lane.
+    */
+  def audioPhash(records: Dataset[MMRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val c = r.content
+        val ok = c.length >= 12 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
+          c(2) == 'F'.toByte && c(3) == 'F'.toByte
+        (if (ok) wavSamples(r) else None)
+          .filter(_._3.length >= 65)
+          .map { case (_, _, s) => (r.doc_id, r.format, aHash64(s)) }
       }
     }.toDF("doc_id", "format", "phash")
   }

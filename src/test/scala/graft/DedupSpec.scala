@@ -23,6 +23,28 @@ class DedupSpec extends AnyFunSuite {
   private def docs(texts: (Long, String)*): DataFrame =
     texts.toDF("doc_id", "text")
 
+  test("incremental dedup kills index hits, keeps one canonical per batch hash") {
+    val d = docs(
+      1L -> distinct1, // previous crawl: distinct1's hash is in the index
+      2L -> base,
+      250L -> distinct1, // re-crawled verbatim → killed by the stored index
+      251L -> distinct2, 252L -> distinct2, // batch-internal pair → one survives
+      253L -> nearDup, // near-dup of indexed base, but EXACT dedup: survives
+      254L -> "too short") // fails the quality cut → never reaches dedup
+    val out = Dedup.incrementalDedup(d, splitId = 250).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((251L, 2L), (253L, 1L)))
+    // rebuild equivalence: survivors ∪ index hashes = full-pipeline hashes
+    val full = graft.operators.TextOps.cleanPipeline(d.filter($"doc_id" =!= 254L))
+      .collect().map(_.getString(1)).toSet
+    val surv = Dedup.incrementalDedup(d, splitId = 250).collect()
+      .map(_.getString(1)).toSet
+    val indexed = graft.operators.TextOps.cleanPipeline(
+      d.filter($"doc_id" < 250L)).collect().map(_.getString(1)).toSet
+    assert(surv.union(indexed) == full)
+    assert(surv.intersect(indexed).isEmpty)
+  }
+
   test("exact dedup groups identical texts and keeps min doc_id") {
     val out = Dedup.exact(docs(1L -> base, 2L -> base, 3L -> distinct1)).collect()
     assert(out.length == 2)

@@ -165,6 +165,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h1 == h2)
   }
 
+  test("acoustic fingerprint pairs the re-encoded clip, not the different one") {
+    implicit val s = spark
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 1300 samples = 20 per envelope window; envelope = slow ramp with
+    // a mid dip — a distinctive energy shape
+    def wav(gain: Double, reverse: Boolean, seed: Int): Array[Byte] = {
+      val n = 1300
+      val bb = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(n * 2)
+      for (i <- 0 until n) {
+        val t = if (reverse) n - 1 - i else i
+        val env = 0.2 + 0.7 * (t.toDouble / n) * (if ((t / 100) % 3 == 2) 0.3 else 1.0)
+        val noise = ((i * 31 + seed) % 7 - 3) / 3000.0
+        val v = (math.sin(i * 0.9) * env * gain + noise) * 16000
+        bb.putShort(math.max(-32768, math.min(32767, v.round.toInt)).toShort)
+      }
+      bb.array()
+    }
+    val rec = Seq(
+      graft.operators.MMRecord(1L, wav(1.0, reverse = false, seed = 0), "wav", 0, 0, 1),
+      // same envelope, 20% quieter, different noise — a re-encode
+      graft.operators.MMRecord(2L, wav(0.8, reverse = false, seed = 5), "wav", 0, 0, 1),
+      // reversed envelope — different audio
+      graft.operators.MMRecord(3L, wav(1.0, reverse = true, seed = 0), "wav", 0, 0, 1),
+      // undecodable payload drops out
+      graft.operators.MMRecord(4L, "not audio".getBytes, "wav", 0, 0, 1)).toDS()
+    val hashes = Multimodal.audioPhash(rec)
+    assert(hashes.collect().length == 3)
+    val pairs = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the same banded pairing operator serves audio unchanged
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("frame sampling explodes every 30th frame for video rows only") {
     implicit val s = spark
     val out = Multimodal.frameSample(Multimodal.records(docs)).collect()
