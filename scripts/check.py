@@ -39,6 +39,9 @@ def main():
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)

@@ -131,6 +131,8 @@ object SparkEntry {
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables(s, dir).documents)),
     "txt_entropy" -> ((s, dir) => TextOps.charEntropy(Tables(s, dir).documents)),
     "txt_surprisal" -> ((s, dir) => TextOps.surprisal(Tables(s, dir).documents)),
+    "txt_bigram_surprisal" -> ((s, dir) => TextOps.bigramSurprisal(Tables(s, dir).documents)),
+    "txt_lr_quality" -> ((s, dir) => TextOps.lrQuality(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
@@ -151,6 +153,10 @@ object SparkEntry {
     "dd_canonicalize" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Dedup.canonicalize(docs, Dedup.ngramJaccard(docs))
+    }),
+    "dd_soft_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.softDedupWeights(docs, Dedup.ngramJaccard(docs))
     }),
     "txt_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables(s, dir).documents)),
     "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
@@ -922,6 +928,57 @@ object SparkEntry {
         |FROM words JOIN tf USING (w) CROSS JOIN n
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // add-1 smoothed bigram LM: c1 derives from the bigram table
+    // (Σ_w2 c12), V from the corpus distinct-token count — both
+    // re-derived here so the model is trained twice independently
+    "txt_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        |stats AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM stats GROUP BY w1),
+        |voc AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(log2(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))
+        |        - log2(CAST(c12 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bigram_bits
+        |FROM bg JOIN stats USING (w1, w2) JOIN hist USING (w1) CROSS JOIN voc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // frozen LR weights (-0.5 bias, 2.2 len, 1.8 stop, -3.0 digit,
+    // 0.7 word-len) mirrored from TextOps.lrQuality; note DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "txt_lr_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    LEAST(CAST(1.0 AS DOUBLE),
+        |      CAST(len(string_split(text, ' ')) AS BIGINT)
+        |        / CAST(100.0 AS DOUBLE)) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS x2,
+        |    CAST(length(text)
+        |        - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS x3,
+        |    LEAST(CAST(1.0 AS DOUBLE),
+        |      CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |        / len(string_split(text, ' ')) / CAST(10.0 AS DOUBLE)) AS x4
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id,
+        |    CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |      + exp(-(-0.5 + 2.2 * x1 + 1.8 * x2 - 3.0 * x3 + 0.7 * x4))) AS p
+        |  FROM f)
+        |SELECT doc_id, ROUND(p, 6) AS lr_score,
+        |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM z
+        |ORDER BY doc_id""".stripMargin,
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
@@ -1113,6 +1170,40 @@ object SparkEntry {
         |SELECT doc_id, component, n_members,
         |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
+    // soft dedup: same component derivation as dd_cluster_cc, then
+    // weight = 1/|cluster| so each cluster sums to one unit of loss
+    "dd_soft_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pr AS (
+        |  SELECT doc1, doc2 FROM (
+        |    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sizes s1 ON doc1 = s1.doc_id
+        |  JOIN sizes s2 ON doc2 = s2.doc_id
+        |  WHERE inter * 100 >= (s1.s + s2.s - inter) * 50),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM pr
+        |      UNION SELECT doc2, doc1 FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+        |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS n_members,
+        |  ROUND(CAST(1.0 AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY component), 6) AS weight
+        |FROM lab
         |ORDER BY doc_id""".stripMargin,
     "txt_pii_redact" ->
       """WITH wp AS (

@@ -648,6 +648,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft dedup: keep every near-dup copy but downweight its training
+    * loss to 1/|cluster|, so each content cluster contributes exactly
+    * one document's worth of gradient regardless of how many crawls
+    * re-captured it (per-cluster weights sum to 1 — the spec pins it).
+    * The "don't drop, reweight" alternative to [[canonicalize]] some
+    * pipelines prefer because duplicates still contribute their
+    * (possibly differing) long-tail variants. Same shuffle shape as
+    * canonicalize: labels attach by one doc_id equi-join, the member
+    * count is one component-keyed window.
+    */
+  def softDedupWeights(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(documents, pairs)
+      .select(col("doc_id"), col("component"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    documents.select(col("doc_id"))
+      .join(comps, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Attach component labels (pair-graph vertices only) back onto the
     * full document set; singletons label themselves. Labels broadcast
     * so the corpus-sized document side never shuffles for this join

@@ -68,6 +68,37 @@ object TextOps {
         round(col("mean_word_len"), 6).as("mean_word_len"), col("score"))
       .orderBy(col("doc_id"))
 
+  /** Frozen-weight logistic-regression quality classifier — the
+    * fasttext-style learned filter step of CCNet/RefinedWeb-type
+    * pipelines, reduced to its scoring core: features are the exact
+    * integer-ratio text statistics [[quality]] already defines
+    * (length, stopword ratio, digit ratio, mean word length), the
+    * weights are frozen literals a trainer produced offline, and
+    * scoring is a pure per-row map — no shuffle, runs at scan speed
+    * and pipelines into the cleaning stage at any scale. The same
+    * literals appear in the SQL oracle, so the sigmoid is re-derived
+    * end-to-end in both engines (per-row double math, no aggregation
+    * order anywhere; 6-decimal round absorbs exp() ulp skew).
+    */
+  def lrQuality(documents: DataFrame): DataFrame = {
+    val nWords = wordCount("text")
+    val nStop = stopCount("text")
+    val x1 = least(lit(1.0), nWords / 100.0)
+    val x2 = nStop.cast("double") / nWords
+    val x3 = (length(col("text"))
+      - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+      length(col("text"))
+    val x4 = least(lit(1.0),
+      (length(col("text")) - nWords + 1).cast("double") / nWords / 10.0)
+    val z = lit(-0.5) + lit(2.2) * x1 + lit(1.8) * x2 - lit(3.0) * x3 +
+      lit(0.7) * x4
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    documents.select(col("doc_id"),
+        round(p, 6).as("lr_score"),
+        when(p >= 0.5, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID by marker-word frequency (the classic n-gram/stopword
     * heuristic, scored per language with a deterministic argmax).
     */
@@ -375,6 +406,61 @@ object TextOps {
         round(col("sb").cast("double") / col("n_tokens").cast("double"), 6)
           .as("avg_surprisal_bits"))
   }
+
+  /** Bigram-LM surprisal with add-1 smoothing: train on the corpus's
+    * own bigram counts, score each doc by average bits per bigram —
+    * (1/m)·Σ log₂((c(w₁)+V)/(c(w₁w₂)+1)). The next step up the
+    * LM-quality ladder from [[surprisal]]: context-sensitive, so
+    * word salad scores high-bits even when its unigrams are common.
+    * The history mass c(w₁)=Σ_w₂ c(w₁w₂) derives from the bigram
+    * table itself (self-consistent, no second corpus pass); V is the
+    * corpus distinct-token count, making every smoothed probability
+    * well-defined. Unlike the unigram tf table the bigram model can
+    * outgrow a broadcast at 100 TB, so the model join stays an
+    * un-hinted equi-join on (w1, w2) — AQE picks broadcast while it
+    * fits and shuffled-hash beyond. Bit costs are DECIMAL(28,12)
+    * sums (associative ⇒ partitioning-independent), rounded to 6
+    * decimals to absorb log₂ ulp differences across engines.
+    */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val bg = bigrams(documents)
+    val stats = bigramStats(bg)
+    val model = stats.join(
+      stats.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), Seq("w1"))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((log2(col("c1").cast("double") + col("v").cast("double"))
+          - log2(col("c12").cast("double") + lit(1.0)))
+          .cast("decimal(28,12)")).as("sb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sb").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_bigram_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc adjacent token pairs — a narrow map (sequence +
+    * transform inside the row), no shuffle until the model join.
+    */
+  private[graft] def bigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The corpus bigram LM: per-pair counts — the frozen model a
+    * batch trainer would hand to a streaming scorer.
+    */
+  private[graft] def bigramStats(bg: DataFrame): DataFrame =
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
 
   def fingerprint(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}

@@ -192,6 +192,23 @@ class DedupSpec extends AnyFunSuite {
     got.groupBy(_._2).foreach { case (_, g) => assert(g.count(_._4 == 1L) == 1) }
   }
 
+  test("soft dedup weights each copy 1/|cluster| and clusters sum to one") {
+    val docsDf = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), // one 3-member cluster
+      (4L, "d"), // singleton
+      (5L, "e"), (6L, "f") // one pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val got = Dedup.softDedupWeights(docsDf, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333), (3L, 1L, 3L, 0.333333),
+      (4L, 4L, 1L, 1.0),
+      (5L, 5L, 2L, 0.5), (6L, 5L, 2L, 0.5)))
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-5) }
+  }
+
   test("distributed CC resolves a path graph far longer than the round budget") {
     // a 300-edge path is the adversarial case for plain neighbor-min
     // propagation (needs 300 rounds > maxIters=50); the pointer-jump

@@ -146,6 +146,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L)._2 > out(1L)._2)
   }
 
+  test("bigram surprisal charges unusual word order the unigram model misses") {
+    import graft.operators.TextOps
+    // same unigram profile everywhere: a,b each tf=4; only ORDER differs
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "b a")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // V=2; (a,b) c12=3, c1(a)=3 → log2(5/4); (b,a) c12=1, c1(b)=1 → log2(3/2)
+    def bits(c1: Double, c12: Double) =
+      math.round((math.log((c1 + 2.0) / (c12 + 1.0)) / math.log(2.0)) * 1e6) / 1e6
+    assert(out(1L) == ((1L, bits(3.0, 3.0))))
+    assert(out(4L) == ((1L, bits(1.0, 1.0))))
+    assert(out(4L)._2 > out(1L)._2)
+  }
+
+  test("bigram surprisal emits one row per multi-token doc with n_tokens-1 pairs") {
+    import graft.operators.TextOps
+    val d = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("lr quality classifier: digit-heavy text rejected, prose accepted") {
+    import graft.operators.TextOps
+    val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val digits = "737 188 405 22 9 30991 4 2218 777 01 55 83 9000 12 644 5 71 3 88 20"
+    val d = Seq((1L, prose), (2L, digits)).toDF("doc_id", "text")
+    val out = TextOps.lrQuality(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 1L && out(2L)._2 == 0L)
+    assert(out(1L)._1 > 0.5 && out(2L)._1 < 0.5)
+    // hand-check the prose doc: 15 words, 3 stopwords ('the' x2, 'a'),
+    // 0 digits, 73 chars → mean word len (73-15+1)/15
+    val z = -0.5 + 2.2 * 0.15 + 1.8 * (3.0 / 15.0) - 3.0 * 0.0 +
+      0.7 * (59.0 / 15.0 / 10.0)
+    val p = math.round(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6
+    assert(out(1L)._1 == p)
+  }
+
   test("getByPath navigates json by key/index with defaults like the reference") {
     import graft.functions.ValueOps
     import org.apache.spark.sql.functions.{col, lit}
