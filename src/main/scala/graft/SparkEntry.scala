@@ -178,6 +178,7 @@ object SparkEntry {
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables(s, dir).embeddings)),
     "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
+    "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_recall_eval" -> ((s, dir) => Similarity.recallAtK(Tables(s, dir).embeddings)),
@@ -2238,7 +2239,20 @@ object SparkEntry {
         AdcEpilogue)
         .replace("<<CENTROIDS>>", centroidValues(ivf))
         .replace("<<CODEBOOK>>", pqCodebookValues(pq))
+    // PCA: each component re-derived as the IDENTICAL fixed-order
+    // multiply-add chain over the axis literals, centering folded
+    // into the shared pcaBias scalar — IEEE-identical, then ROUND 6
+    val pcaEntry = graft.operators.Similarity.lastPcaModel.map { m =>
+      val dim = m.mean.length
+      val exprs = m.axes.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+        val chain = (0 until dim).map(d => s"cv[${d + 1}] * ${w(d)}")
+          .mkString(" + ")
+        s"ROUND($chain - (${graft.operators.Similarity.pcaBias(m, k)}), 6) AS pc${k + 1}"
+      }.mkString(",\n  ")
+      "emb_pca_project" ->
+        (EmbBase + s"\nSELECT vec_id,\n  $exprs\nFROM c\nORDER BY vec_id")
+    }
     (ivfEntry.toList ++ ivfSq8Entry.toList ++ pqEntries ++
-      ivfPqEntry.toList ++ ivfPqResEntry.toList).toMap
+      ivfPqEntry.toList ++ ivfPqResEntry.toList ++ pcaEntry.toList).toMap
   }
 }

@@ -179,6 +179,32 @@ object Similarity {
   def clearModelCache(): Unit = {
     sampleCache.clear(); ivfCache.clear(); pqCache.clear(); resPqCache.clear()
     recordedIvf.clear(); recordedPq.clear(); recordedResPq.clear()
+    pcaCache.clear(); recordedPca.clear()
+  }
+
+  /** PCA model over the training sample: per-dimension mean + top-k
+    * principal axes (orthonormal up to power-iteration convergence).
+    * Like the IVF/PQ codebooks it is a tiny learned dimension table —
+    * k·dim + dim doubles — that broadcasts into a distributed
+    * projection; only the sample ever reaches the driver.
+    */
+  final case class PcaModel(mean: Array[Double], axes: Array[Array[Double]])
+
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), PcaModel]()
+  private val recordedPca =
+    new java.util.concurrent.ConcurrentHashMap[Long, PcaModel]()
+  def lastPcaModel: Option[PcaModel] = soleValue(recordedPca)
+  private val DefaultPcaParams = (4, 200) // (nComponents, powerIters)
+
+  /** μ·axisₖ as ONE fixed-order driver-side sum — shared by the
+    * projection operator and the SQL oracle emitter so the centering
+    * literal cannot drift between them.
+    */
+  def pcaBias(m: PcaModel, k: Int): Double = {
+    var s = 0.0; var d = 0
+    while (d < m.mean.length) { s += m.mean(d) * m.axes(k)(d); d += 1 }
+    s
   }
 
   /** Default training params — the single source for the "record this
@@ -932,6 +958,117 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"),
         round(col("sx").cast("double") / col("n"), 9).as("mean"), col("n"))
       .orderBy(col("label"), col("dim"))
+
+  /** Deterministic PCA fit on the in-memory sample: exact mean +
+    * centered covariance accumulated in fixed order, then power
+    * iteration with deflation for the top-k axes. A fixed iteration
+    * count and a fixed generic start vector (no randomness) make the
+    * fit bit-deterministic across runs and partitionings — the same
+    * property every other trained model here relies on for its
+    * literal-interpolated oracle. Sign convention: the
+    * largest-|coordinate| entry of each axis is positive (first
+    * index on ties), so the axis orientation is well-defined.
+    */
+  private[graft] def pcaFit(samplePairs: Array[(Long, Array[Double])],
+      nComponents: Int, powerIters: Int): PcaModel = {
+    trainingsRun.incrementAndGet()
+    val sample = samplePairs.map(_._2)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(nComponents <= dim, "more components than dimensions")
+    val n = sample.length
+    def forDim(f: Int => Unit): Unit = {
+      var i = 0; while (i < dim) { f(i); i += 1 }
+    }
+    val mean = new Array[Double](dim)
+    sample.foreach(v => forDim(i => mean(i) += v(i)))
+    forDim(i => mean(i) /= n)
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      forDim { i =>
+        val di = v(i) - mean(i)
+        forDim(j => cov(i)(j) += di * (v(j) - mean(j)))
+      }
+    }
+    forDim(i => forDim(j => cov(i)(j) /= n))
+    // cov·x for the current (deflated) covariance
+    def matVec(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      forDim { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += cov(i)(j) * x(j); j += 1 }
+        out(i) = s
+      }
+      out
+    }
+    val axes = Array.ofDim[Double](nComponents, dim)
+    var k = 0
+    while (k < nComponents) {
+      // generic deterministic start: decaying weights offset per
+      // component so no start is symmetric with a coordinate axis
+      var w = Array.tabulate(dim)(i => 1.0 / (1 + i + 3 * k))
+      var it = 0
+      while (it < powerIters) {
+        val nw = matVec(w)
+        var norm = 0.0
+        forDim(i => norm += nw(i) * nw(i))
+        norm = math.sqrt(norm)
+        require(norm > 0, s"power iteration collapsed at component $k")
+        forDim(i => nw(i) /= norm)
+        w = nw; it += 1
+      }
+      var amax = 0
+      forDim(i => if (math.abs(w(i)) > math.abs(w(amax))) amax = i)
+      if (w(amax) < 0) forDim(i => w(i) = -w(i))
+      axes(k) = w
+      // deflate: cov ← cov − λ·w·wᵀ with λ = wᵀ·cov·w
+      val cw = matVec(w)
+      var lam = 0.0
+      forDim(i => lam += w(i) * cw(i))
+      forDim(i => forDim(j => cov(i)(j) -= lam * w(i) * w(j)))
+      k += 1
+    }
+    PcaModel(mean, axes)
+  }
+
+  /** Train (or fetch the cached) PCA model for a corpus — same
+    * sample/caching/recording discipline as [[ivfTrain]]: one
+    * TakeOrdered sample per corpus per JVM, models keyed on the
+    * sample's content fingerprint + params, recorded for the SQL
+    * oracle only on default-param trainings.
+    */
+  def pcaTrain(corpusVecs: DataFrame, nComponents: Int = 4,
+      powerIters: Int = 200): PcaModel = {
+    val ts = trainSample(corpusVecs)
+    val model = pcaCache.computeIfAbsent((ts.fp, nComponents, powerIters),
+      _ => pcaFit(ts.vecs, nComponents, powerIters))
+    if ((nComponents, powerIters) == DefaultPcaParams) recordedPca.put(ts.fp, model)
+    model
+  }
+
+  /** PCA projection of the corpus onto the top-k principal axes —
+    * the dimensionality-reduction step before cheap ANN / clustering
+    * / visualization. The model is driver-trained on the bounded
+    * sample ([[pcaFit]]); the projection is a narrow per-row map:
+    * each component is one fixed-order multiply-add chain over the
+    * vector's elements (codegen'd, no shuffle) using the axis
+    * literals, with the centering folded into a per-component scalar
+    * bias (y = v·w − μ·w) so centered vectors never materialize —
+    * the same linear split the residual IVF-PQ ADC uses. The oracle
+    * re-derives the identical chain from the identical literals.
+    */
+  def pcaProject(embeddings: DataFrame, nComponents: Int = 4,
+      powerIters: Int = 200, nProbes: Int = 10): DataFrame = {
+    val cvs = corpus(embeddings, nProbes)
+    val m = pcaTrain(cvs, nComponents, powerIters)
+    val dim = m.mean.length
+    val pcs = m.axes.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+      val chain = (0 until dim).map(d => col("cv").getItem(d) * lit(w(d)))
+        .reduce(_ + _)
+      round(chain - lit(pcaBias(m, k)), 6).as(s"pc${k + 1}")
+    }
+    cvs.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
+  }
 
   /** Per-dimension corpus statistics (dim, n, mean, std): the
     * whitening/normalization table an embedding pipeline fits before

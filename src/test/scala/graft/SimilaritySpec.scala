@@ -32,6 +32,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getDouble(3) > 0.999999)
   }
 
+  test("pca recovers a planted dominant direction with orthonormal axes") {
+    // sample spread along `dir` (large coefficient) + a weak
+    // orthogonal secondary direction — classic anisotropic cloud
+    val dim = 16
+    val dir = Array.tabulate(dim)(i => math.sin(i * 0.9 + 0.3))
+    val nrm = math.sqrt(dir.map(x => x * x).sum)
+    val u = dir.map(_ / nrm)
+    val sec = Array.tabulate(dim)(i => if (i % 2 == 0) u(i + 1) else -u(i - 1))
+    val sample = (0 until 200).map { j =>
+      val a = (j % 21 - 10) / 2.0 // -5 .. 5
+      val b = (j % 7 - 3) / 10.0  // -0.3 .. 0.3
+      // deterministic full-rank jitter keeps the covariance away from
+      // exact rank-2, where a third axis would have nothing to find
+      (j.toLong, Array.tabulate(dim)(i =>
+        a * u(i) + b * sec(i) + 0.05 + 0.01 * math.sin(i * 7.77 + j * 1.3)))
+    }.toArray
+    val m = Similarity.pcaFit(sample, nComponents = 3, powerIters = 200)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // top axis aligns with the planted direction (sign-fixed, so
+    // compare |cos|); axes pairwise orthogonal and unit-norm
+    assert(math.abs(dot(m.axes(0), u)) > 0.99)
+    for (k <- 0 until 3) assert(math.abs(dot(m.axes(k), m.axes(k)) - 1.0) < 1e-9)
+    for (a <- 0 until 3; b <- a + 1 until 3)
+      assert(math.abs(dot(m.axes(a), m.axes(b))) < 1e-6)
+    // determinism: an independent fit is bit-identical
+    val m2 = Similarity.pcaFit(sample, nComponents = 3, powerIters = 200)
+    assert(m.axes.flatten.toSeq == m2.axes.flatten.toSeq &&
+      m.mean.toSeq == m2.mean.toSeq)
+  }
+
+  test("pca projection equals the driver-side centered dot product") {
+    val vecs = (0 until 40).map { j =>
+      (100L + j, Array.tabulate(64)(i => (math.sin(i * 0.31 + j) * 2).toFloat).toSeq, 0)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out2 = Similarity.pcaProject(df, nComponents = 2, powerIters = 50,
+      nProbes = 10).collect()
+    assert(out2.length == 40)
+    val m = Similarity.pcaTrain(
+      df.select($"vec_id", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))").as("cv")),
+      nComponents = 2, powerIters = 50)
+    val byId = vecs.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    out2.foreach { r =>
+      val v = byId(r.getLong(0))
+      for (k <- 0 until 2) {
+        val y = v.zip(m.axes(k)).map { case (x, w) => x * w }.sum -
+          Similarity.pcaBias(m, k)
+        assert(math.abs(r.getDouble(1 + k) - y) < 1e-6)
+      }
+    }
+  }
+
   test("LSH ANN candidates are a subset of correct cosine ordering (recall check)") {
     val brute = Similarity.bruteTopK(emb, nProbes = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
