@@ -179,6 +179,7 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(Tables(s, dir).embeddings)),
+    "emb_whiten" -> ((s, dir) => Similarity.whiten(Tables(s, dir).embeddings)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_recall_eval" -> ((s, dir) => Similarity.recallAtK(Tables(s, dir).embeddings)),
@@ -1535,6 +1536,28 @@ object SparkEntry {
         |FROM ex
         |GROUP BY dim
         |ORDER BY dim""".stripMargin,
+    // whitening applies UNROUNDED stats: decimal moment sums are
+    // exact in both engines, so mu/sd are bit-identical doubles
+    "emb_whiten" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    UNNEST(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS mu,
+        |    sqrt(GREATEST(0.0,
+        |      CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))
+        |        * (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))))
+        |      AS sd
+        |  FROM ex GROUP BY dim)
+        |SELECT vec_id, dim,
+        |  ROUND(CASE WHEN sd = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (x - mu) / sd END, 6) AS z
+        |FROM ex JOIN st USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
     "ann_brute_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

@@ -1070,6 +1070,35 @@ object Similarity {
     cvs.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
   }
 
+  /** Whitened embeddings: z = (x − μ_dim)/σ_dim per element — the
+    * apply step of the [[dimStats]] fit, emitted as exploded
+    * (vec_id, dim, z) rows. The stats aggregate is dim-keyed (tiny:
+    * one row per dimension) and broadcasts back onto the exploded
+    * corpus, so the corpus never shuffles — one scan, one broadcast
+    * join, the presentation sort. μ/σ stay UNROUNDED doubles derived
+    * from exact decimal moments (bit-identical in both engines); a
+    * zero-variance dimension whitens to 0 rather than dividing by
+    * zero. At 100 TB this is the standard pre-index normalization
+    * pass: stats job + narrow map, nothing corpus-sized moves.
+    */
+  def whiten(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(VectorOps.toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+    val mu = col("sx").cast("double") / col("n")
+    val stats = ex.groupBy(col("dim"))
+      .agg(sum(col("x").cast("decimal(38,15)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,15)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), mu.as("mu"),
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n") - mu * mu)).as("sd"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(when(col("sd") === 0, lit(0.0))
+          .otherwise((col("x") - col("mu")) / col("sd")), 6).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** Per-dimension corpus statistics (dim, n, mean, std): the
     * whitening/normalization table an embedding pipeline fits before
     * indexing (zero-center, unit-variance). Same shape as

@@ -80,7 +80,14 @@ object TextOps {
     * end-to-end in both engines (per-row double math, no aggregation
     * order anywhere; 6-decimal round absorbs exp() ulp skew).
     */
-  def lrQuality(documents: DataFrame): DataFrame = {
+  def lrQuality(documents: DataFrame): DataFrame =
+    lrScored(documents).orderBy(col("doc_id"))
+
+  /** The order-free LR scoring core — shared by [[lrQuality]] and the
+    * streaming twin (`DocPipelineJobs.lrScoreStream`) so the weights
+    * and feature definitions cannot drift between batch and live.
+    */
+  private[graft] def lrScored(documents: DataFrame): DataFrame = {
     val nWords = wordCount("text")
     val nStop = stopCount("text")
     val x1 = least(lit(1.0), nWords / 100.0)
@@ -94,9 +101,8 @@ object TextOps {
       lit(0.7) * x4
     val p = lit(1.0) / (lit(1.0) + exp(-z))
     documents.select(col("doc_id"),
-        round(p, 6).as("lr_score"),
-        when(p >= 0.5, 1L).otherwise(0L).as("keep"))
-      .orderBy(col("doc_id"))
+      round(p, 6).as("lr_score"),
+      when(p >= 0.5, 1L).otherwise(0L).as("keep"))
   }
 
   /** Language ID by marker-word frequency (the classic n-gram/stopword

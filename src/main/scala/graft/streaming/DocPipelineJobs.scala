@@ -81,6 +81,16 @@ object DocPipelineJobs {
       stream.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
       tfStats)
 
+  /** Live frozen-weight LR quality gate: literal weights over
+    * per-row integer-ratio features — a stateless narrow map, the
+    * SAME scoring core as the batch `TextOps.lrQuality` (shared
+    * code), so live keep/score decisions equal the batch ones row
+    * for row. No model table even needs broadcasting: the "model"
+    * is folded into the expression tree.
+    */
+  def lrScoreStream(stream: DataFrame): DataFrame =
+    TextOps.lrScored(stream)
+
   /** Live Bloom-filter membership per shard: the streaming twin of
     * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
     * shard is ONE fixed mBits-bit array (O(m), never grows with the

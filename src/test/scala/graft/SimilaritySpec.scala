@@ -63,6 +63,25 @@ class SimilaritySpec extends AnyFunSuite {
       m.mean.toSeq == m2.mean.toSeq)
   }
 
+  test("whiten zero-centers and unit-scales every varying dim, zeroes constant dims") {
+    // dim 0 constant, dim 1 spread; 4-dim vectors, 5 rows
+    val rows = (0 until 5).map(j =>
+      (j.toLong, Seq(2.5f, j.toFloat, j.toFloat * 2 - 4, 1f + (j % 2)), 0))
+    val out = Similarity.whiten(rows.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 20)
+    // constant dim 0 → exactly 0 everywhere
+    assert((0 until 5).forall(j => out((j.toLong, 0L)) == 0.0))
+    // each varying dim: mean 0, variance 1 (population)
+    for (d <- 1L until 4L) {
+      val zs = (0 until 5).map(j => out((j.toLong, d)))
+      assert(math.abs(zs.sum) < 1e-5)
+      assert(math.abs(zs.map(z => z * z).sum / 5 - 1.0) < 1e-5)
+    }
+    // hand-check dim 1: values 0..4, mu=2, sd=sqrt(2) → z0 = -sqrt(2)
+    assert(math.abs(out((0L, 1L)) + math.sqrt(2.0)) < 1e-6)
+  }
+
   test("pca projection equals the driver-side centered dot product") {
     val vecs = (0 until 40).map { j =>
       (100L + j, Array.tabulate(64)(i => (math.sin(i * 0.31 + j) * 2).toFloat).toSeq, 0)

@@ -411,6 +411,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live LR quality gate scores exactly like the batch classifier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over a lazy dog by the river",
+      2L -> "404 500 301 99 123456 777 000 22 8080 31337",
+      3L -> "a mixed doc with numbers 42 and words around the middle")
+    val batch = graft.operators.TextOps.lrQuality(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .lrScoreStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lr_live").outputMode("append").start()
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val live = spark.table("lr_live").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("streaming chunker emits the batch operator's windows byte for byte") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
