@@ -133,6 +133,8 @@ object SparkEntry {
     "txt_surprisal" -> ((s, dir) => TextOps.surprisal(Tables(s, dir).documents)),
     "txt_bigram_surprisal" -> ((s, dir) => TextOps.bigramSurprisal(Tables(s, dir).documents)),
     "txt_lr_quality" -> ((s, dir) => TextOps.lrQuality(Tables(s, dir).documents)),
+    "txt_tfidf_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables(s, dir).documents)),
+    "txt_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
@@ -981,6 +983,36 @@ object SparkEntry {
         |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM z
         |ORDER BY doc_id""".stripMargin,
+    "txt_tfidf_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, w, CAST(tf AS DOUBLE)
+        |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, ROUND(score, 6) AS score FROM (
+        |  SELECT doc_id, w AS term, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, w) AS BIGINT) AS rnk
+        |  FROM sc) t
+        |WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "txt_bpe_pairs" ->
+      """WITH wtf AS (
+        |  SELECT w, COUNT(*) AS tf FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 2
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 1) || substring(w, i + 1, 1) AS pair, tf
+        |  FROM wtf, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
+        |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 50""".stripMargin,
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word

@@ -143,6 +143,58 @@ object TextOps {
       .orderBy(col("tf").desc, col("word"))
       .limit(topN)
 
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each
+    * doc by tf·ln((N+1)/(df+1)) with a deterministic term tie-break —
+    * the summarization/tagging primitive next to [[bm25TopK]]'s
+    * search. One corpus explode feeds the (doc, term) tf aggregate;
+    * document frequencies derive from that same tf table (no second
+    * corpus pass — a term appears once per doc there by
+    * construction), and the df join stays UN-hinted: a corpus-wide
+    * vocabulary can outgrow a broadcast, so AQE picks the strategy.
+    * The corpus size is a one-row broadcast scalar. Scores are
+    * per-row double products of exact integers — no aggregation
+    * order anywhere.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** First-merge BPE statistics: corpus-weighted adjacent character
+    * pair counts over the vocabulary — the candidate table a BPE
+    * tokenizer trainer ranks to pick its next merge. Counting runs
+    * over the (word, tf) vocab aggregate, NOT the corpus (each
+    * distinct word's pairs weighted by its frequency), so the
+    * pair-expansion cost is vocabulary-sized: the 100 TB corpus is
+    * touched once by the word count and never again however many
+    * merge rounds a trainer runs. Pure integer sums ⇒ engine-exact.
+    */
+  def bpePairStats(documents: DataFrame, topN: Int = 50): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+
   /** The default BM25 query set: small keyword queries over the corpus
     * vocabulary, the shape a retrieval/eval harness feeds a keyword
     * index. A literal dimension (like the handler registry) —

@@ -170,6 +170,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map(2L -> 1L, 3L -> 2L))
   }
 
+  test("tfidf ranks a doc's distinctive term above corpus-wide stopwords") {
+    import graft.operators.TextOps
+    val d = Seq((1L, "common common zebra"), (2L, "common words here"),
+      (3L, "common words there")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // zebra: df=1, tf=1 → 1*ln(4/2); common: df=3, tf=2 → 2*ln(4/4)=0
+    assert(doc1.head._3 == "zebra")
+    assert(doc1.head._4 == math.round(math.log(2.0) * 1e6) / 1e6)
+    // every score of the idf-zero ubiquitous term is 0
+    assert(out.filter(_._3 == "common").forall(_._4 == 0.0))
+  }
+
+  test("bpe pair stats weight adjacent char pairs by word frequency") {
+    import graft.operators.TextOps
+    // 'ab' appears in "abc" (x3 via tf) and "ab" (x2): expect n(ab)=5
+    val d = Seq((1L, "abc ab x"), (2L, "abc ab"), (3L, "abc")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 5L, "bc" -> 3L))
+  }
+
   test("lr quality classifier: digit-heavy text rejected, prose accepted") {
     import graft.operators.TextOps
     val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
