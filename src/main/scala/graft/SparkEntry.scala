@@ -182,6 +182,10 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(Tables(s, dir).embeddings)),
     "emb_whiten" -> ((s, dir) => Similarity.whiten(Tables(s, dir).embeddings)),
+    "txt_topics" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.clusterTopics(t.documents, t.embeddings)
+    }),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(Tables(s, dir).embeddings)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables(s, dir).embeddings)),
     "ann_recall_eval" -> ((s, dir) => Similarity.recallAtK(Tables(s, dir).embeddings)),
@@ -2307,7 +2311,35 @@ object SparkEntry {
       "emb_pca_project" ->
         (EmbBase + s"\nSELECT vec_id,\n  $exprs\nFROM c\nORDER BY vec_id")
     }
+    // topic labeling re-derives member assignment from the same
+    // centroid literals, then cluster-granularity TF-IDF in SQL
+    val topicsEntry = graft.operators.Similarity.lastIvfModel.map { m =>
+      "txt_topics" ->
+        (EmbBase + ",\n" + IvfCtes + ",\n" +
+          """tf AS (
+            |  SELECT cluster_id, w, COUNT(*) AS tf FROM (
+            |    SELECT a.cluster_id, UNNEST(string_split(d.text, ' ')) AS w
+            |    FROM assigned a JOIN documents d ON d.doc_id = a.vec_id) t
+            |  GROUP BY cluster_id, w),
+            |cf AS (SELECT w, COUNT(*) AS cf FROM tf GROUP BY w),
+            |nc AS (SELECT COUNT(DISTINCT cluster_id) AS n_clusters FROM tf),
+            |sc AS (
+            |  SELECT cluster_id, w, CAST(tf AS DOUBLE)
+            |      * ln(CAST(n_clusters + 1 AS DOUBLE) / CAST(cf + 1 AS DOUBLE))
+            |    AS score
+            |  FROM tf JOIN cf USING (w) CROSS JOIN nc)
+            |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, rnk, term,
+            |  ROUND(score, 6) AS score FROM (
+            |  SELECT cluster_id, w AS term, score,
+            |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+            |      ORDER BY score DESC, w) AS BIGINT) AS rnk
+            |  FROM sc) t
+            |WHERE rnk <= 5
+            |ORDER BY cluster_id, rnk""".stripMargin)
+          .replace("<<CENTROIDS>>", centroidValues(m))
+    }
     (ivfEntry.toList ++ ivfSq8Entry.toList ++ pqEntries ++
-      ivfPqEntry.toList ++ ivfPqResEntry.toList ++ pcaEntry.toList).toMap
+      ivfPqEntry.toList ++ ivfPqResEntry.toList ++ pcaEntry.toList ++
+      topicsEntry.toList).toMap
   }
 }

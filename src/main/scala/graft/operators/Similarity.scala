@@ -379,6 +379,44 @@ object Similarity {
         .withColumn("cos", VectorOps.cosine(col("pv"), col("cv"))), k)
   }
 
+  /** Semantic topic labeling: IVF-cluster the embedding corpus with
+    * the SAME trained coarse quantizer the ANN queries use (cached,
+    * recorded), then label each cluster with its top TF-IDF terms —
+    * tf summed over member docs, idf at cluster granularity
+    * (ln((C+1)/(cf+1)), cf = clusters containing the term). The
+    * "what is this corpus about" primitive: k-means topics with
+    * readable labels, composed entirely from verified stages. Member
+    * assignment is the broadcast-centroid argmax (corpus never
+    * shuffles for it); the doc join keys on doc_id; term stats are
+    * cluster-keyed aggregates over ≤ nClusters·|vocab| rows.
+    */
+  def clusterTopics(documents: DataFrame, embeddings: DataFrame,
+      kTerms: Int = 5, nProbes: Int = 10, nClusters: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val c = corpus(embeddings, nProbes)
+    val cDF = broadcast(spark.createDataset(ivfTrain(c, nClusters, iters)).toDF())
+    val member = assignClusterIds(c, cDF)
+    val tf = documents
+      .join(member, documents("doc_id") === member("vec_id"))
+      .select(col("cluster_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("cluster_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val nc = tf.agg(count_distinct(col("cluster_id")).as("n_clusters"))
+    val scored = tf.join(cf, Seq("w"))
+      .crossJoin(broadcast(nc))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_clusters") + 1).cast("double") / (col("cf") + 1).cast("double")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kTerms)
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("rnk"),
+        col("w").as("term"), round(col("score"), 6).as("score"))
+      .orderBy(col("cluster_id"), col("rnk"))
+  }
+
   /** Materialize an IVF index on storage: the tiny centroid table plus
     * the corpus partitioned by cluster_id (one directory per inverted
     * list). Build once, search many — at 100 TB this is the only

@@ -63,6 +63,29 @@ class SimilaritySpec extends AnyFunSuite {
       m.mean.toSeq == m2.mean.toSeq)
   }
 
+  test("cluster topics label separated embedding groups with their own vocabulary") {
+    // two well-separated directions; docs of each group share a
+    // vocabulary the other group never uses
+    def vec(base: Double, j: Int) =
+      Array.tabulate(64)(i => (math.sin(i * base) + 0.01 * j).toFloat).toSeq
+    val aIds = (10L to 24L); val bIds = (25L to 39L)
+    val embRows = aIds.map(id => (id, vec(0.3, (id % 5).toInt), 0)) ++
+      bIds.map(id => (id, vec(2.1, (id % 5).toInt), 1))
+    val docRows = aIds.map(id => (id, "alpha beta gamma alpha")) ++
+      bIds.map(id => (id, "delta epsilon zeta delta"))
+    val out = Similarity.clusterTopics(
+      docRows.toDF("doc_id", "text"),
+      embRows.toDF("vec_id", "embedding", "label"),
+      kTerms = 3, nProbes = 10, nClusters = 2, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val byCluster = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCluster.size == 2)
+    val vocabA = Set("alpha", "beta", "gamma")
+    val vocabB = Set("delta", "epsilon", "zeta")
+    val sets = byCluster.values.toSeq
+    assert(sets.exists(_.subsetOf(vocabA)) && sets.exists(_.subsetOf(vocabB)))
+  }
+
   test("whiten zero-centers and unit-scales every varying dim, zeroes constant dims") {
     // dim 0 constant, dim 1 spread; 4-dim vectors, 5 rows
     val rows = (0 until 5).map(j =>
