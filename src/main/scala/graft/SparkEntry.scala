@@ -135,6 +135,7 @@ object SparkEntry {
     "txt_lr_quality" -> ((s, dir) => TextOps.lrQuality(Tables(s, dir).documents)),
     "txt_tfidf_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables(s, dir).documents)),
     "txt_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(Tables(s, dir).documents)),
+    "txt_bpe_apply" -> ((s, dir) => TextOps.bpeApply(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
@@ -1017,6 +1018,27 @@ object SparkEntry {
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair
         |LIMIT 50""".stripMargin,
+    // merge chain emitted by the SAME TextOps.bpeMergedSql the
+    // operator uses — the rewrites cannot drift between engines
+    "txt_bpe_apply" -> {
+      val m = TextOps.bpeMergedSql("w", sparkSql = false)
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    COALESCE(CAST(list_sum(list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> length(w))) AS BIGINT), 0) AS n_char_tokens,
+         |    COALESCE(CAST(list_sum(list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> length($m) - length(replace($m, '/', '')) - 1)) AS BIGINT), 0)
+         |      AS n_bpe_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_char_tokens, n_bpe_tokens,
+         |  CASE WHEN n_bpe_tokens = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(n_char_tokens AS DOUBLE) / n_bpe_tokens, 6) END
+         |    AS compression
+         |FROM t
+         |ORDER BY doc_id""".stripMargin
+    },
     "txt_vocab" ->
       """SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word

@@ -195,6 +195,59 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
 
+  /** The frozen BPE merge list [[bpeApply]] segments with — ordered,
+    * as a trainer would emit them (merged symbols feed later merges:
+    * t+h → th, th+e → the). Literals, like the LR weights: the
+    * "model" a tokenizer-training run produced offline.
+    */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r")
+
+  /** The merge rewrite chain for one word as an SQL expression —
+    * ONE emitter for both engines (Spark and DuckDB differ only in
+    * the char-split/join spelling), so the operator and its oracle
+    * apply byte-identical rewrites. Each word becomes a
+    * '/'-delimited symbol sequence; each merge (a,b) rewrites
+    * '/a/b/' → '/ab/' with TWO replace passes — replace() consumes
+    * the shared delimiter of adjacent matches, so a single pass
+    * merges only alternating occurrences in a run; the second pass
+    * catches the rest (exact BPE for runs shorter than 4, and
+    * deterministic + engine-identical always).
+    */
+  private[graft] def bpeMergedSql(wordExpr: String, sparkSql: Boolean,
+      merges: Seq[(String, String)] = DefaultBpeMerges): String = {
+    val base =
+      if (sparkSql) s"concat('/', array_join(split($wordExpr, ''), '/'), '/')"
+      else s"'/' || array_to_string(string_split($wordExpr, ''), '/') || '/'"
+    merges.foldLeft(base) { case (e, (a, b)) =>
+      val once = s"replace($e, '/$a/$b/', '/$a$b/')"
+      s"replace($once, '/$a/$b/', '/$a$b/')"
+    }
+  }
+
+  /** Apply the frozen merge list: per-doc token counts before (chars)
+    * and after the merges, plus the compression ratio — the
+    * tokenizer APPLY step completing [[bpePairStats]]' train step.
+    * A pure per-row map (the merge chain is string rewrites inside a
+    * transform lambda), scan-speed at any scale. Token count = the
+    * merged sequence's delimiter count − 1.
+    */
+  def bpeApply(documents: DataFrame): DataFrame = {
+    val m = bpeMergedSql("w", sparkSql = true)
+    documents.select(col("doc_id"),
+        expr("aggregate(transform(filter(split(text, ' '), w -> length(w) > 0)," +
+          " w -> length(w)), 0L, (a, x) -> a + CAST(x AS BIGINT))")
+          .as("n_char_tokens"),
+        expr(s"aggregate(transform(filter(split(text, ' '), w -> length(w) > 0)," +
+          s" w -> length($m) - length(replace($m, '/', '')) - 1)," +
+          " 0L, (a, x) -> a + CAST(x AS BIGINT))").as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") === 0, lit(1.0))
+          .otherwise(round(col("n_char_tokens").cast("double")
+            / col("n_bpe_tokens"), 6)))
+      .orderBy(col("doc_id"))
+  }
+
   /** The default BM25 query set: small keyword queries over the corpus
     * vocabulary, the shape a retrieval/eval harness feeds a keyword
     * index. A literal dimension (like the handler registry) —

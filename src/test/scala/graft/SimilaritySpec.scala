@@ -538,6 +538,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fused.head.getLong(5) == 0L) // no semantic arm
   }
 
+  test("whiten and the new text operators are total on empty input") {
+    val noVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.whiten(noVecs).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    import graft.operators.TextOps
+    assert(TextOps.bigramSurprisal(noDocs).collect().isEmpty)
+    assert(TextOps.lrQuality(noDocs).collect().isEmpty)
+    assert(TextOps.tfidfTopTerms(noDocs).collect().isEmpty)
+    assert(TextOps.bpePairStats(noDocs).collect().isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(graft.operators.Dedup.softDedupWeights(noDocs, noPairs)
+      .collect().isEmpty)
+  }
+
   test("trained models are cached across queries: a repeated ANN query trains nothing") {
     Similarity.annIvfTopK(emb).collect() // ensure the default IVF model exists
     Similarity.annPqTopK(emb).collect() // ensure the default PQ codebook exists

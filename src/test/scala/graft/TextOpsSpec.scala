@@ -193,6 +193,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map("ab" -> 5L, "bc" -> 3L))
   }
 
+  test("bpe apply segments with the frozen merges: 'the' is one token") {
+    import graft.operators.TextOps
+    // 'the' → t+h, then th+e → 1 token; 'inner' → in+n+er = 3 tokens
+    // ('i n'→'in', 'e r'→'er'; middle n stays); 'xyz' → no merges = 3
+    val d = Seq((1L, "the"), (2L, "inner"), (3L, "xyz"), (4L, "the inner xyz"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeApply(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 3.0)))
+    assert(out(2L) == ((5L, 3L, 1.666667)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((11L, 7L, math.round(11.0 / 7.0 * 1e6) / 1e6)))
+  }
+
   test("lr quality classifier: digit-heavy text rejected, prose accepted") {
     import graft.operators.TextOps
     val prose = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
