@@ -161,6 +161,14 @@ object SparkEntry {
       val docs = Tables(s, dir).documents
       Dedup.softDedupWeights(docs, Dedup.ngramJaccard(docs))
     }),
+    // semantic (embedding-space) near-dup clustering: the same CC
+    // machinery over the hyperplane-LSH candidate pair graph
+    "dd_semantic_canon" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Dedup.connectedComponents(
+        emb.selectExpr("vec_id AS doc_id"),
+        Dedup.embedNearDup(emb).selectExpr("id1 AS doc1", "id2 AS doc2"))
+    }),
     "txt_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables(s, dir).documents)),
     "txt_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables(s, dir).documents)),
     "txt_bm25" -> ((s, dir) => TextOps.bm25TopK(Tables(s, dir).documents)),
@@ -1958,6 +1966,44 @@ object SparkEntry {
         |  JOIN v v2 ON cand.id2 = v2.vec_id) t
         |WHERE cos >= 0.95
         |ORDER BY id1, id2""".stripMargin
+        .replace("<<PLANES>>", planeValues(96))),
+    // same candidate derivation as dd_embed_neardup, then the
+    // recursive-CTE component labeling over ALL vec_ids
+    "dd_semantic_canon" ->
+      ("""WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
+        |sigs AS (
+        |  SELECT vec_id, (pid // 12)::BIGINT * 4294967296
+        |    + CAST(SUM(CASE WHEN list_dot_product(vd, p) > 0
+        |        THEN (1::BIGINT << (pid % 12)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN planes GROUP BY vec_id, pid // 12),
+        |cand AS (
+        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
+        |  FROM sigs s1 JOIN sigs s2 ON s1.bucket = s2.bucket
+        |  WHERE s1.vec_id < s2.vec_id),
+        |pr AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2, list_dot_product(v1.vd, v2.vd) /
+        |      (sqrt(list_dot_product(v1.vd, v1.vd))
+        |        * sqrt(list_dot_product(v2.vd, v2.vd))) AS cos
+        |    FROM cand
+        |    JOIN v v1 ON cand.id1 = v1.vec_id
+        |    JOIN v v2 ON cand.id2 = v2.vec_id) t
+        |  WHERE cos >= 0.95),
+        |e AS (SELECT id1 AS a, id2 AS b FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach(x, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.x),
+        |comp AS (SELECT x, MIN(r) AS component FROM reach GROUP BY x)
+        |SELECT emb.vec_id AS doc_id,
+        |  COALESCE(c.component, emb.vec_id) AS component,
+        |  CAST(CASE WHEN COALESCE(c.component, emb.vec_id) = emb.vec_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.x
+        |ORDER BY doc_id""".stripMargin
         .replace("<<PLANES>>", planeValues(96))),
     "ann_lsh_topk" ->
       ("""WITH p0 AS (

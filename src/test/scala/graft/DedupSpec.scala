@@ -209,6 +209,21 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(g.map(_._4).sum - 1.0) < 1e-5) }
   }
 
+  test("semantic canon clusters planted identical embeddings, rest stay singleton") {
+    val a = Array.tabulate(64)(i => math.sin(i * 0.5 + 1).toFloat).toSeq
+    val far = (4 to 10).map(j =>
+      (j.toLong, Array.tabulate(64)(i => math.cos(i * (j + 1) * 0.77).toFloat).toSeq, 1))
+    val emb = ((1L, a, 0) +: (2L, a, 0) +: (3L, a, 0) +: far)
+      .toDF("vec_id", "embedding", "label")
+    val comps = Dedup.connectedComponents(
+      emb.selectExpr("vec_id AS doc_id"),
+      Dedup.embedNearDup(emb).selectExpr("id1 AS doc1", "id2 AS doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the three copies collapse to component 1 with one canonical
+    assert(comps.filter(t => Set(1L, 2L, 3L).contains(t._1)).map(_._2).toSet == Set(1L))
+    assert(comps.count(_._3 == 1L) == 1 + far.size)
+  }
+
   test("distributed CC resolves a path graph far longer than the round budget") {
     // a 300-edge path is the adversarial case for plain neighbor-min
     // propagation (needs 300 rounds > maxIters=50); the pointer-jump
