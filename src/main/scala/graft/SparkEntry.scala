@@ -175,6 +175,7 @@ object SparkEntry {
     "samp_chunk" -> ((s, dir) => Sampling.chunkSequences(Tables(s, dir).documents)),
     "samp_interleave" -> ((s, dir) => Sampling.interleaveSources(Tables(s, dir).documents)),
     "samp_curriculum" -> ((s, dir) => Sampling.curriculumStages(Tables(s, dir).documents)),
+    "samp_token_budget" -> ((s, dir) => Sampling.tokenBudgetSelect(Tables(s, dir).documents)),
     "samp_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables(s, dir).documents)),
     "samp_split" -> ((s, dir) => Sampling.holdoutSplit(Tables(s, dir).documents)),
     "samp_shard" -> ((s, dir) => Sampling.shardShuffle(Tables(s, dir).documents)),
@@ -1378,6 +1379,32 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // per-shard budget = 20000/8 = 2500 tokens (mirrors the Scala
+    // defaults); same quality-score CTE as samp_curriculum
+    "samp_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    ROUND(LEAST(1.0, n_words / 100.0) * 0.5
+        |      + (1.0 - stop_ratio) * 0.5, 6) AS score,
+        |    n_words
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stop_ratio
+        |    FROM documents) t),
+        |cum AS (
+        |  SELECT doc_id, shard, score, n_words,
+        |    CAST(SUM(n_words) OVER (PARTITION BY shard
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, shard, score, n_words, cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= 2500 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cum
+        |ORDER BY doc_id""".stripMargin,
     "samp_curriculum" ->
       """WITH q AS (
         |  SELECT doc_id,

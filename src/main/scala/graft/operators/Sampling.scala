@@ -325,6 +325,32 @@ object Sampling {
     * stage boundaries therefore differ per shard, which is what a
     * sharded curriculum wants anyway.
     */
+  /** Data selection under a token budget: keep the highest-quality
+    * documents until the budget runs out. The budget splits evenly
+    * across hash shards and the quality-ordered running token sum is
+    * per-shard — no global sort, no global row_number (the
+    * interleave/shard lesson): each shard is one window task, and at
+    * 100 TB budget enforcement stays a per-partition scan after ONE
+    * shuffle on the shard key. Ordering uses the 6-decimal-rounded
+    * score with a doc_id tie-break, so the cut is engine-exact; the
+    * running sum is pure integers.
+    */
+  def tokenBudgetSelect(documents: DataFrame, budget: Long = 20000,
+      nShards: Int = 8): DataFrame = {
+    val perShard = budget / nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        TextOps.qualityScore.as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .withColumn("keep",
+        when(col("cum_tokens") <= perShard, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   def curriculumStages(documents: DataFrame, stages: Int = 4): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id"))

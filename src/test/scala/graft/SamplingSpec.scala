@@ -185,6 +185,28 @@ class SamplingSpec extends AnyFunSuite {
       (4L, "src0", 3L, 4L), (6L, "src0", 4L, 4L), (3L, "src1", 2L, 2L)))
   }
 
+  test("token budget keeps the quality prefix per shard, never overruns") {
+    import graft.operators.Sampling
+    // 12 docs, 2 shards; quality rises with word count (all < 100
+    // words); budget 40 → 20 tokens per shard
+    val d = (0L until 12L).map(i =>
+      (i, (1 to (3 + i.toInt)).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.tokenBudgetSelect(d, budget = 40, nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // kept rows per shard sum within budget
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val kept = g.filter(_._5 == 1L)
+      assert(kept.map(_._3).sum <= 20)
+      // the kept set is exactly the top-score (here: longest) prefix:
+      // every kept doc has more words than any dropped doc in-shard
+      val dropped = g.filter(_._5 == 0L)
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max)
+    }
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L))
+  }
+
   test("shard/DSIR/bucket operators are total on empty input") {
     val empty = docs()
     assert(Sampling.shardShuffle(empty).collect().isEmpty)
