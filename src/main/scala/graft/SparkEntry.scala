@@ -41,6 +41,7 @@ object SparkEntry {
     "q6_filter_agg" -> ((s, dir) => Relational.q6ForecastRevenue(Tables(s, dir).lineitem)),
     "q7_window_rank" -> ((s, dir) => Relational.q7WindowRank(Tables(s, dir).customer)),
     "q8_running_sum" -> ((s, dir) => Relational.q8RunningSum(Tables(s, dir).orders)),
+    "q26_moving_avg" -> ((s, dir) => Relational.q26MovingAvg(Tables(s, dir).orders)),
     "q9_distinct_agg" -> ((s, dir) => Relational.q9DistinctAgg(Tables(s, dir).lineitem)),
     "q10_having" -> ((s, dir) => Relational.q10Having(Tables(s, dir).orders)),
     "q11_case_pivot" -> ((s, dir) => {
@@ -382,6 +383,22 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // event-time RANGE frame on epoch-day ints: peers at one day
+    // share a frame, calendar gaps shrink it — ROWS can't express it
+    "q26_moving_avg" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |      AS day
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w), 6) AS avg_90d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q9_distinct_agg" ->
       """SELECT l_returnflag,

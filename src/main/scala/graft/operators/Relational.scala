@@ -175,6 +175,29 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Event-time RANGE-frame window: the 90-day trailing spend
+    * average per customer — the frame shape [[q8RunningSum]]'s ROWS
+    * frame can't express (peers at the same day share one frame;
+    * gaps in the calendar shrink it). Dates become epoch-day longs
+    * so the range bound is integer arithmetic, identical in any
+    * engine and orderable without timestamp round-trip hazards. One
+    * shuffle on the customer key serves both window functions.
+    */
+  def q26MovingAvg(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-90, 0)
+    orders
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_90d", count(lit(1)).over(w))
+      .withColumn("avg_90d",
+        round(sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          / col("n_90d"), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("n_90d"), col("avg_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Multi-distinct aggregation: Spark expands to a two-phase
     * (expand + partial) plan; distinct counts stay exact.
     */

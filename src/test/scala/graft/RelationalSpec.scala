@@ -41,6 +41,26 @@ class RelationalSpec extends AnyFunSuite {
     sqlCross("q25_supplier_flow")
   }
 
+  test("q26 range frame: 90-day window includes same-day peers, drops older orders") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val orders = Seq(
+      (1L, 10L, 100.0, ts("1995-01-01")), // alone so far
+      (2L, 10L, 200.0, ts("1995-03-01")), // 59 days later → includes #1
+      (3L, 10L, 400.0, ts("1995-07-01")), // 122 days after #2 → fresh frame
+      (4L, 10L, 800.0, ts("1995-07-01")), // same-day peer of #3
+      (5L, 20L, 50.0, ts("1995-01-15")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = graft.operators.Relational.q26MovingAvg(orders).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((1L, 100.0)))
+    assert(out(2L) == ((2L, 150.0)))
+    // RANGE peers: both same-day orders see the pair, not just the
+    // earlier one (ROWS would give #3 a singleton frame)
+    assert(out(3L) == ((2L, 600.0)) && out(4L) == ((2L, 600.0)))
+    assert(out(5L) == ((1L, 50.0)))
+  }
+
   test("every oracleSql key has a queries entry and vice versa (SQL-expressible ones)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
