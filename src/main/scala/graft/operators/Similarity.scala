@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1099,13 +1099,21 @@ object Similarity {
       powerIters: Int = 200, nProbes: Int = 10): DataFrame = {
     val cvs = corpus(embeddings, nProbes)
     val m = pcaTrain(cvs, nComponents, powerIters)
+    cvs.select(col("vec_id") +: pcaColumns(m): _*).orderBy(col("vec_id"))
+  }
+
+  /** The projection columns for a trained model over a `cv`
+    * double-array column — ONE definition for the batch operator and
+    * the streaming twin (`DocPipelineJobs.pcaStream`), so live
+    * projections are bit-identical to batch.
+    */
+  private[graft] def pcaColumns(m: PcaModel): IndexedSeq[Column] = {
     val dim = m.mean.length
-    val pcs = m.axes.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+    m.axes.toIndexedSeq.zipWithIndex.map { case (w, k) =>
       val chain = (0 until dim).map(d => col("cv").getItem(d) * lit(w(d)))
         .reduce(_ + _)
       round(chain - lit(pcaBias(m, k)), 6).as(s"pc${k + 1}")
     }
-    cvs.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
   }
 
   /** Whitened embeddings: z = (x − μ_dim)/σ_dim per element — the
@@ -1119,23 +1127,40 @@ object Similarity {
     * zero. At 100 TB this is the standard pre-index normalization
     * pass: stats job + narrow map, nothing corpus-sized moves.
     */
-  def whiten(embeddings: DataFrame): DataFrame = {
-    val ex = embeddings.select(col("vec_id"),
+  def whiten(embeddings: DataFrame): DataFrame =
+    applyWhiten(explodedDims(embeddings), whitenStats(embeddings))
+      .orderBy(col("vec_id"), col("dim"))
+
+  /** (vec_id, dim, x) rows of an embedding frame — shared by the
+    * batch operator and the streaming twin.
+    */
+  private[graft] def explodedDims(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       posexplode(VectorOps.toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+
+  /** The whitening fit: per-dim UNROUNDED μ/σ from exact decimal
+    * moments — the frozen stats a batch fit hands to the streaming
+    * scorer (`DocPipelineJobs.whitenStream`).
+    */
+  private[graft] def whitenStats(embeddings: DataFrame): DataFrame = {
     val mu = col("sx").cast("double") / col("n")
-    val stats = ex.groupBy(col("dim"))
+    explodedDims(embeddings).groupBy(col("dim"))
       .agg(sum(col("x").cast("decimal(38,15)")).as("sx"),
         sum((col("x") * col("x")).cast("decimal(38,15)")).as("sxx"),
         count(lit(1)).as("n"))
       .select(col("dim"), mu.as("mu"),
         sqrt(greatest(lit(0.0),
           col("sxx").cast("double") / col("n") - mu * mu)).as("sd"))
+  }
+
+  /** The order-free whitening apply — ONE definition for batch and
+    * stream so z can't drift between them.
+    */
+  private[graft] def applyWhiten(ex: DataFrame, stats: DataFrame): DataFrame =
     ex.join(broadcast(stats), Seq("dim"))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         round(when(col("sd") === 0, lit(0.0))
           .otherwise((col("x") - col("mu")) / col("sd")), 6).as("z"))
-      .orderBy(col("vec_id"), col("dim"))
-  }
 
   /** Per-dimension corpus statistics (dim, n, mean, std): the
     * whitening/normalization table an embedding pipeline fits before

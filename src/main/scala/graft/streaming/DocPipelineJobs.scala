@@ -220,6 +220,65 @@ object DocPipelineJobs {
       .select(col("doc_id"), col("known_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Live whitening against FROZEN stats: the batch fit
+    * (`Similarity.whitenStats`) broadcasts into a stream-static join
+    * and the shared apply core emits z — live values equal the batch
+    * operator on the same stats bit for bit (spec-pinned). The
+    * train-batch / score-stream pattern again: no state, no shuffle,
+    * micro-batches whiten at ingest speed.
+    */
+  def whitenStream(stream: DataFrame, stats: DataFrame): DataFrame =
+    graft.operators.Similarity.applyWhiten(
+      graft.operators.Similarity.explodedDims(stream), stats)
+
+  /** Live PCA projection with a FROZEN trained model: the projection
+    * columns are the SAME literal multiply-add chains the batch
+    * operator builds (`Similarity.pcaColumns`), so live projections
+    * are bit-identical to batch. Stateless narrow map — the model
+    * lives in the expression tree, nothing broadcasts.
+    */
+  def pcaStream(stream: DataFrame,
+      model: graft.operators.Similarity.PcaModel): DataFrame =
+    stream.select(col("vec_id"),
+        graft.functions.VectorOps.toDoubleArray(col("embedding")).as("cv"))
+      .select(col("vec_id") +: graft.operators.Similarity.pcaColumns(model): _*)
+
+  /** Live token-budget admission gate: each shard keeps ONE long of
+    * state (tokens admitted so far) and admits arriving documents
+    * until its budget share is spent — the ingest-time companion to
+    * the batch `Sampling.tokenBudgetSelect`. The batch operator
+    * ranks by quality (it can sort history); a stream cannot, so the
+    * live gate is ARRIVAL-order admission by contract: once a
+    * shard's budget is gone every later doc gates to keep=0. State
+    * is O(nShards) longs total, forever.
+    */
+  def budgetGateStream(stream: DataFrame, budget: Long = 20000,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val perShard = budget / nShards
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select((col("doc_id") % nShards).cast("long").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.map { case (_, docId, nWords) =>
+            val keep = if (used + nWords <= perShard) { used += nWords; 1L }
+              else 0L
+            (shard, docId, nWords, used, keep)
+          }.toVector // drain before the state write below
+          state.update(used)
+          out.iterator
+        })
+      .toDF("shard", "doc_id", "n_words", "shard_tokens_used", "keep")
+  }
+
   def bloomStream(stream: DataFrame, mBits: Int = 131072, k: Int = 4,
       ttl: Option[(String, Long)] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -433,6 +433,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live whitening against frozen stats equals the batch apply") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0 until 8).map(j =>
+      (j.toLong, Seq(1f + j, 2f * j, 5f - j, 3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val stats = graft.operators.Similarity.whitenStats(corpus)
+    val batch = graft.operators.Similarity.whiten(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.DocPipelineJobs
+      .whitenStream(in.toDF().toDF("vec_id", "embedding", "label"), stats)
+      .writeStream.format("memory").queryName("whiten_live")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until 8).map(j => (j.toLong, Seq(1f + j, 2f * j, 5f - j, 3f), 0)): _*)
+      q.processAllAvailable()
+      val live = spark.table("whiten_live").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
+  test("live PCA projection with the frozen model equals batch bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 30).map(j =>
+      (100L + j, Array.tabulate(16)(i => (math.sin(i * 0.4 + j) + 0.02 * j).toFloat).toSeq, 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val batch = graft.operators.Similarity.pcaProject(df, nComponents = 2,
+      powerIters = 60, nProbes = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val m = graft.operators.Similarity.pcaTrain(
+      df.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS cv"),
+      nComponents = 2, powerIters = 60)
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.DocPipelineJobs
+      .pcaStream(in.toDF().toDF("vec_id", "embedding", "label"), m)
+      .writeStream.format("memory").queryName("pca_live")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val live = spark.table("pca_live").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
+  test("live budget gate admits arrival-order docs until the shard budget is spent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // one shard (doc_id % 1 = 0), budget 10 tokens total
+    val q = graft.streaming.DocPipelineJobs
+      .budgetGateStream(in.toDF().toDF("doc_id", "text"), budget = 10, nShards = 1)
+      .writeStream.format("memory").queryName("budget_live")
+      .outputMode("append").start()
+    try {
+      in.addData(1L -> "four words right here") // 4 tokens → admitted
+      q.processAllAvailable()
+      in.addData(2L -> "five more words arrive now") // 9 total → admitted
+      q.processAllAvailable()
+      in.addData(3L -> "two words") // would be 11 → rejected
+      q.processAllAvailable()
+      in.addData(4L -> "one") // 10 total → still fits
+      q.processAllAvailable()
+      val live = spark.table("budget_live").collect()
+        .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(live(1L) == ((4L, 1L)))
+      assert(live(2L) == ((9L, 1L)))
+      assert(live(3L) == ((9L, 0L))) // rejected, counter unchanged
+      assert(live(4L) == ((10L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming chunker emits the batch operator's windows byte for byte") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
