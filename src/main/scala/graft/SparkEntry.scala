@@ -1014,6 +1014,8 @@ object SparkEntry {
         |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM z
         |ORDER BY doc_id""".stripMargin,
+    // ranking orders on the ROUNDED score — a raw-double order could
+    // flip the rank-k cut on a last-ulp ln() difference across engines
     "txt_tfidf_terms" ->
       """WITH words AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
@@ -1021,10 +1023,11 @@ object SparkEntry {
         |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |sc AS (
-        |  SELECT doc_id, w, CAST(tf AS DOUBLE)
-        |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+        |  SELECT doc_id, w, ROUND(CAST(tf AS DOUBLE)
+        |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+        |    AS score
         |  FROM tf JOIN dfreq USING (w) CROSS JOIN n)
-        |SELECT doc_id, rnk, term, ROUND(score, 6) AS score FROM (
+        |SELECT doc_id, rnk, term, score FROM (
         |  SELECT doc_id, w AS term, score,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, w) AS BIGINT) AS rnk
@@ -1055,7 +1058,7 @@ object SparkEntry {
          |      w -> length(w))) AS BIGINT), 0) AS n_char_tokens,
          |    COALESCE(CAST(list_sum(list_transform(
          |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-         |      w -> length($m) - length(replace($m, '/', '')) - 1)) AS BIGINT), 0)
+         |      w -> length($m) - length(replace($m, '${TextOps.BpeSep}', '')) - 1)) AS BIGINT), 0)
          |      AS n_bpe_tokens
          |  FROM documents)
          |SELECT doc_id, n_char_tokens, n_bpe_tokens,
@@ -2436,12 +2439,12 @@ object SparkEntry {
             |cf AS (SELECT w, COUNT(*) AS cf FROM tf GROUP BY w),
             |nc AS (SELECT COUNT(DISTINCT cluster_id) AS n_clusters FROM tf),
             |sc AS (
-            |  SELECT cluster_id, w, CAST(tf AS DOUBLE)
-            |      * ln(CAST(n_clusters + 1 AS DOUBLE) / CAST(cf + 1 AS DOUBLE))
+            |  SELECT cluster_id, w, ROUND(CAST(tf AS DOUBLE)
+            |      * ln(CAST(n_clusters + 1 AS DOUBLE) / CAST(cf + 1 AS DOUBLE)), 6)
             |    AS score
             |  FROM tf JOIN cf USING (w) CROSS JOIN nc)
             |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, rnk, term,
-            |  ROUND(score, 6) AS score FROM (
+            |  score FROM (
             |  SELECT cluster_id, w AS term, score,
             |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
             |      ORDER BY score DESC, w) AS BIGINT) AS rnk

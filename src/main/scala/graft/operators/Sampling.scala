@@ -325,6 +325,15 @@ object Sampling {
     * stage boundaries therefore differ per shard, which is what a
     * sharded curriculum wants anyway.
     */
+  def curriculumStages(documents: DataFrame, stages: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), TextOps.qualityScore.as("score"))
+      .withColumn("stage", ntile(stages).over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Data selection under a token budget: keep the highest-quality
     * documents until the budget runs out. The budget splits evenly
     * across hash shards and the quality-ordered running token sum is
@@ -348,15 +357,6 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_words")).over(w))
       .withColumn("keep",
         when(col("cum_tokens") <= perShard, 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
-  }
-
-  def curriculumStages(documents: DataFrame, stages: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score").desc, col("doc_id"))
-    documents
-      .select(col("doc_id"), col("source"), TextOps.qualityScore.as("score"))
-      .withColumn("stage", ntile(stages).over(w).cast("long"))
       .orderBy(col("doc_id"))
   }
 

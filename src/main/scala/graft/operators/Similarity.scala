@@ -398,22 +398,14 @@ object Similarity {
     val c = corpus(embeddings, nProbes)
     val cDF = broadcast(spark.createDataset(ivfTrain(c, nClusters, iters)).toDF())
     val member = assignClusterIds(c, cDF)
-    val tf = documents
+    val terms = documents
       .join(member, documents("doc_id") === member("vec_id"))
       .select(col("cluster_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("cluster_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val nc = tf.agg(count_distinct(col("cluster_id")).as("n_clusters"))
-    val scored = tf.join(cf, Seq("w"))
-      .crossJoin(broadcast(nc))
-      .withColumn("score", col("tf").cast("double") *
-        log((col("n_clusters") + 1).cast("double") / (col("cf") + 1).cast("double")))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("w"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= kTerms)
+    // one shared TF-IDF core with tfidfTopTerms (group = cluster)
+    graft.operators.TextOps.tfidfTopK(terms, "cluster_id",
+        terms.agg(count_distinct(col("cluster_id")).as("n_groups")), kTerms)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("rnk"),
-        col("w").as("term"), round(col("score"), 6).as("score"))
+        col("term"), col("score"))
       .orderBy(col("cluster_id"), col("rnk"))
   }
 

@@ -155,23 +155,38 @@ object TextOps {
     * per-row double products of exact integers — no aggregation
     * order anywhere.
     */
-  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
-    val tf = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame =
+    tfidfTopK(
+      documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
+      "doc_id",
+      documents.agg(count(lit(1)).as("n_groups")), k)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** The grouped TF-IDF top-k core — ONE definition shared by
+    * [[tfidfTopTerms]] (group = document) and
+    * `Similarity.clusterTopics` (group = cluster) so the smoothing
+    * and tie-break cannot drift. Ranking orders on the
+    * 6-decimal-ROUNDED score (not the raw double): Spark's
+    * Math.log and DuckDB's libm ln may differ in the last ulp, and
+    * an unrounded order could flip the rank-k cut between engines —
+    * the same discipline qualityScore follows. `terms` = one
+    * (group, w) row per token occurrence; `nGroups` = a one-row
+    * frame with the group-universe size as `n_groups`.
+    */
+  private[operators] def tfidfTopK(terms: DataFrame, groupCol: String,
+      nGroups: DataFrame, k: Int): DataFrame = {
+    val tf = terms.groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("w"))
-      .crossJoin(broadcast(n))
-      .withColumn("score", col("tf").cast("double") *
-        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score", round(col("tf").cast("double") *
+        log((col("n_groups") + 1).cast("double")
+          / (col("df") + 1).cast("double")), 6))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("w"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("w").as("term"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("doc_id"), col("rnk"))
+      .select(col(groupCol), col("rnk"), col("w").as("term"), col("score"))
   }
 
   /** First-merge BPE statistics: corpus-weighted adjacent character
@@ -214,14 +229,23 @@ object TextOps {
     * catches the rest (exact BPE for runs shorter than 4, and
     * deterministic + engine-identical always).
     */
+  /** The symbol delimiter inside [[bpeMergedSql]]'s rewrite strings:
+    * the ASCII unit separator, which cannot occur in word content —
+    * a printable delimiter like '/' would corrupt token counts for
+    * any word containing it (URLs, paths). Embedded raw in the SQL
+    * text; Verify's JSON dump escapes control chars.
+    */
+  private[graft] val BpeSep = "\u001f"
+
   private[graft] def bpeMergedSql(wordExpr: String, sparkSql: Boolean,
       merges: Seq[(String, String)] = DefaultBpeMerges): String = {
+    val S = BpeSep
     val base =
-      if (sparkSql) s"concat('/', array_join(split($wordExpr, ''), '/'), '/')"
-      else s"'/' || array_to_string(string_split($wordExpr, ''), '/') || '/'"
+      if (sparkSql) s"concat('$S', array_join(split($wordExpr, ''), '$S'), '$S')"
+      else s"'$S' || array_to_string(string_split($wordExpr, ''), '$S') || '$S'"
     merges.foldLeft(base) { case (e, (a, b)) =>
-      val once = s"replace($e, '/$a/$b/', '/$a$b/')"
-      s"replace($once, '/$a/$b/', '/$a$b/')"
+      val once = s"replace($e, '$S$a$S$b$S', '$S$a$b$S')"
+      s"replace($once, '$S$a$S$b$S', '$S$a$b$S')"
     }
   }
 
@@ -239,7 +263,7 @@ object TextOps {
           " w -> length(w)), 0L, (a, x) -> a + CAST(x AS BIGINT))")
           .as("n_char_tokens"),
         expr(s"aggregate(transform(filter(split(text, ' '), w -> length(w) > 0)," +
-          s" w -> length($m) - length(replace($m, '/', '')) - 1)," +
+          s" w -> length($m) - length(replace($m, '$BpeSep', '')) - 1)," +
           " 0L, (a, x) -> a + CAST(x AS BIGINT))").as("n_bpe_tokens"))
       .withColumn("compression",
         when(col("n_bpe_tokens") === 0, lit(1.0))

@@ -234,13 +234,17 @@ object DocPipelineJobs {
   /** Live PCA projection with a FROZEN trained model: the projection
     * columns are the SAME literal multiply-add chains the batch
     * operator builds (`Similarity.pcaColumns`), so live projections
-    * are bit-identical to batch. Stateless narrow map — the model
-    * lives in the expression tree, nothing broadcasts.
+    * are bit-identical to batch rows. Stateless narrow map — the
+    * model lives in the expression tree, nothing broadcasts.
+    * Zero-norm vectors are dropped like the batch corpus does (they
+    * have no direction); the batch probe/corpus vec_id split is a
+    * corpus-layout concern and does NOT apply to a live feed.
     */
   def pcaStream(stream: DataFrame,
       model: graft.operators.Similarity.PcaModel): DataFrame =
     stream.select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArray(col("embedding")).as("cv"))
+      .filter(graft.functions.VectorOps.dot(col("cv"), col("cv")) > 0)
       .select(col("vec_id") +: graft.operators.Similarity.pcaColumns(model): _*)
 
   /** Live token-budget admission gate: each shard keeps ONE long of

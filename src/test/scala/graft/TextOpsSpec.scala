@@ -197,7 +197,8 @@ class TextOpsSpec extends AnyFunSuite {
     import graft.operators.TextOps
     // 'the' → t+h, then th+e → 1 token; 'inner' → in+n+er = 3 tokens
     // ('i n'→'in', 'e r'→'er'; middle n stays); 'xyz' → no merges = 3
-    val d = Seq((1L, "the"), (2L, "inner"), (3L, "xyz"), (4L, "the inner xyz"))
+    val d = Seq((1L, "the"), (2L, "inner"), (3L, "xyz"), (4L, "the inner xyz"),
+      (5L, "a/b http://x")) // '/' is CONTENT, not the symbol delimiter
       .toDF("doc_id", "text")
     val out = TextOps.bpeApply(d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
@@ -205,6 +206,9 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((5L, 3L, 1.666667)))
     assert(out(3L) == ((3L, 3L, 1.0)))
     assert(out(4L) == ((11L, 7L, math.round(11.0 / 7.0 * 1e6) / 1e6)))
+    // slash-bearing words count exactly: '/' is content here, and no
+    // merge pair occurs in 'a/b' or 'http://x' (h→t, not t→h)
+    assert(out(5L) == ((11L, 11L, 1.0)))
   }
 
   test("lr quality classifier: digit-heavy text rejected, prose accepted") {
