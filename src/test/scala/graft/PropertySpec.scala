@@ -39,6 +39,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token budget never overruns and keeps quality prefixes on random corpora") {
+    val rnd = new scala.util.Random(7171)
+    (1 to 4).foreach { trial =>
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val budget = 100L + rnd.nextInt(400)
+      val nShards = 1 + rnd.nextInt(4)
+      val out = graft.operators.Sampling
+        .tokenBudgetSelect(docs, budget = budget, nShards = nShards).collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(5)))
+      out.groupBy(_._1).foreach { case (_, g) =>
+        // kept tokens within the shard's share, and the kept set is a
+        // prefix of the quality order (no dropped doc outranks a kept)
+        assert(g.filter(_._4 == 1L).map(_._3).sum <= budget / nShards,
+          s"trial $trial overran")
+        val keptMin = g.filter(_._4 == 1L).map(_._2).minOption
+        val dropMax = g.filter(_._4 == 0L).map(_._2).maxOption
+        for (km <- keptMin; dm <- dropMax)
+          assert(km >= dm - 1e-9, s"trial $trial: kept $km below dropped $dm")
+      }
+    }
+  }
+
+  test("bigram surprisal is non-negative and bounded by log2 of model mass") {
+    val rnd = new scala.util.Random(9292)
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, bits) =>
+      // add-1 smoothing: (c12+1) <= (c1+V) always → bits >= 0; and a
+      // bigram can't cost more than log2(total bigrams + vocab)
+      assert(bits >= 0.0, s"doc $id negative bits")
+      assert(bits <= 20.0 && n >= 1, s"doc $id out of range")
+    }
+  }
+
   test("AsofJoinExec matches a reference model on random keyed timelines") {
     val rnd = new scala.util.Random(4242)
     (1 to 5).foreach { trial =>
