@@ -100,6 +100,7 @@ object SparkEntry {
     "ev_window_tumbling" -> ((s, dir) => EventOps.windowTumbling(Tables(s, dir).events)),
     "ev_window_sliding" -> ((s, dir) => EventOps.windowSliding(Tables(s, dir).events)),
     "ev_props_extract" -> ((s, dir) => EventOps.propsExtract(Tables(s, dir).events)),
+    "ev_workflow_latency" -> ((s, dir) => EventOps.workflowLatency(Tables(s, dir).events)),
     "ev_funnel" -> ((s, dir) => EventOps.funnel(Tables(s, dir).events)),
     "ev_retention" -> ((s, dir) => EventOps.retention(Tables(s, dir).events)),
     "ev_first_last" -> ((s, dir) => EventOps.firstLast(Tables(s, dir).events)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
+    "dd_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
@@ -733,6 +735,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY k_bucket""".stripMargin,
+    "ev_workflow_latency" ->
+      """SELECT wf, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+        |FROM (
+        |  SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+        |    AS wf, event_type, user_id, ts
+        |  FROM events) t
+        |WHERE wf IS NOT NULL
+        |GROUP BY wf
+        |ORDER BY wf""".stripMargin,
     "ev_funnel" ->
       """SELECT COUNT(v) AS n_view,
         |  COUNT(CASE WHEN c > v THEN 1 END) AS n_view_click,
@@ -1988,6 +2002,62 @@ object SparkEntry {
         |  JOIN mh m2 ON cand.doc2 = m2.doc_id) t
         |WHERE est_jaccard >= 0.2
         |ORDER BY doc1, doc2""".stripMargin
+        .replace("<<PERMS>>", minhashPermValues())
+        .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
+        .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),
+    // the accuracy harness: same signature/banding derivation, plus
+    // exact shingle Jaccard verified on the candidate pairs only;
+    // the est >= 0.2 cut applies UNROUNDED (mirrors the operator)
+    "dd_minhash_est_eval" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, <<HASH31:g>> AS h
+        |  FROM tri),
+        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
+        |mins AS (
+        |  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+        |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    <<HASH31:band>> AS band_hash
+        |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_hash = b2.band_hash
+        |  WHERE b1.doc_id < b2.doc_id),
+        |est AS (
+        |  SELECT doc1, doc2, est_jaccard FROM (
+        |    SELECT doc1, doc2,
+        |      CAST(len(list_filter(m1.mh, (x, i) -> x = m2.mh[i])) AS DOUBLE) / 128.0
+        |        AS est_jaccard
+        |    FROM cand
+        |    JOIN mh m1 ON cand.doc1 = m1.doc_id
+        |    JOIN mh m2 ON cand.doc2 = m2.doc_id) t
+        |  WHERE est_jaccard >= 0.2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |inters AS (
+        |  SELECT e.doc1, e.doc2, COUNT(*) AS inter
+        |  FROM est e
+        |  JOIN tri t1 ON t1.doc_id = e.doc1
+        |  JOIN tri t2 ON t2.doc_id = e.doc2 AND t1.g = t2.g
+        |  GROUP BY e.doc1, e.doc2)
+        |SELECT e.doc1, e.doc2, ROUND(e.est_jaccard, 6) AS est_jaccard,
+        |  ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+        |    / (s1.s + s2.s - COALESCE(i.inter, 0)), 6) AS exact_jaccard,
+        |  ROUND(ABS(ROUND(e.est_jaccard, 6)
+        |    - ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+        |      / (s1.s + s2.s - COALESCE(i.inter, 0)), 6)), 6) AS abs_err
+        |FROM est e
+        |LEFT JOIN inters i ON e.doc1 = i.doc1 AND e.doc2 = i.doc2
+        |JOIN sizes s1 ON e.doc1 = s1.doc_id
+        |JOIN sizes s2 ON e.doc2 = s2.doc_id
+        |ORDER BY e.doc1, e.doc2""".stripMargin
         .replace("<<PERMS>>", minhashPermValues())
         .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
         .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),

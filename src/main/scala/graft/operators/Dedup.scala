@@ -383,6 +383,37 @@ object Dedup {
       sigs)
   }
 
+  /** MinHash accuracy harness: for every LSH candidate pair, the
+    * signature-estimated Jaccard next to the EXACT shingle Jaccard
+    * and the absolute error — the sketch-quality companion to
+    * `Similarity.recallAtK`, answering "can I trust the estimate
+    * enough to skip exact verification at my threshold". Exact
+    * verification runs only on the candidate pairs (the at-scale
+    * contract: candidates ≪ n²); intersections come from the same
+    * fused shingle-fingerprint scan the exact operators use.
+    */
+  def minhashEstEval(documents: DataFrame, minEst: Double = 0.2): DataFrame = {
+    val cands = minhashLsh(documents, minEst)
+    val sh = shingleFps(documents).select(col("doc_id"), col("h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val inter = cands.select(col("doc1"), col("doc2"))
+      .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+      .withColumn("exact_jaccard", round(col("inter").cast("double")
+        / (col("s1") + col("s2") - col("inter")), 6))
+      .select(col("doc1"), col("doc2"), col("est_jaccard"),
+        col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** URL-canonicalization dedup: normalize each document's (synthetic,
     * doc_id-derived — the `piiRedact` precedent for columns the corpus
     * lacks) messy URL, then group by the canonical form. Rules: the

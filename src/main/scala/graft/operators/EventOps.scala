@@ -258,6 +258,28 @@ object EventOps {
     * `messages/base.py:866` + `get_by_path`): extract props.k and
     * aggregate by bucket. Regex extraction keeps the oracle portable.
     */
+  /** Per-workflow end-to-end tracking: the reference's `workflow_id`
+    * groups messages into one logical workflow
+    * (`messages/base.py:515`); here the payload key plays that role
+    * (extracted exactly like [[propsExtract]]). Reports each
+    * workflow's span (first→last event, µs), event count, distinct
+    * event types and participant count — the "how long did the saga
+    * take" view. One hash aggregate on the workflow key; microsecond
+    * epochs avoid timestamp round-trip hazards (SURVEY §5).
+    */
+  def workflowLatency(events: DataFrame): DataFrame =
+    events
+      .withColumn("wf",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("long"))
+      .filter(col("wf").isNotNull)
+      .groupBy(col("wf"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        count_distinct(col("user_id")).as("n_users"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("span_us"))
+      .orderBy(col("wf"))
+
   def propsExtract(events: DataFrame): DataFrame =
     events
       // try_cast: regexp_extract yields '' when props has no k, and

@@ -209,6 +209,25 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(g.map(_._4).sum - 1.0) < 1e-5) }
   }
 
+  test("minhash accuracy harness reports exact jaccard and honest error per candidate") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variantTail = (1 to 6).map(i => s"alt$i").mkString(" ")
+    val d = Seq((1L, base), (2L, s"$base $variantTail"),
+      (3L, "totally different words in every position here now")).toDF("doc_id", "text")
+    val out = Dedup.minhashEstEval(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (est, exact, err) = out((1L, 2L))
+    // doc1 shingles: 38; doc2 adds 1 bridging + 6 tail trigrams + shares 38
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val trueJ = sh(base).intersect(sh(s"$base $variantTail")).size.toDouble /
+      sh(base).union(sh(s"$base $variantTail")).size
+    assert(math.abs(exact - trueJ) < 1e-6)
+    assert(err == math.round(math.abs(est - exact) * 1e6) / 1e6)
+    assert(math.abs(est - exact) < 0.2) // 128-perm estimate is in the zone
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("semantic canon clusters planted identical embeddings, rest stay singleton") {
     val a = Array.tabulate(64)(i => math.sin(i * 0.5 + 1).toFloat).toSeq
     val far = (4 to 10).map(j =>

@@ -200,6 +200,21 @@ class EventOpsSpec extends AnyFunSuite {
       ("stream_2", "view", 1L, 4L, 4L)))
   }
 
+  test("workflow latency spans first to last event per payload workflow key") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", """{"k": 7}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "click", """{"k": 7}"""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "view", """{"k": 9}"""),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "view", """{}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+      .withColumn("value", lit(1.0))
+    val out = EventOps.workflowLatency(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // wf 7: two events, two types, two users, 5 min span; un-keyed row dropped
+    assert(out == Map(7L -> ((2L, 2L, 2L, 300000000L)), 9L -> ((1L, 1L, 1L, 0L))))
+  }
+
   test("round-4 operators are total on empty input") {
     val empty = events()
     assert(EventOps.requeue(empty).collect().isEmpty)
