@@ -264,6 +264,36 @@ object SparkEntry {
     * DuckDB's parser is correctly rounded, so the oracle's planes are
     * bit-identical to [[graft.functions.VectorOps]]'s.
     */
+  /** The MinHash signature/banding CTE chain (toks → … → cand) —
+    * ONE definition shared by the dd_minhash_lsh and
+    * dd_minhash_est_eval oracles so the derivation cannot drift
+    * between them. Callers append their own scoring CTEs and
+    * substitute <<PERMS>>/<<HASH31:*>>.
+    */
+  private val MinhashCtes =
+    """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, <<HASH31:g>> AS h
+        |  FROM tri),
+        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
+        |mins AS (
+        |  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+        |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    <<HASH31:band>> AS band_hash
+        |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_hash = b2.band_hash
+        |  WHERE b1.doc_id < b2.doc_id)""".stripMargin
+
   private def planeValues(n: Int): String =
     graft.functions.VectorOps.planeRows.take(n).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
@@ -1971,29 +2001,7 @@ object SparkEntry {
         .replace("<<CODES:w>>", charCodesSql("w"))
         .replace("<<HASH62:cps>>", hash62Sql("cps"))),
     "dd_minhash_lsh" ->
-      ("""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-        |h AS (
-        |  SELECT doc_id, <<HASH31:g>> AS h
-        |  FROM tri),
-        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
-        |mins AS (
-        |  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
-        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-        |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    <<HASH31:band>> AS band_hash
-        |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
-        |cand AS (
-        |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_hash = b2.band_hash
-        |  WHERE b1.doc_id < b2.doc_id)
-        |SELECT doc1, doc2, est_jaccard FROM (
+      ((MinhashCtes + "\n" + """|SELECT doc1, doc2, est_jaccard FROM (
         |  SELECT doc1, doc2,
         |    CAST(len(list_filter(m1.mh, (x, i) -> x = m2.mh[i])) AS DOUBLE) / 128.0
         |      AS est_jaccard
@@ -2001,7 +2009,7 @@ object SparkEntry {
         |  JOIN mh m1 ON cand.doc1 = m1.doc_id
         |  JOIN mh m2 ON cand.doc2 = m2.doc_id) t
         |WHERE est_jaccard >= 0.2
-        |ORDER BY doc1, doc2""".stripMargin
+        |ORDER BY doc1, doc2""".stripMargin)
         .replace("<<PERMS>>", minhashPermValues())
         .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
         .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),
@@ -2009,29 +2017,7 @@ object SparkEntry {
     // exact shingle Jaccard verified on the candidate pairs only;
     // the est >= 0.2 cut applies UNROUNDED (mirrors the operator)
     "dd_minhash_est_eval" ->
-      ("""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-        |h AS (
-        |  SELECT doc_id, <<HASH31:g>> AS h
-        |  FROM tri),
-        |perms AS (SELECT * FROM (VALUES <<PERMS>>) v(i, a, b)),
-        |mins AS (
-        |  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
-        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-        |mh AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mins GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    <<HASH31:band>> AS band_hash
-        |  FROM mh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) bs),
-        |cand AS (
-        |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_hash = b2.band_hash
-        |  WHERE b1.doc_id < b2.doc_id),
-        |est AS (
+      ((MinhashCtes + ",\n" + """|est AS (
         |  SELECT doc1, doc2, est_jaccard FROM (
         |    SELECT doc1, doc2,
         |      CAST(len(list_filter(m1.mh, (x, i) -> x = m2.mh[i])) AS DOUBLE) / 128.0
@@ -2057,7 +2043,7 @@ object SparkEntry {
         |LEFT JOIN inters i ON e.doc1 = i.doc1 AND e.doc2 = i.doc2
         |JOIN sizes s1 ON e.doc1 = s1.doc_id
         |JOIN sizes s2 ON e.doc2 = s2.doc_id
-        |ORDER BY e.doc1, e.doc2""".stripMargin
+        |ORDER BY e.doc1, e.doc2""".stripMargin)
         .replace("<<PERMS>>", minhashPermValues())
         .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
         .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),

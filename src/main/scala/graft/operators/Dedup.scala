@@ -394,13 +394,16 @@ object Dedup {
     */
   def minhashEstEval(documents: DataFrame, minEst: Double = 0.2): DataFrame = {
     val cands = minhashLsh(documents, minEst)
-    val sh = shingleFps(documents).select(col("doc_id"), col("h"))
+    // persisted: sizes + both intersection arms read it — without
+    // this the fused shingling scan would run three times (the same
+    // reason ngramJaccard persists its shingle table)
+    val sh = shingleFps(documents).select(col("doc_id"), col("h")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val inter = cands.select(col("doc1"), col("doc2"))
       .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
       .join(sh.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
-    cands
+    materializeAndRelease(cands
       .join(inter, Seq("doc1", "doc2"), "left")
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
@@ -411,7 +414,8 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("est_jaccard"),
         col("exact_jaccard"),
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
-      .orderBy(col("doc1"), col("doc2"))
+      .orderBy(col("doc1"), col("doc2")),
+      sh)
   }
 
   /** URL-canonicalization dedup: normalize each document's (synthetic,

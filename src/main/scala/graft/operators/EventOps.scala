@@ -258,6 +258,19 @@ object EventOps {
     * `messages/base.py:866` + `get_by_path`): extract props.k and
     * aggregate by bucket. Regex extraction keeps the oracle portable.
     */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      // try_cast: regexp_extract yields '' when props has no k, and
+      // ''.cast(long) throws under ANSI mode — un-keyed payloads are a
+      // legal generic-message shape
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("long"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("k_bucket"))
+
   /** Per-workflow end-to-end tracking: the reference's `workflow_id`
     * groups messages into one logical workflow
     * (`messages/base.py:515`); here the payload key plays that role
@@ -279,19 +292,6 @@ object EventOps {
         (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
           .as("span_us"))
       .orderBy(col("wf"))
-
-  def propsExtract(events: DataFrame): DataFrame =
-    events
-      // try_cast: regexp_extract yields '' when props has no k, and
-      // ''.cast(long) throws under ANSI mode — un-keyed payloads are a
-      // legal generic-message shape
-      .withColumn("k",
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("long"))
-      .withColumn("k_bucket", col("k") % 10)
-      .groupBy(col("k_bucket"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast("double").as("total_value"))
-      .orderBy(col("k_bucket"))
 
   /** Workflow funnel (reference workflow_id chains, `base.py:515`),
     * first-touch form: stage counted when each stage's EARLIEST event

@@ -218,17 +218,6 @@ object TextOps {
   val DefaultBpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r")
 
-  /** The merge rewrite chain for one word as an SQL expression —
-    * ONE emitter for both engines (Spark and DuckDB differ only in
-    * the char-split/join spelling), so the operator and its oracle
-    * apply byte-identical rewrites. Each word becomes a
-    * '/'-delimited symbol sequence; each merge (a,b) rewrites
-    * '/a/b/' → '/ab/' with TWO replace passes — replace() consumes
-    * the shared delimiter of adjacent matches, so a single pass
-    * merges only alternating occurrences in a run; the second pass
-    * catches the rest (exact BPE for runs shorter than 4, and
-    * deterministic + engine-identical always).
-    */
   /** The symbol delimiter inside [[bpeMergedSql]]'s rewrite strings:
     * the ASCII unit separator, which cannot occur in word content —
     * a printable delimiter like '/' would corrupt token counts for
@@ -237,6 +226,18 @@ object TextOps {
     */
   private[graft] val BpeSep = "\u001f"
 
+  /** The merge rewrite chain for one word as an SQL expression —
+    * ONE emitter for both engines (Spark and DuckDB differ only in
+    * the char-split/join spelling), so the operator and its oracle
+    * apply byte-identical rewrites. Each word becomes a
+    * [[BpeSep]]-delimited symbol sequence; each merge (a,b)
+    * rewrites sep·a·sep·b·sep → sep·ab·sep with TWO replace
+    * passes — replace() consumes
+    * the shared delimiter of adjacent matches, so a single pass
+    * merges only alternating occurrences in a run; the second pass
+    * catches the rest (exact BPE for runs shorter than 4, and
+    * deterministic + engine-identical always).
+    */
   private[graft] def bpeMergedSql(wordExpr: String, sparkSql: Boolean,
       merges: Seq[(String, String)] = DefaultBpeMerges): String = {
     val S = BpeSep

@@ -254,7 +254,10 @@ object DocPipelineJobs {
     * ranks by quality (it can sort history); a stream cannot, so the
     * live gate is ARRIVAL-order admission by contract: once a
     * shard's budget is gone every later doc gates to keep=0. State
-    * is O(nShards) longs total, forever.
+    * is O(nShards) longs total, forever. WITHIN one micro-batch the
+    * post-shuffle row order is not the source arrival order, so
+    * admission there is pinned to doc_id order — deterministic
+    * across runs, like every other operator here.
     */
   def budgetGateStream(stream: DataFrame, budget: Long = 20000,
       nShards: Int = 8): DataFrame = {
@@ -272,11 +275,13 @@ object DocPipelineJobs {
         (shard: Long, rows: Iterator[(Long, Long, Long)],
             state: GroupState[Long]) => {
           var used = state.getOption.getOrElse(0L)
-          val out = rows.map { case (_, docId, nWords) =>
+          // doc_id order within the batch: the group iterator's order
+          // after the shuffle is engine-internal, not arrival order
+          val out = rows.toVector.sortBy(_._2).map { case (_, docId, nWords) =>
             val keep = if (used + nWords <= perShard) { used += nWords; 1L }
               else 0L
             (shard, docId, nWords, used, keep)
-          }.toVector // drain before the state write below
+          }
           state.update(used)
           out.iterator
         })

@@ -209,6 +209,14 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(g.map(_._4).sum - 1.0) < 1e-5) }
   }
 
+  test("workflow latency and minhash eval are total on empty input") {
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    assert(graft.operators.EventOps.workflowLatency(noEvents).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashEstEval(noDocs).collect().isEmpty)
+  }
+
   test("minhash accuracy harness reports exact jaccard and honest error per candidate") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val variantTail = (1 to 6).map(i => s"alt$i").mkString(" ")
