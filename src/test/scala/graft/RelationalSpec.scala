@@ -86,6 +86,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("narrow map operators plan with ONLY the presentation-sort exchange") {
+    // pins the PLANS.md claim for the scan-fused per-row operators: a
+    // future edit that sneaks a shuffle (an extra aggregate, a
+    // repartition, an un-broadcast join) in front of the scan fails
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+    Seq("txt_lr_quality", "txt_bpe_apply", "emb_pca_project").foreach { q =>
+      val p = plan(q)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: expected 1 exchange (sort), got $exchanges")
+      assert(p.contains("rangepartitioning"), s"$q: sort exchange missing")
+    }
+    // token budget: exactly one hash exchange (the shard window) plus
+    // the presentation sort — never a global sort before the window
+    val tb = plan("samp_token_budget")
+    val tbEx = "\\(\\d+\\) Exchange".r.findAllIn(tb).length
+    assert(tbEx == 2, s"samp_token_budget: expected 2 exchanges, got $tbEx")
+    assert(tb.contains("hashpartitioning(shard"))
+  }
+
   test("q19's distinct-count branches plan without Expand") {
     // one distinct column per aggregate keeps the single-distinct
     // rewrite (partial-on-(group, value)); a multi-distinct Expand
