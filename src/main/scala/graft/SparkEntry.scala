@@ -101,6 +101,7 @@ object SparkEntry {
     "ev_window_sliding" -> ((s, dir) => EventOps.windowSliding(Tables(s, dir).events)),
     "ev_props_extract" -> ((s, dir) => EventOps.propsExtract(Tables(s, dir).events)),
     "ev_workflow_latency" -> ((s, dir) => EventOps.workflowLatency(Tables(s, dir).events)),
+    "ev_rate_limit" -> ((s, dir) => EventOps.rateLimit(Tables(s, dir).events)),
     "ev_funnel" -> ((s, dir) => EventOps.funnel(Tables(s, dir).events)),
     "ev_retention" -> ((s, dir) => EventOps.retention(Tables(s, dir).events)),
     "ev_first_last" -> ((s, dir) => EventOps.firstLast(Tables(s, dir).events)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables(s, dir).embeddings)),
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(Tables(s, dir).embeddings)),
+    "emb_pca_var" -> ((s, dir) => Similarity.pcaVariance(Tables(s, dir).embeddings)),
     "emb_whiten" -> ((s, dir) => Similarity.whiten(Tables(s, dir).embeddings)),
     "txt_topics" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -777,6 +779,16 @@ object SparkEntry {
         |WHERE wf IS NOT NULL
         |GROUP BY wf
         |ORDER BY wf""".stripMargin,
+    // trailing 7-day RANGE frame on µs epochs; flood when count > 15
+    "ev_rate_limit" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+        |  CAST(CASE WHEN COUNT(*) OVER w > 15 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS flood
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ev_funnel" ->
       """SELECT COUNT(v) AS n_view,
         |  COUNT(CASE WHEN c > v THEN 1 END) AS n_view_click,
@@ -2509,8 +2521,31 @@ object SparkEntry {
             |ORDER BY cluster_id, rnk""".stripMargin)
           .replace("<<CENTROIDS>>", centroidValues(m))
     }
+    // explained variance: the same projection chains, aggregated
+    // with decimal moments over the ROUNDED projections
+    val pcaVarEntry = graft.operators.Similarity.lastPcaModel.map { m =>
+      val dim = m.mean.length
+      val comps = m.axes.toIndexedSeq.zipWithIndex.map { case (w, k) =>
+        val chain = (0 until dim).map(d => s"cv[${d + 1}] * ${w(d)}")
+          .mkString(" + ")
+        s"SELECT ${k + 1} AS component, ROUND($chain - " +
+          s"(${graft.operators.Similarity.pcaBias(m, k)}), 6) AS y FROM c"
+      }.mkString("\nUNION ALL\n")
+      "emb_pca_var" ->
+        (EmbBase + s",\nproj AS (\n$comps)\n" +
+          """SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS n,
+            |  ROUND(CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE)
+            |    / COUNT(*), 9) AS mean,
+            |  ROUND(GREATEST(0.0,
+            |    CAST(SUM(CAST(y * y AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+            |    - (CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))
+            |      * (CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*))), 9)
+            |    AS variance
+            |FROM proj GROUP BY component
+            |ORDER BY component""".stripMargin)
+    }
     (ivfEntry.toList ++ ivfSq8Entry.toList ++ pqEntries ++
       ivfPqEntry.toList ++ ivfPqResEntry.toList ++ pcaEntry.toList ++
-      topicsEntry.toList).toMap
+      pcaVarEntry.toList ++ topicsEntry.toList).toMap
   }
 }

@@ -271,6 +271,26 @@ object EventOps {
         sum(dec2(col("value"))).cast("double").as("total_value"))
       .orderBy(col("k_bucket"))
 
+  /** Sliding-window rate limiting: each event's trailing-window
+    * event count for its producer (RANGE frame over µs epochs —
+    * same-instant peers share a frame, quiet gaps shrink it) and a
+    * flood flag when the count exceeds the limit. The abuse-
+    * detection / backpressure primitive a production bus puts in
+    * front of [[deadLetter]]. One user-keyed exchange; the frame
+    * bound is exact integer arithmetic.
+    */
+  def rateLimit(events: DataFrame, windowSec: Long = 604800L,
+      maxPerWindow: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowSec * 1000000L, 0)
+    withTsUs(events)
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("n_in_window"),
+        when(col("n_in_window") > maxPerWindow, 1L).otherwise(0L).as("flood"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-workflow end-to-end tracking: the reference's `workflow_id`
     * groups messages into one logical workflow
     * (`messages/base.py:515`); here the payload key plays that role

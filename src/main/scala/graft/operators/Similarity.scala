@@ -1094,6 +1094,31 @@ object Similarity {
     cvs.select(col("vec_id") +: pcaColumns(m): _*).orderBy(col("vec_id"))
   }
 
+  /** Explained-variance diagnostics for the trained PCA model: the
+    * population mean/variance of each component's corpus projections
+    * (decimal-exact moments over the ROUNDED projections, so both
+    * engines aggregate identical inputs) — the "how many components
+    * do I keep" table. Reuses [[pcaProject]]'s exact output; one
+    * narrow projection pass + a k-row aggregate.
+    */
+  def pcaVariance(embeddings: DataFrame, nComponents: Int = 4,
+      powerIters: Int = 200, nProbes: Int = 10): DataFrame = {
+    val proj = pcaProject(embeddings, nComponents, powerIters, nProbes)
+    val perComp = (1 to nComponents).map { k =>
+      proj.select(lit(k.toLong).as("component"), col(s"pc$k").as("y"))
+    }.reduce(_ unionAll _)
+    perComp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,15)")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,15)")).as("syy"))
+      .select(col("component"), col("n"),
+        round(col("sy").cast("double") / col("n"), 9).as("mean"),
+        round(greatest(lit(0.0), col("syy").cast("double") / col("n")
+          - (col("sy").cast("double") / col("n"))
+            * (col("sy").cast("double") / col("n"))), 9).as("variance"))
+      .orderBy(col("component"))
+  }
+
   /** The projection columns for a trained model over a `cv`
     * double-array column — ONE definition for the batch operator and
     * the streaming twin (`DocPipelineJobs.pcaStream`), so live

@@ -200,6 +200,25 @@ class EventOpsSpec extends AnyFunSuite {
       ("stream_2", "view", 1L, 4L, 4L)))
   }
 
+  test("rate limit counts trailing-window events and flags the flood") {
+    import org.apache.spark.sql.functions.lit
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: 4 events inside 60s, then one 2 minutes later (fresh-ish window)
+    val df = Seq(
+      (1L, t(1000), 1L, "view"), (2L, t(1010), 1L, "view"),
+      (3L, t(1020), 1L, "view"), (4L, t(1050), 1L, "view"),
+      (5L, t(1180), 1L, "view"),
+      (6L, t(1000), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val out = EventOps.rateLimit(df, windowSec = 60L, maxPerWindow = 3).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((1L, 0L)) && out(2L) == ((2L, 0L)) && out(3L) == ((3L, 0L)))
+    assert(out(4L) == ((4L, 1L))) // 4th inside 60 s → flood
+    assert(out(5L) == ((1L, 0L))) // t=1180: nothing since 1120 but itself
+    assert(out(6L) == ((1L, 0L)))
+  }
+
   test("workflow latency spans first to last event per payload workflow key") {
     import org.apache.spark.sql.functions.lit
     val df = Seq(

@@ -86,6 +86,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sets.exists(_.subsetOf(vocabA)) && sets.exists(_.subsetOf(vocabB)))
   }
 
+  test("pca variance is non-increasing across components on unit-scale data") {
+    // unit-norm vectors: the model trains on the NORMALIZED sample,
+    // so the eigen ordering transfers to projections only when the
+    // corpus lives at the same scale (true for real embeddings)
+    val rows = (0 until 60).map { j =>
+      val raw = Array.tabulate(16)(i =>
+        math.sin(i * 0.5 + j * 0.3) * (4.0 - i % 4))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (100L + j, raw.map(x => (x / nrm).toFloat).toSeq, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaVariance(df, nComponents = 3, powerIters = 80,
+      nProbes = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_._2 == 60L))
+    // the model centers with the UNIT-NORMALIZED sample's mean, so
+    // raw-scale projections need not be exactly zero-mean — the
+    // meaningful invariant is the power-iteration ordering: variance
+    // non-increasing across components, and all moments finite
+    assert(out.forall(t => !t._3.isNaN && !t._4.isNaN && t._4 >= 0))
+    val vars = out.map(_._4)
+    assert(vars.zip(vars.tail).forall { case (a, b) => a >= b - 1e-6 })
+  }
+
   test("whiten zero-centers and unit-scales every varying dim, zeroes constant dims") {
     // dim 0 constant, dim 1 spread; 4-dim vectors, 5 rows
     val rows = (0 until 5).map(j =>
