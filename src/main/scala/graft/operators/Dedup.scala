@@ -248,6 +248,47 @@ object Dedup {
     } else ngramJaccardOnFps(tri, tauNum, tauDenom)
   }
 
+  /** Near-superset detection: pairs where one document's shingle set
+    * is (nearly) contained in the other's — C(A,B) = |A∩B| /
+    * min(|A|,|B|) ≥ τ. Catches quote-inclusion and boilerplate-wrap
+    * duplicates that symmetric Jaccard is blind to: a 10-shingle doc
+    * embedded verbatim in a 200-shingle doc has J ≈ 0.05 (invisible
+    * at τ_J = 0.5) but C = 1.0. Both scores come back so the caller
+    * sees exactly which pairs only the asymmetric measure finds.
+    *
+    * Same count-join body as [[ngramJaccard]] (one persisted fused
+    * shingling pass, 8-byte fingerprint join keys, quadratic only
+    * within shared-shingle buckets) and the same at-scale position:
+    * verification over LSH candidates, not a corpus self-join — with
+    * the caveat that MinHash banding under-recalls high-containment /
+    * low-Jaccard pairs, so a 100 TB containment run buckets on the
+    * SMALLER doc's shingle sample (suffix-prefix filtering) rather
+    * than symmetric bands. The exact pair contract here is what that
+    * candidate generator gets verified against.
+    */
+  def containmentPairs(documents: DataFrame, tauNum: Int = 80,
+      tauDenom: Int = 100): DataFrame = {
+    val tri = shingleFps(documents).persist()
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val pairs = tri.select(col("doc_id").as("doc1"), col("h"))
+      .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    materializeAndRelease(pairs
+      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      // integer threshold arithmetic — no float compare in the cut
+      .filter(col("inter") * tauDenom >= least(col("s1"), col("s2")) * tauNum)
+      .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"),
+        round(col("inter").cast("double") / least(col("s1"), col("s2")).cast("double"), 6)
+          .as("containment"),
+        round(col("inter").cast("double")
+          / (col("s1") + col("s2") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2")),
+      tri)
+  }
+
   /** Benchmark-contamination check: which training documents contain
     * an eval document's content? Asymmetric shingle containment —
     * |shingles(train) ∩ shingles(eval)| / |shingles(eval)| ≥ τ — the

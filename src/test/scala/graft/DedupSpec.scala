@@ -59,6 +59,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("containment finds the quote-inclusion pair that symmetric jaccard misses") {
+    // doc 2 embeds doc 1 verbatim inside a much longer text: containment
+    // of the small side = 1.0 while jaccard stays far below the 0.5 cut
+    val small = distinct1
+    val big = base + " " + distinct1 + " " + distinct2 + " " + nearDup
+    val corpus = docs(1L -> small, 2L -> big,
+      3L -> "entirely unrelated prose about gardening tips and seasonal vegetable rotation schedules")
+    val cont = Dedup.containmentPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    assert(cont.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 >= 0.9) // near-total containment of the small side
+    assert(cont.head._4 < 0.5) // ...invisible to the symmetric threshold
+    val jac = Dedup.ngramJaccard(corpus).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L))) // proves the pair is jaccard-invisible
+  }
+
+  test("containment threshold cuts pairs below tau") {
+    // ~half of distinct1's shingles shared → containment ≈ 0.5 < 0.8 cut
+    val halfOverlap = {
+      val w = distinct1.split(" ")
+      w.take(w.length / 2 + 1).mkString(" ") + " " + distinct2
+    }
+    val out = Dedup.containmentPairs(docs(1L -> distinct1, 2L -> halfOverlap)).collect()
+    assert(out.isEmpty)
+    val loose = Dedup.containmentPairs(
+      docs(1L -> distinct1, 2L -> halfOverlap), tauNum = 30).collect()
+    assert(loose.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("PPJoin prefix variant computes exactly the same pairs as the count-join") {
     val corpus = docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2,
       5L -> (distinct1 + " " + distinct2), 6L -> (base + " extra words here"))
