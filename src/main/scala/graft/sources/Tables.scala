@@ -14,9 +14,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * natively. Read nanos as long and floor-convert to a micros
-    * timestamp (matches DuckDB's ns→us truncation semantics).
+  /** events.ts arrives in one of two physical shapes depending on the
+    * generator version: parquet TIMESTAMP(NANOS) — which Spark 4
+    * refuses natively, so we read nanos as long and floor-convert to
+    * a micros timestamp (DuckDB's ns→us truncation semantics) — or
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which reads
+    * as TIMESTAMP_NTZ. Both are normalized to session-local TIMESTAMP
+    * (sessions run UTC, so the wall-clock value is unchanged) so every
+    * downstream operator sees one type.
     *
     * Session-level side effect, deliberate: `nanosAsLong` must be set
     * when the relation resolves its schema, and the flag is needed by
@@ -26,9 +31,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * as long nanos.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   def region: DataFrame     = t("region")
