@@ -9,9 +9,15 @@ big/small ratio exceeds the data factor (super-linear scaling).
 import json
 import sys
 
+def load(path):
+    """Accept both bench formats: scalar seconds per query (stdout
+    line) or {n,min,max,mean} stats objects (the full-detail file)."""
+    qs = json.load(open(path))["queries"]
+    return {k: (v["min"] if isinstance(v, dict) else v) for k, v in qs.items()}
+
 def main():
-    small = json.load(open(sys.argv[1]))["queries"]
-    big = json.load(open(sys.argv[2]))["queries"]
+    small = load(sys.argv[1])
+    big = load(sys.argv[2])
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     rows = []
     for q in sorted(set(small) & set(big)):

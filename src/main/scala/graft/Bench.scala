@@ -11,54 +11,91 @@ package graft
   * Janino codegen warm-up — single-pass timings swing ±3× on whichever
   * codegen-heavy query happens to hit a cold JVM), then N timed passes
   * (default 3, SPARK_GRAFT_BENCH_PASSES) reporting the per-query MIN.
-  * `clearCache()` before every pass drops any catalog-cached
-  * `persist()` a pass left behind (the dedup operators self-unpersist
-  * now; their localCheckpoint'ed results live outside the
-  * CacheManager and are freed by the ContextCleaner once the
-  * DataFrame is GC'd). Each query rebuilds its DataFrame inside the
-  * timed region, so every pass recomputes all data from the parquet
-  * scans. What's reported is steady-state full-computation time with
-  * GC/compilation noise filtered out.
+  * Each query rebuilds its DataFrame inside the timed region, so every
+  * pass recomputes all data from the parquet scans. What's reported is
+  * steady-state full-computation time with GC/compilation noise
+  * filtered out.
+  *
+  * Cross-query block hygiene — the round-4 drift lesson: the near-dup
+  * operators return `localCheckpoint`'ed frames whose storage blocks
+  * are freed by the ContextCleaner only after the frame is GC'd. In a
+  * 131-query suite × 4 passes on a 32 GiB heap, GC may not run for
+  * many minutes, so dead checkpoint blocks pile up in the unified
+  * pool's storage-protected region (~¼ heap execution can never
+  * claim) and later shuffle-heavy queries silently lose execution
+  * memory and spill — a broad ~1.3–5× inflation that depends on GC
+  * timing, i.e. on nothing the engine controls. The fix is
+  * deterministic: after every query's sink drains, unpersist whatever
+  * persistent RDDs remain (nothing in the suite holds cached state
+  * across queries by contract — models cache driver-side arrays
+  * only), so each timed query starts with an empty block store.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
+
+    /** Free every block left in the store: dead localCheckpoints from
+      * the dedup/ANN family. Outside the timed region by design.
+      */
+    def releaseBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // Untimed warm-up pass: compiles every plan's codegen and warms the
     // JIT; caches are dropped afterwards so the timed pass does all the
     // real work again.
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench:warm] $name: ${e.getMessage}") }
+      releaseBlocks()
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val timings = (1 to passes).map { _ =>
-      spark.catalog.clearCache()
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
+    val timings = (1 to passes).map { p =>
+      val t0 = System.nanoTime()
+      val pass = SparkEntry.queries.map { case (name, fn) =>
+        val q0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - q0) / 1e9
+        releaseBlocks() // not timed: block-store hygiene between queries
+        name -> sec
       }
+      System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      pass
     }
     // a failing query must read as a failure, not as the suite's
     // fastest entry: excluded from timings, surfaced in "errors"
-    val results = SparkEntry.queries.keys.filterNot(failed.contains).map { name =>
-      name -> timings.map(_(name)).min
+    val names = SparkEntry.queries.keys.filterNot(failed.contains).toSeq
+    val stats = names.map { name =>
+      val ts = timings.map(_(name))
+      name -> (ts.min, ts.max, ts.sum / ts.size)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def r(v: Double) = math.rint(v * 1e4) / 1e4 // 0.1 ms precision, short JSON
+    val total = stats.values.map(_._1).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))
+    // full per-query stats (n/min/max/mean) — too long for a stdout
+    // tail, so it goes to a file the round artifacts can keep
+    val fullQs = names.map { n =>
+      val (mn, mx, mean) = stats(n)
+      s""""$n":{"n":$passes,"min":${r(mn)},"max":${r(mx)},"mean":${r(mean)}}"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r(total)},"unit":"sec","passes":$passes,""" +
+      s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+    // the driver contract: ONE compact JSON line (min per query,
+    // rounded — full precision lives in the file), printed LAST
+    val qs = names.map(n => s""""$n":${r(stats(n)._1)}""").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -275,7 +275,17 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("inter"))
-    materializeAndRelease(pairs
+    materializeAndRelease(
+      containmentVerify(pairs, sizes, tauNum, tauDenom), tri)
+  }
+
+  /** The exact containment verifier both candidate generators feed:
+    * takes (doc1, doc2, inter) pair counts, joins sizes, applies the
+    * integer-arithmetic threshold and emits the scored-pair contract.
+    */
+  private def containmentVerify(pairs: DataFrame, sizes: DataFrame,
+      tauNum: Int, tauDenom: Int): DataFrame =
+    pairs
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
       // integer threshold arithmetic — no float compare in the cut
@@ -285,8 +295,73 @@ object Dedup {
           .as("containment"),
         round(col("inter").cast("double")
           / (col("s1") + col("s2") - col("inter")).cast("double"), 6).as("jaccard"))
-      .orderBy(col("doc1"), col("doc2")),
-      tri)
+      .orderBy(col("doc1"), col("doc2"))
+
+  /** The containment candidate generator that holds at 100 TB — the
+    * one [[containmentPairs]]'s docstring promises: prefix filtering
+    * keyed on the SMALLER document's rarest shingles (PPJoin-style,
+    * cf. Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08), instead of symmetric MinHash bands — which
+    * under-recall exactly the high-containment / low-Jaccard pairs
+    * this operator exists for (a 10-shingle quote inside a
+    * 200-shingle page shares almost no symmetric band).
+    *
+    * Why it is lossless for C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ: with
+    * |A| ≤ |B| the pair needs overlap t = ⌈τ·|A|⌉; any
+    * (|A| − t + 1)-subset of A must then intersect A∩B (pigeonhole).
+    * So each doc — betting it is the smaller side — emits only its
+    * |A| − ⌈τ·|A|⌉ + 1 rarest shingles (global document-frequency
+    * order, ties by fingerprint) as probes; the full shingle table is
+    * the inverted index. A probe hit with a no-smaller partner is a
+    * candidate; the exact verifier re-counts the full intersection,
+    * so output rows equal [[containmentPairs]] exactly — same SQL
+    * oracle, different (scalable) candidate plan.
+    *
+    * Scale shape: probes are the (1−τ) rarest fraction of each doc's
+    * shingles — at τ = 0.8, 5× fewer probe rows than the symmetric
+    * count-join's left side, and document-frequency ordering makes
+    * probe buckets the *rare*-shingle ones (the count-join's worst
+    * buckets are the common-shingle ones). Everything shuffles on
+    * shingle fingerprints or doc ids; nothing is broadcast or
+    * collected, and the candidate set — not n² — pays the exact
+    * verification.
+    */
+  def containmentPairsLsh(documents: DataFrame, tauNum: Int = 80,
+      tauDenom: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = shingleFps(documents).persist()
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val docFreq = tri.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; prefix = s − ⌈τ·s⌉ + 1,
+    // all-integer (div floors; the +denom−1 makes the quotient a ceil)
+    val prefixLen =
+      expr(s"s - ((s * $tauNum + ${tauDenom - 1}) div $tauDenom) + 1")
+    val probes = tri.join(docFreq, Seq("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= prefixLen)
+      .select(col("doc_id").as("pd"), col("h"), col("s").as("ps"))
+    val index = tri.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("ix"), col("h"), col("s").as("is"))
+    val cands = probes.join(index, Seq("h"))
+      // the recall guarantee holds only when the probe side is the
+      // smaller doc; equal sizes tie-break on id so exactly one
+      // orientation survives
+      .filter(col("ps") < col("is") ||
+        (col("ps") === col("is") && col("pd") =!= col("ix")))
+      .select(least(col("pd"), col("ix")).as("doc1"),
+        greatest(col("pd"), col("ix")).as("doc2"))
+      .distinct()
+    // exact verification on candidates only: re-join both docs'
+    // shingle sets and count the true intersection
+    val inter = cands
+      .join(tri.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+      .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    materializeAndRelease(
+      containmentVerify(inter, sizes, tauNum, tauDenom), tri)
   }
 
   /** Benchmark-contamination check: which training documents contain

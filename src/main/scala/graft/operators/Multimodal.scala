@@ -17,12 +17,15 @@ final case class MMFeatures(
   * in batches.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real; the codec itself is a clearly-marked deterministic STUB
-  * (image/audio libraries are not in this container). On a real
-  * cluster the stub body is the only thing that changes: swap
-  * `fakeDecode` for a JNI/FFI codec call and the operator is
-  * unchanged — batching amortizes per-batch codec setup exactly like
-  * an Arrow-batched pandas UDF would.
+  * real, and so are the image/audio codecs: hand-written byte
+  * parsers for BMP/PNG/WAV plus the stock-JDK `javax.imageio` JPEG
+  * reader. Only mp4 frame content takes the clearly-marked
+  * deterministic histogram STUB (no JVM mp4 codec exists in this
+  * container; its box metadata is still parsed for real — see
+  * [[mp4Meta]]). On a real cluster the stub body is the only thing
+  * that changes: swap `fakeDecode` for a JNI/FFI codec call and the
+  * operator is unchanged — batching amortizes per-batch codec setup
+  * exactly like an Arrow-batched pandas UDF would.
   */
 object Multimodal {
 
@@ -48,9 +51,10 @@ object Multimodal {
   }
 
   /** STUB deterministic "decode": an 8-bin byte histogram, L1
-    * normalized — stands in for pixel/audio feature extraction for
-    * formats with no in-container codec (jpeg/png/mp4). Deterministic
-    * per input, so specs can assert exact values.
+    * normalized — stands in for feature extraction for the one format
+    * with no in-container codec (mp4 frame content) and for payloads
+    * no codec recognizes. Deterministic per input, so specs can
+    * assert exact values.
     */
   private[operators] def fakeDecode(r: MMRecord): MMFeatures = {
     val bins = new Array[Double](8)
@@ -289,6 +293,49 @@ object Multimodal {
     Some((width, height, px))
   }
 
+  /** REAL JPEG decode via the stock-JDK codec (`javax.imageio` ships
+    * a baseline+progressive JPEG reader in every JRE — no external
+    * library). Exposed as the same packed-RGB top-down grid as
+    * [[bmpPixels]]/[[pngPixels]] so the feature epilogue and
+    * [[dHash64]] are container-blind. `ImageIO` is only reached
+    * behind the 0xFFD8FF magic sniff; a payload the reader rejects
+    * returns None — the fallback lane, like every other decoder here.
+    */
+  private[operators] def jpegPixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
+    try {
+      // in-memory decode; the default ImageIO path spills the stream
+      // to a temp file per call, which is pure churn on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) &= 0xffffff; i += 1 } // drop alpha
+        Some((w, h, px))
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  private[operators] def decodeJpeg(r: MMRecord): Option[MMFeatures] =
+    jpegPixels(r).map { case (w, h, px) => rgbFeatures(r, w, h, px, 5.0) }
+
+  /** One magic-byte sniff for every image container with a real
+    * decoder (BMP, PNG, JPEG) — shared by the feature path and the
+    * perceptual hash so the two can't disagree on what's an image.
+    * Returns the normalized top-down packed-RGB grid or None.
+    */
+  private[operators] def imagePixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
+    val c = r.content
+    if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) bmpPixels(r)
+    else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
+        c(2) == 'N'.toByte && c(3) == 'G'.toByte) pngPixels(r)
+    else if (c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
+        (c(2) & 0xff) == 0xff) jpegPixels(r)
+    else None
+  }
+
   /** Content-sniffing dispatch, like a real codec registry: magic
     * bytes pick the decoder; anything unrecognized (or recognized but
     * outside the baseline profile) takes the declared stub lane.
@@ -303,12 +350,16 @@ object Multimodal {
     else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
         c(2) == 'N'.toByte && c(3) == 'G'.toByte)
       decodePng(r).getOrElse(fakeDecode(r))
+    else if (c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
+        (c(2) & 0xff) == 0xff)
+      decodeJpeg(r).getOrElse(fakeDecode(r))
     else fakeDecode(r)
   }
 
-  /** Batched per-partition decode: real byte-parsing codecs (BMP,
-    * WAV) behind content sniffing, the declared histogram stub for
-    * formats whose libraries aren't in this container.
+  /** Batched per-partition decode: real codecs (BMP, PNG, WAV byte
+    * parsers + the stock-JDK JPEG reader) behind content sniffing,
+    * the declared histogram stub only for mp4 frame content (no JVM
+    * codec exists in this container).
     * `grouped(batchSize)` is the batch shape a vectorized (Arrow)
     * decoder consumes; no shuffle — runs at scan parallelism.
     */
@@ -324,15 +375,109 @@ object Multimodal {
     }
   }
 
+  /** Parsed MP4 container metadata — what the `moov` header actually
+    * stores (no codec needed): brand from `ftyp`, clock + length from
+    * `mvhd`, track count from the `trak` children.
+    */
+  final case class Mp4Meta(majorBrand: String, timescale: Long, duration: Long, nTracks: Int)
+
+  /** REAL pure-JVM MP4 box parse (ISO/IEC 14496-12 byte layout, like
+    * the BMP/WAV parsers): walks the top-level box list — 32-bit
+    * big-endian size + fourcc, with the spec's two escape hatches
+    * (size==1 → 64-bit largesize follows the fourcc; size==0 → box
+    * runs to EOF) — reads the `ftyp` major brand, then inside `moov`
+    * reads `mvhd` (version 0: 32-bit timescale/duration at offsets
+    * 12/16 past the version byte; version 1: 64-bit duration) and
+    * counts `trak` children. Frame CONTENT stays stubbed (no JVM mp4
+    * codec in this container) — but duration, timescale and track
+    * count come from the actual bytes. None for anything malformed.
+    */
+  private[graft] def mp4Meta(c: Array[Byte]): Option[Mp4Meta] = {
+    if (c.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(c) // ISO boxes are big-endian
+    def fourcc(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // returns (payloadOff, payloadLen, nextBoxOff) or None if malformed
+    def box(off: Int): Option[(String, Int, Int, Int)] = {
+      if (off + 8 > c.length) return None
+      val size32 = bb.getInt(off).toLong & 0xffffffffL
+      val typ = fourcc(off + 4)
+      val (payload, end) =
+        if (size32 == 0) (off + 8, c.length) // to EOF
+        else if (size32 == 1) {
+          if (off + 16 > c.length) return None
+          val size64 = bb.getLong(off + 8)
+          if (size64 < 16 || off + size64 > c.length) return None
+          (off + 16, off + size64.toInt)
+        } else {
+          if (size32 < 8 || off + size32 > c.length) return None
+          (off + 8, off + size32.toInt)
+        }
+      Some((typ, payload, end - payload, end))
+    }
+    var off = 0
+    var brand: String = null
+    var moov: Option[(Int, Int)] = None
+    while (off + 8 <= c.length) {
+      box(off) match {
+        case Some(("ftyp", p, len, next)) =>
+          if (len < 4) return None
+          brand = fourcc(p); off = next
+        case Some(("moov", p, len, next)) => moov = Some((p, len)); off = next
+        case Some((_, _, _, next)) if next > off => off = next
+        case _ => return None
+      }
+    }
+    if (brand == null || moov.isEmpty) return None
+    val (mp, mlen) = moov.get
+    var o = mp
+    var timescale = -1L; var duration = -1L; var nTracks = 0
+    while (o + 8 <= mp + mlen) {
+      box(o) match {
+        case Some(("mvhd", p, len, next)) =>
+          if (len < 4) return None
+          val version = c(p) & 0xff
+          if (version == 0 && len >= 20) {
+            timescale = bb.getInt(p + 12).toLong & 0xffffffffL
+            duration = bb.getInt(p + 16).toLong & 0xffffffffL
+          } else if (version == 1 && len >= 28) {
+            timescale = bb.getInt(p + 20).toLong & 0xffffffffL
+            duration = bb.getLong(p + 24)
+          } else return None
+          o = next
+        case Some(("trak", _, _, next)) => nTracks += 1; o = next
+        case Some((_, _, _, next)) if next > o => o = next
+        case _ => return None
+      }
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some(Mp4Meta(brand, timescale, duration, nTracks))
+  }
+
   /** Frame sampling for video rows: every `step`-th frame index,
     * exploded — a narrow generator, the fan-out stays on executors.
+    *
+    * Frame count comes from the CONTENT when the payload is a real
+    * MP4: `mvhd` duration/timescale × `fps`, parsed by [[mp4Meta]]
+    * on the executors (same per-partition shape as the image
+    * decoders). Rows whose bytes aren't an mp4 container — the
+    * synthetic corpus, truncated uploads — fall back to the declared
+    * `n_frames` metadata column, the honest lane for payloads with
+    * no parsable header.
     */
-  def frameSample(records: Dataset[MMRecord], step: Int = 30)
-      (implicit spark: SparkSession): DataFrame =
-    records.toDF()
-      .filter(col("format") === "mp4")
+  def frameSample(records: Dataset[MMRecord], step: Int = 30, fps: Int = 30)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.filter(col("format") === "mp4")
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val parsed = mp4Meta(r.content).map(m =>
+            math.max(1L, m.duration * fps / m.timescale).toInt)
+          (r.doc_id, parsed.getOrElse(r.n_frames))
+        }
+      }.toDF("doc_id", "n_frames")
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+  }
 
   /** Metadata-only "resize": aspect-preserving fit into a maxDim box
     * with exact integer arithmetic (floor of dim·maxDim / longest
@@ -398,27 +543,22 @@ object Multimodal {
     hash
   }
 
-  /** Perceptual hash per image record: real pixel decode (BMP or PNG
-    * lanes — the containers with in-repo codecs) → [[dHash64]]. Rows
-    * whose bytes don't decode are dropped, the fallback lane a real
-    * pipeline routes to a slower codec fleet. Narrow mapPartitions at
-    * scan parallelism; output is 8 bytes a row no matter the image
-    * size, so everything downstream is corpus-count-sized, not
-    * pixel-sized. Orientation is normalized by the decoders (BMP's
-    * bottom-up flip), so the same pixels hash identically from either
-    * container — the cross-container spec pins that.
+  /** Perceptual hash per image record: real pixel decode (BMP, PNG,
+    * JPEG — every image container with a working codec here) →
+    * [[dHash64]]. Rows whose bytes don't decode are dropped, the
+    * fallback lane a real pipeline routes to a slower codec fleet.
+    * Narrow mapPartitions at scan parallelism; output is 8 bytes a
+    * row no matter the image size, so everything downstream is
+    * corpus-count-sized, not pixel-sized. Orientation is normalized
+    * by the decoders (BMP's bottom-up flip), so the same pixels hash
+    * identically from any container — the cross-container spec pins
+    * that, and pins JPEG's lossy re-encode within Hamming tolerance.
     */
   def imagePhash(records: Dataset[MMRecord])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     records.mapPartitions { iter =>
       iter.flatMap { r =>
-        val c = r.content
-        val px =
-          if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) bmpPixels(r)
-          else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
-            c(2) == 'N'.toByte && c(3) == 'G'.toByte) pngPixels(r)
-          else None
-        px.map { case (w, h, arr) => (r.doc_id, r.format, dHash64(w, h, arr)) }
+        imagePixels(r).map { case (w, h, arr) => (r.doc_id, r.format, dHash64(w, h, arr)) }
       }
     }.toDF("doc_id", "format", "phash")
   }

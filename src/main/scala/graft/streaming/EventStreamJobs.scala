@@ -51,7 +51,7 @@ final case class Requeued(
   * fractional second), which would diverge from the batch twins'
   * `unix_micros` ordering for same-millisecond events.
   */
-private[streaming] object TsUs {
+private[graft] object TsUs {
   def apply(ts: Timestamp): Long =
     // floorDiv, not /: integer division truncates toward zero, which
     // breaks pre-epoch timestamps (nanos always count forward)

@@ -75,6 +75,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L))) // proves the pair is jaccard-invisible
   }
 
+  test("prefix-probe containment generator finds the embedded doc that minhash banding misses") {
+    // the at-scale blind spot the generator exists for: a small doc
+    // embedded verbatim in a much larger one — C = 1.0 but J ≈ 0.15,
+    // so every MinHash band of the pair almost surely differs
+    val small = distinct1
+    val big = base + " " + distinct1 + " " + distinct2 + " " + nearDup
+    val corpus = docs(1L -> small, 2L -> big,
+      3L -> "entirely unrelated prose about gardening tips and seasonal vegetable rotation schedules")
+    val mh = Dedup.minhashLsh(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mh.contains((1L, 2L)),
+      "fixture broken: symmetric banding was supposed to miss this pair")
+    val found = Dedup.containmentPairsLsh(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(found.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(found.head._3 >= 0.9)
+  }
+
+  test("prefix-probe containment generator is lossless: identical rows to the count-join") {
+    val corpus = docs(1L -> base, 2L -> nearDup, 3L -> distinct1, 4L -> distinct2,
+      5L -> (distinct1 + " " + distinct2), 6L -> (base + " extra words here"),
+      7L -> (base + " " + distinct1 + " " + distinct2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // exact-equality parity at two thresholds: the generator may only
+    // change the candidate plan, never the verified pair set or scores
+    assert(rows(Dedup.containmentPairsLsh(corpus)) ==
+      rows(Dedup.containmentPairs(corpus)))
+    assert(rows(Dedup.containmentPairsLsh(corpus, tauNum = 30)) ==
+      rows(Dedup.containmentPairs(corpus, tauNum = 30)))
+  }
+
   test("containment threshold cuts pairs below tau") {
     // ~half of distinct1's shingles shared → containment ≈ 0.5 < 0.8 cut
     val halfOverlap = {

@@ -203,6 +203,113 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("real JPEG bytes decode through the stock-JDK codec lane, within lossy tolerance of PNG") {
+    implicit val s = spark
+    import spark.implicits._
+    // same pixels through two containers: PNG is lossless ground
+    // truth, JPEG is the lossy re-encode the new lane must decode
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 4 % 256) << 16) | ((y * 4 % 256) << 8) | ((x + y) * 2 % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val jpg = enc("jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "fixture must be a real JPEG")
+    val rec = Seq(
+      graft.operators.MMRecord(1L, enc("png"), "png", 64, 64, 1),
+      graft.operators.MMRecord(2L, jpg, "jpeg", 64, 64, 1)).toDS()
+    val feats = Multimodal.decodeFeatures(rec, batchSize = 8).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    val png = feats(1L); val jpeg = feats(2L)
+    assert(png(7) == 4.0, "PNG lane")
+    assert(jpeg(7) == 5.0, "JPEG must take the real codec lane, not the histogram stub")
+    assert(jpeg(4) == 64.0 && jpeg(5) == 64.0 && jpeg(6) == 4096.0)
+    // lossy but mean-preserving: channel + luma means within 2/255
+    for (i <- 0 to 3)
+      assert(math.abs(png(i) - jpeg(i)) < 2.0 / 255.0,
+        s"channel $i: png=${png(i)} jpeg=${jpeg(i)}")
+  }
+
+  test("perceptual hash covers all three image containers and pairs the JPEG re-encode") {
+    implicit val s = spark
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 11 % 256) << 8) | ((x + y) * 3 % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val rec = Seq(
+      graft.operators.MMRecord(1L, enc("png"), "png", 64, 48, 1),
+      graft.operators.MMRecord(2L, enc("bmp"), "bmp", 64, 48, 1),
+      graft.operators.MMRecord(3L, enc("jpg"), "jpeg", 64, 48, 1)).toDS()
+    val hashes = Multimodal.imagePhash(rec).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashes.size == 3, "every container must produce a hash — jpeg rows no longer drop")
+    // lossless containers agree exactly; the lossy one is within the
+    // pairing tolerance, so near-dup detection sees all three as one image
+    assert(hashes(1L) == hashes(2L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 3,
+      "JPEG re-encode must stay within dHash pairing distance of the source pixels")
+    val pairs = Multimodal.phashPairs(Multimodal.imagePhash(rec)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  private def mp4Fixture(version: Int, timescale: Long, duration: Long,
+      nTracks: Int): Array[Byte] = {
+    import java.nio.ByteBuffer
+    // real ISO-BMFF byte layout: ftyp(brand isom) + moov(mvhd + trak*)
+    val mvhdLen = if (version == 0) 8 + 4 + 8 + 4 + 4 else 8 + 4 + 16 + 4 + 8
+    val moovLen = 8 + mvhdLen + 8 * nTracks
+    val bb = ByteBuffer.allocate(16 + moovLen) // big-endian by default
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(moovLen).put("moov".getBytes)
+    bb.putInt(mvhdLen).put("mvhd".getBytes).putInt(version << 24) // version+flags
+    if (version == 0)
+      bb.putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
+    else
+      bb.putLong(0L).putLong(0L).putInt(timescale.toInt).putLong(duration)
+    for (_ <- 0 until nTracks) bb.putInt(8).put("trak".getBytes)
+    bb.array()
+  }
+
+  test("mp4 box parse reads ftyp/moov/mvhd for real: brand, timescale, duration, tracks") {
+    import graft.operators.Multimodal.{mp4Meta, Mp4Meta}
+    assert(mp4Meta(mp4Fixture(0, 1000L, 4500L, 2)) ==
+      Some(Mp4Meta("isom", 1000L, 4500L, 2)))
+    // version-1 mvhd stores 64-bit duration
+    assert(mp4Meta(mp4Fixture(1, 90000L, 123456789L, 1)) ==
+      Some(Mp4Meta("isom", 90000L, 123456789L, 1)))
+    // malformed lanes all fall back instead of mis-parsing
+    assert(mp4Meta("this is sixteen.".getBytes).isEmpty) // the synthetic corpus shape
+    assert(mp4Meta(mp4Fixture(0, 1000L, 4500L, 2).take(20)).isEmpty) // truncated moov
+    assert(mp4Meta(Array[Byte]()).isEmpty)
+  }
+
+  test("frame sampling derives frame count from parsed mvhd duration, metadata only as fallback") {
+    implicit val s = spark
+    import spark.implicits._
+    val rec = Seq(
+      // real mp4: 4.5 s at timescale 1000 → 135 frames at 30 fps,
+      // regardless of the (wrong) n_frames metadata
+      graft.operators.MMRecord(1L, mp4Fixture(0, 1000L, 4500L, 1), "mp4", 0, 0, 999),
+      // unparsable payload: the declared metadata fallback lane
+      graft.operators.MMRecord(2L, "not an mp4 container".getBytes, "mp4", 0, 0, 61),
+      // non-video rows never emit frames
+      graft.operators.MMRecord(3L, "whatever".getBytes, "png", 0, 0, 50)).toDS()
+    val out = Multimodal.frameSample(rec).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    assert(out(1L) == Seq(0, 30, 60, 90, 120)) // ceil-free: 135 frames, step 30
+    assert(out(2L) == Seq(0, 30, 60))
+    assert(!out.contains(3L))
+  }
+
   test("frame sampling explodes every 30th frame for video rows only") {
     implicit val s = spark
     val out = Multimodal.frameSample(Multimodal.records(docs)).collect()

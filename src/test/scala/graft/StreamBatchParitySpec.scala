@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.streaming.{EventStreamJobs, LiveEvent}
+
+/** Streaming-vs-batch parity over the DRIVER'S OWN parquet: the
+  * events table every batch operator is CORRECTNESS-checked against
+  * is replayed through MemoryStream micro-batches in bus-delivery
+  * order, and each stateful streaming twin's drained output is
+  * content-compared against its oracle-checked batch operator. The
+  * synthetic-input convergence specs in StreamingSpec pin the
+  * semantics; this harness pins them on real data shapes — ties,
+  * repeated identities, every user — so a twin can't pass on toy
+  * feeds while diverging on the corpus the batch gate actually
+  * checks.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** The driver's events table, exactly as the batch queries read it. */
+  private lazy val events: DataFrame =
+    graft.sources.Tables(spark, TestSpark.sfDir).events
+
+  /** The same rows as a bus feed: (ts, event_id)-ordered LiveEvents —
+    * the delivery order of a single upstream log.
+    */
+  private lazy val feed: Seq[LiveEvent] = {
+    import spark.implicits._
+    events.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[LiveEvent].collect()
+      .sortBy(e => (graft.streaming.TsUs(e.ts), e.event_id)).toSeq
+  }
+
+  /** Replay the feed through `twin` in `nChunks` micro-batches and
+    * return every row the memory sink saw (with its emission index,
+    * so update-mode tests can keep the LAST emission per key).
+    */
+  private def replay(twin: org.apache.spark.sql.Dataset[_], mode: String, name: String,
+      nChunks: Int = 4): Seq[org.apache.spark.sql.Row] = {
+    val q = twin.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      val chunk = math.max(1, feed.size / nChunks)
+      feed.grouped(chunk).foreach { c => parityIn.addData(c); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  // a fresh MemoryStream per test — created lazily inside each test
+  // body via this var so `replay` can feed it
+  private var parityIn: MemoryStream[LiveEvent] = _
+  private def newFeed(): MemoryStream[LiveEvent] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    parityIn = MemoryStream[LiveEvent]
+    parityIn
+  }
+
+  test("organize twin: complete-mode table equals the batch per-(stream, type) pivot") {
+    implicit val s = spark
+    val in = newFeed()
+    val live = replay(EventStreamJobs.organizeStream(in.toDS()), "complete", "par_org")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = EventOps.organizeStreams(events).drop("total_value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(live == batch)
+  }
+
+  test("close twin: last update per target equals the batch close report") {
+    val in = newFeed()
+    val rows = replay(EventStreamJobs.closeStream(in.toDF(),
+      EventOps.targetInstances(spark)), "update", "par_close")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastByUser = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }.values.toSet
+    val batch = EventOps.closeStreams(events, EventOps.targetInstances(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(lastByUser == batch)
+  }
+
+  test("trim twin: evicted + kept partition the feed exactly like the batch windows") {
+    implicit val s = spark
+    val in = newFeed()
+    val evicted = replay(EventStreamJobs.trimStream(in.toDS(), n = 50),
+      "append", "par_trim")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // user, event, ts_us
+    // the archived overflow, aggregated like ev_trim_overflow
+    val liveOverflow = evicted.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.size.toLong, rs.map(_._3).min, rs.map(_._3).max)
+    }.toSet
+    val batchOverflow = EventOps.trimOverflow(events, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(liveOverflow == batchOverflow)
+    // and the kept complement is exactly ev_trim_last_n's row set
+    val keptLive = feed.map(_.event_id).toSet -- evicted.map(_._2).toSet
+    val keptBatch = EventOps.trimLastN(events, 50).collect()
+      .map(_.getLong(0)).toSet
+    assert(keptLive == keptBatch)
+  }
+
+  test("requeue twin: final per-identity count and destination equal the batch operator") {
+    implicit val s = spark
+    val in = newFeed()
+    val live = replay(EventStreamJobs.requeueStream(in.toDS(), maxDeliveries = 3),
+      "append", "par_rq")
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("value_key")),
+        (r.getAs[Long]("delivery_count"), r.getAs[String]("destination"))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }.toMap
+    // unbounded pending window: the batch count is per-identity total
+    val batch = EventOps.requeue(events, maxDeliveries = 3, pendingN = Int.MaxValue)
+      .collect().map { r =>
+        val vk = feed.find(_.event_id == r.getLong(0)).map(e =>
+          math.floor(e.value).toLong).get
+        ((r.getLong(1), r.getString(2), vk), (r.getLong(3), r.getString(4)))
+      }.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }.toMap
+    assert(live == batch)
+  }
+
+  test("dead-letter twin: flags exactly the batch operator's poison identities, once") {
+    implicit val s = spark
+    val in = newFeed()
+    val live = replay(EventStreamJobs.deadLetterStream(in.toDS(), maxDeliveries = 3),
+      "append", "par_dl")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // exactly once per identity, exactly at the threshold delivery
+    assert(live.map(t => (t._1, t._2, t._3)).distinct.size == live.size)
+    assert(live.forall(_._4 == 3L))
+    val batch = EventOps.deadLetter(events, maxDeliveries = 3).collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        math.floor(feed.find(_.event_id == r.getLong(0)).get.value).toLong)).toSet
+    assert(live.map(t => (t._1, t._2, t._3)).toSet == batch)
+    assert(batch.nonEmpty, "fixture degenerate: no poison identities at this SF")
+  }
+}
