@@ -34,6 +34,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional comma-separated subset for the local iteration loop
+    // (the driver sets nothing → full suite; artifacts must be full)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val suite = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = GraftSession.local(cpus)
 
     /** Free every block left in the store: dead localCheckpoints from
@@ -48,7 +52,7 @@ object Bench {
     // Untimed warm-up pass: compiles every plan's codegen and warms the
     // JIT; caches are dropped afterwards so the timed pass does all the
     // real work again.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    suite.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench:warm] $name: ${e.getMessage}") }
       releaseBlocks()
@@ -57,7 +61,7 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val timings = (1 to passes).map { p =>
       val t0 = System.nanoTime()
-      val pass = SparkEntry.queries.map { case (name, fn) =>
+      val pass = suite.map { case (name, fn) =>
         val q0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -73,7 +77,7 @@ object Bench {
     }
     // a failing query must read as a failure, not as the suite's
     // fastest entry: excluded from timings, surfaced in "errors"
-    val names = SparkEntry.queries.keys.filterNot(failed.contains).toSeq
+    val names = suite.keys.filterNot(failed.contains).toSeq
     val stats = names.map { name =>
       val ts = timings.map(_(name))
       name -> (ts.min, ts.max, ts.sum / ts.size)

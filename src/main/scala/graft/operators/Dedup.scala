@@ -341,15 +341,23 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <= prefixLen)
-      .select(col("doc_id").as("pd"), col("h"), col("s").as("ps"))
-    val index = tri.join(sizes, Seq("doc_id"))
-      .select(col("doc_id").as("ix"), col("h"), col("s").as("is"))
-    val cands = probes.join(index, Seq("h"))
+      .select(col("doc_id").as("pd"), col("h"))
+    // the index side is the full shingle table, size-UNadorned: the
+    // orientation cut happens on the (far smaller) distinct pair set,
+    // so only ONE corpus-sized shuffle exists on this path (the probe
+    // join on h) instead of two (a sizes join over every index row)
+    val cands = probes
+      .join(tri.select(col("doc_id").as("ix"), col("h")), Seq("h"))
+      .filter(col("pd") =!= col("ix"))
+      .select(col("pd"), col("ix")).distinct()
+      .join(sizes.select(col("doc_id").as("pd"), col("s").as("ps")), Seq("pd"))
+      .join(sizes.select(col("doc_id").as("ix"), col("s").as("is")), Seq("ix"))
       // the recall guarantee holds only when the probe side is the
-      // smaller doc; equal sizes tie-break on id so exactly one
-      // orientation survives
-      .filter(col("ps") < col("is") ||
-        (col("ps") === col("is") && col("pd") =!= col("ix")))
+      // smaller doc (a qualifying pair is ALWAYS found from its
+      // smaller side, so larger-side-only discoveries can be dropped
+      // without recall loss); equal sizes keep both orientations,
+      // collapsed by the least/greatest + distinct below
+      .filter(col("ps") <= col("is"))
       .select(least(col("pd"), col("ix")).as("doc1"),
         greatest(col("pd"), col("ix")).as("doc2"))
       .distinct()
