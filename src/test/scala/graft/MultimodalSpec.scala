@@ -290,6 +290,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mp4Meta("this is sixteen.".getBytes).isEmpty) // the synthetic corpus shape
     assert(mp4Meta(mp4Fixture(0, 1000L, 4500L, 2).take(20)).isEmpty) // truncated moov
     assert(mp4Meta(Array[Byte]()).isEmpty)
+    // the spec's size==1 escape hatch: a 64-bit largesize box wrapping
+    // the same moov payload must parse identically
+    val plain = mp4Fixture(0, 1000L, 4500L, 2)
+    val moovOff = 16
+    val moovLen = plain.length - moovOff
+    val bb = java.nio.ByteBuffer.allocate(plain.length + 8)
+    bb.put(plain, 0, moovOff) // ftyp unchanged
+    bb.putInt(1).put("moov".getBytes).putLong(moovLen + 8L) // size=1 + largesize
+    bb.put(plain, moovOff + 8, moovLen - 8) // original moov children
+    assert(mp4Meta(bb.array()) == Some(Mp4Meta("isom", 1000L, 4500L, 2)))
   }
 
   test("frame sampling derives frame count from parsed mvhd duration, metadata only as fallback") {

@@ -289,4 +289,25 @@ class PropertySpec extends AnyFunSuite {
       assert(ranks.toSeq == ranks.sorted.toSeq)
     }
   }
+
+  test("prefix-probe containment generator is lossless on random corpora at random thresholds") {
+    val rnd = new scala.util.Random(90210)
+    (1 to 3).foreach { trial =>
+      // random docs over a small vocabulary → dense shingle overlap,
+      // plus planted embeddings (doc j contains doc j-1 verbatim) so
+      // high-containment/low-jaccard pairs definitely exist
+      val base = (0L until 18L).map { i =>
+        i -> Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val planted = base.take(4).map { case (i, t) =>
+        (100L + i) -> (t + " " + Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = (base ++ planted).toDF("doc_id", "text")
+      val tauNum = 30 + rnd.nextInt(70) // τ ∈ [0.30, 0.99]
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(rows(Dedup.containmentPairsLsh(docs, tauNum)) ==
+        rows(Dedup.containmentPairs(docs, tauNum)),
+        s"trial $trial, tauNum=$tauNum: generator lost or invented pairs")
+    }
+  }
 }

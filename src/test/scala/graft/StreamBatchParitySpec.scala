@@ -123,6 +123,23 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(live == batch)
   }
 
+  test("journeys twin: final per-user paths aggregate to the batch journey counts") {
+    implicit val s = spark
+    import spark.implicits._
+    val in = newFeed()
+    val rows = replay(EventStreamJobs.journeyStream(in.toDS()), "update", "par_jrn")
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lastByUser = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+    // fold the drained per-user paths exactly like the batch operator
+    // (path -> n_users, count-desc/path ranking, top 20)
+    val liveAgg = lastByUser.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val batch = EventOps.journeys(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(liveAgg == batch)
+  }
+
   test("dead-letter twin: flags exactly the batch operator's poison identities, once") {
     implicit val s = spark
     val in = newFeed()
