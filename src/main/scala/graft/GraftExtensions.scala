@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{ArrayMatchCount, CharEntropyStats, DotProduct,
-  RollingFingerprint, ShingleFingerprints}
+  RollingFingerprint, ShingleFingerprints, SortedIntersectCount}
 
 /** Session-extension entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(a, b) takes exactly two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_sorted_intersect(a, b) takes exactly two arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_match_count"),

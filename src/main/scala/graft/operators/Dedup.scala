@@ -361,13 +361,26 @@ object Dedup {
       .select(least(col("pd"), col("ix")).as("doc1"),
         greatest(col("pd"), col("ix")).as("doc2"))
       .distinct()
-    // exact verification on candidates only: re-join both docs'
-    // shingle sets and count the true intersection
-    val inter = cands
-      .join(tri.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
-      .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("inter"))
+    // exact verification on candidates only — ONE row per pair: each
+    // doc's (already-distinct) shingle fingerprints collect into a
+    // sorted array once, and the codegen'd two-pointer merge
+    // [[graft.expressions.SortedIntersectCount]] counts |A ∩ B| per
+    // candidate. The join-explode-regroup alternative shuffles
+    // (pairs × shingles) rows through two joins and a groupBy —
+    // 20 M+ rows for 150 k candidates — where this shape shuffles
+    // exactly one row per candidate pair plus the doc-count-sized
+    // array table.
+    val docArr = tri.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val inter = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      cands
+        .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+        .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          column(graft.expressions.SortedIntersectCount(
+            expression(col("hs1")), expression(col("hs2")))).as("inter"))
+    }
     materializeAndRelease(
       containmentVerify(inter, sizes, tauNum, tauDenom), tri)
   }

@@ -417,6 +417,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
   }
 
+  test("graft_sorted_intersect equals array_intersect cardinality, null-propagating") {
+    val out = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect(array(1L, 3L, 5L, 9L), array(2L, 3L, 9L, 11L)) AS i1,
+        |  CAST(size(array_intersect(array(1L, 3L, 5L, 9L), array(2L, 3L, 9L, 11L))) AS BIGINT) AS s1,
+        |  graft_sorted_intersect(array(1L, 2L), array(7L, 8L, 9L)) AS i2,
+        |  graft_sorted_intersect(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS i3,
+        |  graft_sorted_intersect(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS i4
+        |""".stripMargin).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 0L && out.getLong(3) == 0L)
+    assert(out.isNullAt(4)) // a null element poisons, like SQL set ops on unknowns
+    // randomized parity vs the built-in (interpreted) set intersect,
+    // through real shuffled data so codegen is exercised
+    val rnd = new scala.util.Random(4242)
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      def arr() = rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(40)).distinct.sorted
+      (i, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.selectExpr("id", "graft_sorted_intersect(a, b) AS g",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS e")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, g, e) => assert(g == e, s"row $id: $g != $e") }
+  }
+
   test("dup spans count tokens covered by cross-document 3-grams") {
     val d = docs(
       (1L, "a b c d e"),   // shares "a b c" with doc 2 -> tokens 1-3
