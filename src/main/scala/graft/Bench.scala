@@ -40,6 +40,13 @@ object Bench {
     val suite = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = GraftSession.local(cpus)
 
+    // Unpersisting a consumed localCheckpoint RDD is exactly the
+    // intent here, but Spark logs each one as a WARN ("cannot be
+    // recomputed after unpersisting") — hundreds of lines that would
+    // drown the one JSON line the driver's output tail must keep.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+
     /** Free every block left in the store: dead localCheckpoints from
       * the dedup/ANN family. Outside the timed region by design.
       */
