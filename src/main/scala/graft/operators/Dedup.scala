@@ -361,28 +361,32 @@ object Dedup {
       .select(least(col("pd"), col("ix")).as("doc1"),
         greatest(col("pd"), col("ix")).as("doc2"))
       .distinct()
-    // exact verification on candidates only — ONE row per pair: each
-    // doc's (already-distinct) shingle fingerprints collect into a
-    // sorted array once, and the codegen'd two-pointer merge
-    // [[graft.expressions.SortedIntersectCount]] counts |A ∩ B| per
-    // candidate. The join-explode-regroup alternative shuffles
-    // (pairs × shingles) rows through two joins and a groupBy —
-    // 20 M+ rows for 150 k candidates — where this shape shuffles
-    // exactly one row per candidate pair plus the doc-count-sized
-    // array table.
+    materializeAndRelease(
+      containmentVerify(pairIntersections(cands, tri), sizes, tauNum, tauDenom), tri)
+  }
+
+  /** |shingles(doc1) ∩ shingles(doc2)| for given candidate pairs —
+    * ONE row per pair: each doc's (already-distinct) shingle
+    * fingerprints collect into a sorted array once, and the codegen'd
+    * two-pointer merge [[graft.expressions.SortedIntersectCount]]
+    * counts |A ∩ B| per candidate. The join-explode-regroup
+    * alternative shuffles (pairs × shingles) rows through two joins
+    * and a groupBy — 20 M+ rows for 150 k candidates at sf0.1 — where
+    * this shape shuffles exactly one row per candidate pair plus the
+    * doc-count-sized array table. Shared by every verify-a-candidate-
+    * set operator (containment LSH, the MinHash accuracy harness), so
+    * the exact-intersection contract has one implementation.
+    */
+  private def pairIntersections(cands: DataFrame, tri: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     val docArr = tri.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
-    val inter = {
-      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-      cands
-        .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
-        .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
-        .select(col("doc1"), col("doc2"),
-          column(graft.expressions.SortedIntersectCount(
-            expression(col("hs1")), expression(col("hs2")))).as("inter"))
-    }
-    materializeAndRelease(
-      containmentVerify(inter, sizes, tauNum, tauDenom), tri)
+    cands.select(col("doc1"), col("doc2"))
+      .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+      .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        column(graft.expressions.SortedIntersectCount(
+          expression(col("hs1")), expression(col("hs2")))).as("inter"))
   }
 
   /** Benchmark-contamination check: which training documents contain
@@ -536,10 +540,9 @@ object Dedup {
     // reason ngramJaccard persists its shingle table)
     val sh = shingleFps(documents).select(col("doc_id"), col("h")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val inter = cands.select(col("doc1"), col("doc2"))
-      .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
-      .join(sh.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
-      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    // exact intersections via the shared sorted-merge verifier — one
+    // row per candidate pair, no pair×shingle explosion
+    val inter = pairIntersections(cands, sh)
     materializeAndRelease(cands
       .join(inter, Seq("doc1", "doc2"), "left")
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
