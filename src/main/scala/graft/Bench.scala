@@ -91,22 +91,24 @@ object Bench {
     }.toMap
     def r(v: Double) = math.rint(v * 1e4) / 1e4 // 0.1 ms precision, short JSON
     val total = stats.values.map(_._1).sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = failed.map(JsonUtil.str).mkString("[", ",", "]")
     // full per-query stats (n/min/max/mean) — too long for a stdout
     // tail, so it goes to a file the round artifacts can keep
     val fullQs = names.map { n =>
       val (mn, mx, mean) = stats(n)
-      s""""$n":{"n":$passes,"min":${r(mn)},"max":${r(mx)},"mean":${r(mean)}}"""
+      s"""${JsonUtil.str(n)}:{"n":$passes,"min":${r(mn)},"max":${r(mx)},"mean":${r(mean)}}"""
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r(total)},"unit":"sec","passes":$passes,""" +
-      s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      s""""queries":$fullQs,"errors":$errs,"sf":${JsonUtil.str(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     // the driver contract: ONE compact JSON line (min per query,
-    // rounded — full precision lives in the file), printed LAST
-    val qs = names.map(n => s""""$n":${r(stats(n)._1)}""").mkString("{", ",", "}")
+    // rounded — full precision lives in the file), printed LAST.
+    // Paths come from env vars, so they are escaped like any string —
+    // a quote or backslash in them must not break the driver's parse.
+    val qs = names.map(n => s"""${JsonUtil.str(n)}:${r(stats(n)._1)}""").mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"sf":"$sfDir","detail":"$outPath"}""")
+      s""""errors":$errs,"sf":${JsonUtil.str(sfDir)},"detail":${JsonUtil.str(outPath)}}""")
     spark.stop()
   }
 }

@@ -32,6 +32,13 @@ object GraftSession {
     val b = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // the generated-class cache defaults to 100 entries; a session
+      // running the full 134-query suite compiles far more codegen
+      // units than that, so every pass would silently recompile every
+      // plan (Janino time billed to whichever query runs next — the
+      // residual drift SCALING.md chased in round 5). Sized for the
+      // whole suite to stay resident.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     b

@@ -249,6 +249,21 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.resizeMeta(Multimodal.records(Tables(s, dir).documents))
         .orderBy(col("doc_id"))
+    }),
+    // the PAIRING half of perceptual-hash dedup, hash-checked: the
+    // banded-Hamming pairer is front-end-agnostic, so feeding it the
+    // SQL-derivable SimHash fingerprint (same 64-bit near-collision
+    // structure as a dHash) lets DuckDB re-derive the hashes AND
+    // brute-force all pairs ≤ 3 bits — proving the 4×16-bit banding's
+    // exact-recall claim against an engine with no banding at all.
+    // The image/audio decode front-ends stay spec-verified (pixel
+    // codecs can't run in SQL); this pins everything downstream of
+    // the hash column.
+    "mm_phash_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.phashPairs(
+        Dedup.simhashSignatures(Tables(s, dir).documents)
+          .select(col("doc_id"), col("sim").as("phash")))
     })
   )
 
@@ -2058,6 +2073,31 @@ object SparkEntry {
         |WHERE c1.doc_id < c2.doc_id
         |  AND bit_count(xor(c1.sim, c2.sim)) <= 3
         |ORDER BY doc1, doc2""".stripMargin
+        .replace("<<CODES:w>>", charCodesSql("w"))
+        .replace("<<HASH62:cps>>", hash62Sql("cps"))),
+    // the banded pairer vs a band-free brute-force twin: DuckDB joins
+    // ALL signature pairs and filters on popcount alone, so a hash
+    // match here proves the 4×16-bit pigeonhole banding loses nothing
+    // at maxDist 3 (and the min-dedup across band collisions is exact)
+    "mm_phash_pairs" ->
+      ("""WITH words AS (
+        |  SELECT doc_id, 'xq' || w AS w FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+        |wc AS (SELECT doc_id, <<CODES:w>> AS cps FROM words),
+        |h AS (SELECT doc_id, <<HASH62:cps>> AS h FROM wc),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(s1.sim, s2.sim)) AS BIGINT) AS dist
+        |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+        |WHERE bit_count(xor(s1.sim, s2.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
         .replace("<<CODES:w>>", charCodesSql("w"))
         .replace("<<HASH62:cps>>", hash62Sql("cps"))),
     "dd_minhash_lsh" ->

@@ -58,6 +58,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else if (xv < yv) i += 1
       else j += 1
     }
+    // the merge stops at the shorter cursor; a null in the UNREACHED
+    // tail must still null the result ("a null element makes the
+    // result NULL" is a property of the arrays, not the merge path)
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    while (j < m) { if (y.isNullAt(j)) return null; j += 1 }
     acc
   }
 
@@ -82,6 +87,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  long $yv = $y.getLong($j);
          |  if ($xv == $yv) { $acc++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |// nulls in the tail the merge never reached still null the result
+         |while (!${ev.isNull} && $i < $n) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; } else { $i++; }
+         |}
+         |while (!${ev.isNull} && $j < $m) {
+         |  if ($y.isNullAt($j)) { ${ev.isNull} = true; } else { $j++; }
          |}
          |${ev.value} = $acc;
        """.stripMargin

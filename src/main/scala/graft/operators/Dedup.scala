@@ -328,41 +328,55 @@ object Dedup {
     */
   def containmentPairsLsh(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tri = shingleFps(documents).persist()
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val tri = shingleFps(documents)
     val docFreq = tri.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // rank each doc's shingles rarest-first; prefix = s − ⌈τ·s⌉ + 1,
-    // all-integer (div floors; the +denom−1 makes the quotient a ceil)
-    val prefixLen =
-      expr(s"s - ((s * $tauNum + ${tauDenom - 1}) div $tauDenom) + 1")
-    val probes = tri.join(docFreq, Seq("h"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <= prefixLen)
-      .select(col("doc_id").as("pd"), col("h"))
-    // the index side is the full shingle table, size-UNadorned: the
-    // orientation cut happens on the (far smaller) distinct pair set,
-    // so only ONE corpus-sized shuffle exists on this path (the probe
-    // join on h) instead of two (a sizes join over every index row)
+    // ONE per-doc pass carries everything every later stage needs:
+    // shingles in rarest-first (df, h) order, doc size, prefix length
+    // (s − ⌈τ·s⌉ + 1, all-integer: div floors, +denom−1 makes a ceil).
+    // This replaces the round-5 shape's per-doc row_number window AND
+    // its separate sizes aggregate — the ranking folds into the same
+    // doc_id-keyed aggregation the verification arrays come from, so
+    // the exchange count drops and the ranking is computed once.
+    val docSets = tri.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(df, h))), x -> x.h)").as("harr"),
+        count(lit(1)).as("s"))
+      .withColumn("prefix_len",
+        (col("s") - expr(s"(s * $tauNum + ${tauDenom - 1}) div $tauDenom") + 1).cast("int"))
+      .persist()
+    // probes: each doc bets it is the smaller side and emits only its
+    // prefix_len rarest shingles; index: the full shingle table,
+    // re-exploded narrowly from the same persisted doc sets (no second
+    // corpus aggregation), carrying the size so the orientation cut
+    // applies before the distinct
+    val probes = docSets.select(col("doc_id").as("pd"), col("s").as("ps"),
+      explode(slice(col("harr"), lit(1), col("prefix_len"))).as("h"))
+    val index = docSets.select(col("doc_id").as("ix"), col("s").as("is"),
+      explode(col("harr")).as("h"))
+    // the recall guarantee holds only when the probe side is the
+    // smaller doc (a qualifying pair is ALWAYS found from its smaller
+    // side, so larger-side-only discoveries can be dropped without
+    // recall loss); equal sizes keep both orientations, collapsed by
+    // the least/greatest + distinct below.
+    // Exchange audit (PLANS.md): THREE corpus-sized exchanges total —
+    // tri on h (document frequencies; reused by the docSets join),
+    // tri⋈df on doc_id (the doc-sets aggregation), and the index side
+    // of the probe join on h. Probe side, distinct pair set and the
+    // verification joins are prefix- or candidate-sized.
     val cands = probes
-      .join(tri.select(col("doc_id").as("ix"), col("h")), Seq("h"))
-      .filter(col("pd") =!= col("ix"))
-      .select(col("pd"), col("ix")).distinct()
-      .join(sizes.select(col("doc_id").as("pd"), col("s").as("ps")), Seq("pd"))
-      .join(sizes.select(col("doc_id").as("ix"), col("s").as("is")), Seq("ix"))
-      // the recall guarantee holds only when the probe side is the
-      // smaller doc (a qualifying pair is ALWAYS found from its
-      // smaller side, so larger-side-only discoveries can be dropped
-      // without recall loss); equal sizes keep both orientations,
-      // collapsed by the least/greatest + distinct below
-      .filter(col("ps") <= col("is"))
+      .join(index, Seq("h"))
+      .filter(col("pd") =!= col("ix") && col("ps") <= col("is"))
       .select(least(col("pd"), col("ix")).as("doc1"),
         greatest(col("pd"), col("ix")).as("doc2"))
       .distinct()
+    // verification arrays: ascending-h sort of the SAME per-doc arrays
+    // (array_sort re-orders the rarest-first ranking in memory — no
+    // extra corpus shuffle for the sorted-merge verifier's input)
+    val docArr = docSets.select(col("doc_id"), array_sort(col("harr")).as("hs"))
+    val sizes = docSets.select(col("doc_id"), col("s"))
     materializeAndRelease(
-      containmentVerify(pairIntersections(cands, tri), sizes, tauNum, tauDenom), tri)
+      containmentVerify(pairIntersectionsOnArrays(cands, docArr), sizes,
+        tauNum, tauDenom), docSets)
   }
 
   /** |shingles(doc1) ∩ shingles(doc2)| for given candidate pairs —
@@ -377,16 +391,62 @@ object Dedup {
     * set operator (containment LSH, the MinHash accuracy harness), so
     * the exact-intersection contract has one implementation.
     */
-  private def pairIntersections(cands: DataFrame, tri: DataFrame): DataFrame = {
+  private def pairIntersections(cands: DataFrame, tri: DataFrame): DataFrame =
+    pairIntersectionsOnArrays(cands,
+      tri.groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs")))
+
+  /** Shingle count of each doc's fingerprint ARRAY above which a pair
+    * takes the explode-count fallback instead of hauling the array
+    * through the candidate joins: 2^16 longs ≈ 512 KB per row. Web
+    * documents sit orders of magnitude below this; the cap exists so
+    * ONE book-length outlier (millions of shingles) cannot push
+    * multi-MB rows through two joins.
+    */
+  private[graft] val MaxMergeArrayLen = 1 << 16
+
+  /** The body over pre-built per-doc sorted arrays `(doc_id, hs)` —
+    * shared with [[containmentPairsLsh]], whose doc-set aggregation
+    * already holds the arrays (re-sorting in memory beats a second
+    * corpus shuffle).
+    *
+    * Mega-document guard: pairs where BOTH sides' arrays are within
+    * [[MaxMergeArrayLen]] take the one-row-per-pair sorted-merge;
+    * pairs touching an oversized doc fall back to the exact
+    * explode-count shape (join on h + count), whose row width stays
+    * 16 bytes no matter the document. The split is decided from a
+    * doc-count-sized length table, so oversized arrays are never
+    * shipped to the candidate join at all. Outputs are identical —
+    * both paths count |A ∩ B| exactly (property-spec-pinned).
+    */
+  private def pairIntersectionsOnArrays(cands: DataFrame, docArr: DataFrame,
+      cap: Int = MaxMergeArrayLen): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-    val docArr = tri.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
-    cands.select(col("doc1"), col("doc2"))
+    val lens = docArr.select(col("doc_id"), size(col("hs")).as("len"))
+    val tagged = cands.select(col("doc1"), col("doc2"))
+      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), Seq("doc1"))
+      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
+    val mergeable = tagged.filter(col("len1") <= cap && col("len2") <= cap)
+      .select(col("doc1"), col("doc2"))
+    val oversized = tagged.filter(col("len1") > cap || col("len2") > cap)
+      .select(col("doc1"), col("doc2"))
+    val merged = mergeable
       .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
       .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
         column(graft.expressions.SortedIntersectCount(
           expression(col("hs1")), expression(col("hs2")))).as("inter"))
+    // fallback: explode only the docs that appear in an oversized pair
+    // (semi-join bound), then the classic count-join — exact, narrow
+    val bigDocs = oversized.select(col("doc1").as("doc_id"))
+      .union(oversized.select(col("doc2").as("doc_id"))).distinct()
+    val ex = docArr.join(bigDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val exploded = oversized
+      .join(ex.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+      .join(ex.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    merged.unionByName(exploded)
   }
 
   /** Benchmark-contamination check: which training documents contain

@@ -301,12 +301,15 @@ object Multimodal {
     * behind the 0xFFD8FF magic sniff; a payload the reader rejects
     * returns None — the fallback lane, like every other decoder here.
     */
-  private[operators] def jpegPixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
+  private[operators] def jpegPixels(r: MMRecord): Option[(Int, Int, Array[Int])] =
+    jpegBytesPixels(r.content)
+
+  private[operators] def jpegBytesPixels(c: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     try {
       // in-memory decode; the default ImageIO path spills the stream
       // to a temp file per call, which is pure churn on executors
       javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -333,8 +336,14 @@ object Multimodal {
         c(2) == 'N'.toByte && c(3) == 'G'.toByte) pngPixels(r)
     else if (c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
         (c(2) & 0xff) == 0xff) jpegPixels(r)
+    else if (isMp4(c)) mp4FramePixels(c) // keyframe of a JPEG-coded track
     else None
   }
+
+  /** ISO-BMFF sniff: box 1 is practically always `ftyp`. */
+  private[operators] def isMp4(c: Array[Byte]): Boolean =
+    c.length >= 12 && c(4) == 'f'.toByte && c(5) == 't'.toByte &&
+      c(6) == 'y'.toByte && c(7) == 'p'.toByte
 
   /** Content-sniffing dispatch, like a real codec registry: magic
     * bytes pick the decoder; anything unrecognized (or recognized but
@@ -353,6 +362,12 @@ object Multimodal {
     else if (c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
         (c(2) & 0xff) == 0xff)
       decodeJpeg(r).getOrElse(fakeDecode(r))
+    else if (isMp4(c))
+      // real pixels for JPEG-coded tracks (first keyframe through the
+      // ImageIO lane, codec tag 6.0); AVC/HEVC stays the declared
+      // histogram stub — no JVM codec for those bitstreams exists here
+      mp4FramePixels(c).map { case (w, h, px) => rgbFeatures(r, w, h, px, 6.0) }
+        .getOrElse(fakeDecode(r))
     else fakeDecode(r)
   }
 
@@ -388,11 +403,19 @@ object Multimodal {
     * runs to EOF) — reads the `ftyp` major brand, then inside `moov`
     * reads `mvhd` (version 0: 32-bit timescale/duration at offsets
     * 12/16 past the version byte; version 1: 64-bit duration) and
-    * counts `trak` children. Frame CONTENT stays stubbed (no JVM mp4
-    * codec in this container) — but duration, timescale and track
-    * count come from the actual bytes. None for anything malformed.
+    * counts `trak` children. Frame CONTENT is decoded only for
+    * JPEG-coded sample entries (see [[mp4FirstJpegFrame]]) — but
+    * duration, timescale and track count come from the actual bytes.
+    * None for anything malformed: the whole parse is wrapped so a
+    * crafted payload (e.g. an mvhd whose declared length lies about
+    * the fields it holds) degrades to the fallback lane instead of
+    * failing the task.
     */
-  private[graft] def mp4Meta(c: Array[Byte]): Option[Mp4Meta] = {
+  private[graft] def mp4Meta(c: Array[Byte]): Option[Mp4Meta] =
+    try mp4MetaImpl(c)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def mp4MetaImpl(c: Array[Byte]): Option[Mp4Meta] = {
     if (c.length < 16) return None
     val bb = java.nio.ByteBuffer.wrap(c) // ISO boxes are big-endian
     def fourcc(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -439,7 +462,10 @@ object Multimodal {
           if (version == 0 && len >= 20) {
             timescale = bb.getInt(p + 12).toLong & 0xffffffffL
             duration = bb.getInt(p + 16).toLong & 0xffffffffL
-          } else if (version == 1 && len >= 28) {
+          } else if (version == 1 && len >= 32) {
+            // v1 layout: timescale is 4 bytes at p+20, duration 8 bytes
+            // at p+24 — the payload must hold all 32, not just 28 (a
+            // 28..31-byte box would read the next sibling's bytes)
             timescale = bb.getInt(p + 20).toLong & 0xffffffffL
             duration = bb.getLong(p + 24)
           } else return None
@@ -452,6 +478,117 @@ object Multimodal {
     if (timescale <= 0 || duration < 0) None
     else Some(Mp4Meta(brand, timescale, duration, nTracks))
   }
+
+  /** First video-sample bytes of an mp4 whose track stores
+    * self-contained JPEG bitstreams — the `jpeg` sample-entry fourcc
+    * (Motion JPEG in ISO-BMFF) or `mp4v` payloads that are really JPEG
+    * (some muxers do this; the slice is magic-sniffed either way).
+    * Walks `moov → trak → mdia → minf → stbl` with the same box
+    * grammar as [[mp4Meta]], then inside `stbl`:
+    *   - `stsd` (payload: ver/flags 4B + entry_count 4B + entries;
+    *     each entry: size 4B + fourcc 4B) names the codec;
+    *   - `stsz` (ver/flags 4B + sample_size 4B + sample_count 4B
+    *     [+ per-sample sizes]) gives sample 1's byte length;
+    *   - `stco`/`co64` (ver/flags 4B + entry_count 4B + offsets)
+    *     gives chunk 1's file-absolute offset — and sample 1 starts
+    *     exactly at chunk 1's offset, no stsc math needed for the
+    *     first sample.
+    * The slice [off, off+size) is returned only when it carries the
+    * JPEG magic, so an AVC/HEVC track (`avc1`/`hvc1` entries, or
+    * `mp4v` holding real MPEG-4 Part 2) cleanly returns None — that
+    * lane stays the declared histogram stub (no JVM codec exists).
+    * Any malformed geometry degrades to None, never a task failure.
+    */
+  private[graft] def mp4FirstJpegFrame(c: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val bb = java.nio.ByteBuffer.wrap(c)
+      def fourcc(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // (payloadOff, payloadLen, nextBoxOff) — same grammar as mp4Meta
+      def box(off: Int, limit: Int): Option[(String, Int, Int, Int)] = {
+        if (off + 8 > limit) return None
+        val size32 = bb.getInt(off).toLong & 0xffffffffL
+        val typ = fourcc(off + 4)
+        val (payload, end) =
+          if (size32 == 0) (off + 8, limit)
+          else if (size32 == 1) {
+            if (off + 16 > limit) return None
+            val size64 = bb.getLong(off + 8)
+            if (size64 < 16 || off + size64 > limit) return None
+            (off + 16, off + size64.toInt)
+          } else {
+            if (size32 < 8 || off + size32 > limit) return None
+            (off + 8, off + size32.toInt)
+          }
+        Some((typ, payload, end - payload, end))
+      }
+      /** First child box named `typ` within [from, to). */
+      def child(typ: String, from: Int, to: Int): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= to) {
+          box(off, to) match {
+            case Some((t, p, len, next)) if t == typ => return Some((p, len))
+            case Some((_, _, _, next)) if next > off => off = next
+            case _ => return None
+          }
+        }
+        None
+      }
+      def path(names: Seq[String], from: Int, to: Int): Option[(Int, Int)] =
+        names.foldLeft(Option((from, to))) { (acc, name) =>
+          acc.flatMap { case (f, t) => child(name, f, t).map { case (p, l) => (p, p + l) } }
+        }
+      // every trak is tried: files commonly lead with a non-video track
+      val (moovP, moovEnd) = path(Seq("moov"), 0, c.length).getOrElse(return None)
+      var off = moovP
+      while (off + 8 <= moovEnd) {
+        box(off, moovEnd) match {
+          case Some(("trak", p, len, next)) =>
+            val frame = for {
+              (stblP, stblEnd) <- path(Seq("mdia", "minf", "stbl"), p, p + len)
+              (stsdP, stsdLen) <- child("stsd", stblP, stblEnd)
+              if stsdLen >= 16
+              entryType = fourcc(stsdP + 12)
+              if entryType == "jpeg" || entryType == "mp4v"
+              (stszP, stszLen) <- child("stsz", stblP, stblEnd)
+              if stszLen >= 12
+              uniform = bb.getInt(stszP + 4)
+              size <- if (uniform != 0) Some(uniform)
+                      else if (stszLen >= 16 && bb.getInt(stszP + 8) >= 1)
+                        Some(bb.getInt(stszP + 12))
+                      else None
+              if size > 0
+              offFirst <- child("stco", stblP, stblEnd)
+                .filter(_._2 >= 12).map(t => bb.getInt(t._1 + 8).toLong & 0xffffffffL)
+                .orElse(child("co64", stblP, stblEnd)
+                  .filter(_._2 >= 16).map(t => bb.getLong(t._1 + 8)))
+              if offFirst >= 0 && offFirst + size <= c.length
+              slice = java.util.Arrays.copyOfRange(c, offFirst.toInt, offFirst.toInt + size)
+              if slice.length >= 3 && (slice(0) & 0xff) == 0xff &&
+                (slice(1) & 0xff) == 0xd8 && (slice(2) & 0xff) == 0xff
+            } yield slice
+            if (frame.isDefined) return frame
+            off = next
+          case Some((_, _, _, next)) if next > off => off = next
+          case _ => return None
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pixels of an mp4's first JPEG-coded video sample, through the
+    * same ImageIO lane every plain-JPEG payload takes — so a video
+    * keyframe and the standalone image it was muxed from produce the
+    * same packed-RGB grid, the same features and the same dHash.
+    */
+  private[graft] def mp4FramePixels(c: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    mp4FirstJpegFrame(c).flatMap(jpegBytesPixels)
+
+  /** Ceiling on a CONTENT-parsed frame count (~9.7 h at 30 fps): a
+    * parsed value above this is treated as malformed metadata and the
+    * row falls back to its declared `n_frames` column.
+    */
+  private[operators] val MaxParsedFrames = 1L << 20
 
   /** Frame sampling for video rows: every `step`-th frame index,
     * exploded — a narrow generator, the fan-out stays on executors.
@@ -470,8 +607,17 @@ object Multimodal {
     records.filter(col("format") === "mp4")
       .mapPartitions { iter =>
         iter.map { r =>
-          val parsed = mp4Meta(r.content).map(m =>
-            math.max(1L, m.duration * fps / m.timescale).toInt)
+          // overflow-safe frame count: a crafted v1 mvhd duration could
+          // wrap duration·fps (or exceed Int range after the divide), and
+          // a merely huge-but-valid duration would explode to tens of
+          // millions of frame rows — both take the metadata fallback
+          val parsed = mp4Meta(r.content).flatMap { m =>
+            try {
+              val total = Math.multiplyExact(m.duration, fps.toLong) / m.timescale
+              if (total > MaxParsedFrames) None
+              else Some(math.max(1L, total).toInt)
+            } catch { case _: ArithmeticException => None }
+          }
           (r.doc_id, parsed.getOrElse(r.n_frames))
         }
       }.toDF("doc_id", "n_frames")

@@ -419,22 +419,74 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
-  /** Skew-resilient salted join: every fact row gets a random-ish salt
-    * (hash of a secondary column — deterministic), the dimension side
-    * replicates once per salt, and the join key becomes
-    * (key, salt) — a single hot orderkey spreads across `salts`
-    * reducers. The manual fallback when AQE's skew-join split can't
-    * apply (e.g. the skewed side feeds a co-partitioned downstream
-    * op). Result provably identical to the plain join, which the
-    * oracle checks.
+  /** Hot keys of a fact table, detected from a DETERMINISTIC hash
+    * sample (1-in-`sampleMod` rows by a row-unique hash coin — no
+    * rand(), stable across retries): keys whose sampled count reaches
+    * `minSampleRows` (≈ `minSampleRows · sampleMod` true rows) are the
+    * ones worth salting. Bounded output by construction — `maxKeys`
+    * caps the broadcast even on a pathological all-hot table. The scan
+    * is projection-pruned to the key + coin columns, a small fraction
+    * of the join it protects.
     */
-  def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8): DataFrame = {
-    // salt from the (orderkey, linenumber) PK: l_linenumber alone has
-    // domain 1..7 whose murmur3 values collapse to 4 of 8 salts —
-    // per-row-unique hash input gives near-uniform spread
+  private[graft] def hotJoinKeys(lineitem: DataFrame, sampleMod: Int = 100,
+      minSampleRows: Long = 50, maxKeys: Int = 1000): DataFrame =
+    lineitem
+      .filter(pmod(hash(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")), lit(sampleMod)) === 0)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSampleRows)
+      .orderBy(col("cnt").desc, col("l_orderkey"))
+      .limit(maxKeys)
+      .select(col("l_orderkey").as("hot_key"))
+
+  /** Skew-resilient salted join, TARGETED: only keys the sample pass
+    * ([[hotJoinKeys]]) flags as hot get salted — the hot fact rows
+    * spread across `salts` reducers via a row-unique hash, and the
+    * dimension side replicates `salts`× for the hot keys ONLY (a
+    * handful of extra rows, not `salts`× the dimension). Uniform data
+    * degenerates to the plain join plus two cheap broadcast probes, so
+    * the operator costs ~nothing when the skew it guards against is
+    * absent — the property that makes it deployable as a default at
+    * 100 TB, where replicating a dimension 8× unconditionally would
+    * dominate the join. The manual fallback when AQE's skew-join split
+    * can't apply (e.g. the skewed side feeds a co-partitioned
+    * downstream op). Result provably identical to the plain join —
+    * the oracle IS the plain join in an independent engine.
+    */
+  def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8,
+      sampleMod: Int = 100, minSampleRows: Long = 50): DataFrame = {
+    val hot = hotJoinKeys(lineitem, sampleMod, minSampleRows)
+    // salt entropy from the full row (orderkey+linenumber alone stop
+    // being row-unique exactly when a key is hot), near-uniform spread
+    val l = lineitem
+      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", when(col("hot_key").isNotNull,
+        pmod(hash(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")), lit(salts))).otherwise(lit(0)))
+      .drop("hot_key")
+    val o = orders
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(when(col("hot_key").isNotNull,
+        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+      .drop("hot_key")
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The unconditionally-salted variant (every key spread, dimension
+    * replicated `salts`× across the board) — kept as the comparison
+    * arm for the skew bench: what targeted salting saves on uniform
+    * data, and the ceiling it matches under total skew.
+    */
+  private[graft] def q24SaltedJoinAll(lineitem: DataFrame, orders: DataFrame,
+      salts: Int = 8): DataFrame = {
     val l = lineitem
       .withColumn("salt",
-        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        pmod(hash(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")), lit(salts)))
     val o = orders
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
@@ -443,6 +495,16 @@ object Relational {
         sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** The plain (unsalted) join with the same rollup — the skew bench's
+    * baseline arm: what a hot key does to an unprotected shuffle join.
+    */
+  private[graft] def q24PlainJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
 
   /** TPC-H Q19 shape: disjunction of conjunctive range predicates
     * across a join. Catalyst extracts the common `l_partkey` equi-key,

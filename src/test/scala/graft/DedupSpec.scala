@@ -107,6 +107,27 @@ class DedupSpec extends AnyFunSuite {
       rows(Dedup.containmentPairs(corpus, tauNum = 30)))
   }
 
+  test("mega-document guard: a 100k-shingle doc takes the explode fallback, identical output") {
+    // one book-length outlier above MaxMergeArrayLen (2^16): its pairs
+    // must verify through the explode-count fallback instead of hauling
+    // a multi-MB array through the candidate joins — and the result
+    // must equal the direct count-join exactly
+    val rnd = new scala.util.Random(7)
+    // >65536 DISTINCT shingles needs >65538 distinct-window words
+    val bigWords = (0 until 70000).map(i => s"w${i}_${rnd.nextInt(3)}")
+    val big = bigWords.mkString(" ")
+    // a small doc fully contained in the big one (a verbatim slice)
+    val small = bigWords.slice(1000, 1060).mkString(" ")
+    val corpus = docs(1L -> small, 2L -> big, 3L -> distinct1)
+    val viaLsh = Dedup.containmentPairsLsh(corpus).collect().map(_.toSeq).toSeq
+    val direct = Dedup.containmentPairs(corpus).collect().map(_.toSeq).toSeq
+    assert(viaLsh == direct)
+    assert(viaLsh.map(r => (r(0), r(1))) == Seq((1L, 2L)))
+    // fixture sanity: the outlier really is above the merge cap
+    val s = Dedup.shingleFps(corpus.filter(corpus("doc_id") === 2L)).count()
+    assert(s > Dedup.MaxMergeArrayLen, s"fixture too small: $s shingles")
+  }
+
   test("containment threshold cuts pairs below tau") {
     // ~half of distinct1's shingles shared → containment ≈ 0.5 < 0.8 cut
     val halfOverlap = {

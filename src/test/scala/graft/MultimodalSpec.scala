@@ -302,6 +302,118 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mp4Meta(bb.array()) == Some(Mp4Meta("isom", 1000L, 4500L, 2)))
   }
 
+  /** A complete playable-shape mp4: ftyp + mdat holding one real JPEG
+    * sample + moov{mvhd, trak{mdia{minf{stbl{stsd(entry fourcc),
+    * stsz(uniform size), stco(chunk 1 offset)}}}}} — the byte layout
+    * [[graft.operators.Multimodal.mp4FirstJpegFrame]] walks.
+    */
+  private def mp4WithSample(sample: Array[Byte], entryType: String): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def boxOf(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mdat = boxOf("mdat", sample) // at 16 → sample data begins at 24
+    val sampleOff = 16 + 8
+    val stsd = boxOf("stsd", {
+      val b = ByteBuffer.allocate(8 + 8)
+      b.putInt(0).putInt(1) // ver/flags, entry_count
+      b.putInt(8).put(entryType.getBytes) // minimal sample entry
+      b.array()
+    })
+    val stsz = boxOf("stsz", {
+      val b = ByteBuffer.allocate(12)
+      b.putInt(0).putInt(sample.length).putInt(1) // uniform size, 1 sample
+      b.array()
+    })
+    val stco = boxOf("stco", {
+      val b = ByteBuffer.allocate(8 + 4)
+      b.putInt(0).putInt(1).putInt(sampleOff)
+      b.array()
+    })
+    val stbl = boxOf("stbl", stsd ++ stsz ++ stco)
+    val minf = boxOf("minf", stbl)
+    val mdia = boxOf("mdia", minf)
+    val trak = boxOf("trak", mdia)
+    val mvhd = boxOf("mvhd", {
+      val b = ByteBuffer.allocate(4 + 8 + 4 + 4)
+      b.putInt(0).putLong(0L).putInt(1000).putInt(4500)
+      b.array()
+    })
+    val moov = boxOf("moov", mvhd ++ trak)
+    val ftyp = {
+      val b = ByteBuffer.allocate(16)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.array()
+    }
+    ftyp ++ mdat ++ moov
+  }
+
+  test("jpeg-coded mp4: the first keyframe decodes to real pixel features and a phash") {
+    implicit val s = spark
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 11 % 256) << 8) | ((x + y) * 3 % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val jpg = enc("jpg")
+    val video = mp4WithSample(jpg, "jpeg")
+    // the extractor recovers the exact muxed bitstream
+    assert(graft.operators.Multimodal.mp4FirstJpegFrame(video)
+      .exists(_.sameElements(jpg)))
+    val rec = Seq(
+      graft.operators.MMRecord(1L, video, "mp4", 64, 48, 135),
+      graft.operators.MMRecord(2L, jpg, "jpeg", 64, 48, 1),
+      // an AVC-coded track stays on the declared histogram lane
+      graft.operators.MMRecord(3L, mp4WithSample(jpg, "avc1"), "mp4", 64, 48, 135)).toDS()
+    val feats = Multimodal.decodeFeatures(rec, batchSize = 4).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    assert(feats(1L)(7) == 6.0, "jpeg-in-mp4 must take the real keyframe lane")
+    assert(feats(3L).length == 8 && feats(3L)(7) != 6.0, "AVC stays the stub")
+    // same bitstream, same decoded grid: keyframe features equal the
+    // standalone image's except the codec tag
+    for (i <- 0 to 6) assert(feats(1L)(i) == feats(2L)(i), s"feature $i")
+    // and the phash lane hashes the keyframe identically to the image
+    val hashes = Multimodal.imagePhash(rec).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashes.contains(1L) && hashes(1L) == hashes(2L),
+      "video keyframe and its source image must share one dHash")
+    assert(!hashes.contains(3L))
+    // frame sampling (mm_frames) is untouched by the keyframe lane:
+    // mvhd still rules the count — 4.5 s · 30 fps = 135 frames
+    val frames = Multimodal.frameSample(rec.filter(_.doc_id != 2L)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(frames(1L) == 5 && frames(3L) == 5)
+  }
+
+  test("mvhd guards: short v1 payloads and overflow durations fall back instead of crashing") {
+    import graft.operators.Multimodal.mp4Meta
+    // a v1 mvhd with payload length 28 declares fields it does not
+    // hold — must parse as None, not read the sibling box's bytes
+    val bad = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 28)
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.putInt(8 + 8 + 28).put("moov".getBytes)
+      bb.putInt(8 + 28).put("mvhd".getBytes).putInt(1 << 24) // version 1
+      bb.put(new Array[Byte](24)) // 24 more bytes: total payload 28 < 32
+      bb.array()
+    }
+    assert(mp4Meta(bad).isEmpty)
+    // an overflow-crafting duration must not wrap into a negative
+    // frame count or explode: the row falls back to its metadata
+    implicit val s = spark
+    import spark.implicits._
+    val huge = mp4Fixture(1, 1L, Long.MaxValue / 16, 1) // duration·fps overflows
+    val rec = Seq(graft.operators.MMRecord(9L, huge, "mp4", 0, 0, 61)).toDS()
+    val out = Multimodal.frameSample(rec).collect().map(_.getInt(2)).sorted
+    assert(out.toSeq == Seq(0, 30, 60), "fallback to declared n_frames")
+  }
+
   test("frame sampling derives frame count from parsed mvhd duration, metadata only as fallback") {
     implicit val s = spark
     import spark.implicits._

@@ -65,6 +65,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q24 targeted salting: hot key detected, all three join variants agree under skew") {
+    import spark.implicits._
+    val R = graft.operators.Relational
+    // planted skew: key 7 owns ~50% of the fact table, the rest uniform
+    val fact = ((1 to 4000).map(i => (7L, i.toLong, i.toLong, i.toLong, 1.0)) ++
+      (1 to 4000).map(i => ((i % 400).toLong + 100L, i.toLong, i.toLong, i.toLong, 2.0)))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+    val dim = ((7L +: (100L to 499L).toSeq).map(k => (k, if (k == 7L) "H" else "U")))
+      .toDF("o_orderkey", "o_orderstatus")
+    // detection: a denser sample than production (small fixture) must
+    // flag exactly the planted key
+    val hot = R.hotJoinKeys(fact, sampleMod = 4, minSampleRows = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(7L), s"expected the planted hot key alone, got $hot")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = rows(R.q24PlainJoin(fact, dim))
+    assert(rows(R.q24SaltedJoin(fact, dim, salts = 8, sampleMod = 4,
+      minSampleRows = 100)) == plain)
+    assert(rows(R.q24SaltedJoinAll(fact, dim, salts = 8)) == plain)
+    // and the hot group really is in the result (the salted copies joined)
+    assert(plain.exists { case (s, n, _) => s == "H" && n == 4000L })
+  }
+
+  test("q24 targeted salting degenerates to zero hot keys on the uniform corpus") {
+    val t = graft.sources.Tables(spark, TestSpark.sfDir)
+    // TPC-H lineitem: ≤7 rows per orderkey — nothing qualifies, so the
+    // production path is the plain join plus two empty broadcast probes
+    assert(graft.operators.Relational.hotJoinKeys(t.lineitem).count() == 0)
+  }
+
   test("scan pushdown regression guard: filters reach the parquet scans") {
     // pins the properties PLANS.md documents — a plan change that
     // stops pushing these predicates should fail loudly here

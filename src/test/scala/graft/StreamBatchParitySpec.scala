@@ -140,6 +140,38 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(liveAgg == batch)
   }
 
+  test("sessionize twin: closed sessions equal the batch sessions minus each user's open tail") {
+    implicit val s = spark
+    val in = newFeed()
+    // append mode + NoTimeout: a user's final session never closes on
+    // the stream, so parity is over CLOSED sessions = batch sessions
+    // minus each user's last
+    val live = replay(EventStreamJobs.sessionize(in.toDS()), "append", "par_sess")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = EventOps.sessionGap(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // (user, session_idx, n_events, start_us, end_us) → drop max idx per user
+    val lastIdx = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batchAll.filter(t => t._2 != lastIdx(t._1))
+      .map(t => (t._1, t._4, t._5, t._3)).toSet
+    assert(live == batchClosed)
+    assert(batchClosed.nonEmpty, "fixture degenerate: no closed sessions at this SF")
+  }
+
+  test("windowed-agg twin: complete-mode table equals the batch tumbling windows") {
+    val in = newFeed()
+    val live = replay(EventStreamJobs.windowedCounts(in.toDF()), "complete", "par_win")
+      .map { r =>
+        val win = r.getStruct(0)
+        (win.getTimestamp(0).toInstant.getEpochSecond, r.getString(1),
+          r.getLong(2), r.getDouble(3))
+      }.toSet
+    val batch = EventOps.windowTumbling(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // decimal(18,2) sums on both sides → doubles compare bit-exactly
+    assert(live == batch)
+  }
+
   test("dead-letter twin: flags exactly the batch operator's poison identities, once") {
     implicit val s = spark
     val in = newFeed()
