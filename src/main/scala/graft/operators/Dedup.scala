@@ -329,7 +329,15 @@ object Dedup {
   def containmentPairsLsh(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100): DataFrame = {
     val tri = shingleFps(documents)
-    val docFreq = tri.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // document frequency attached by a WINDOW over the shingle key —
+    // not groupBy(h) + self-join: the window makes tri single-consumer
+    // (the shingling pass runs once with no persist) and costs ONE
+    // corpus exchange where the agg+join shape costs two (or, with tri
+    // persisted, a cache write + two cached shuffles — measured slower
+    // both ways at sf0.1). The per-partition sort the window needs is
+    // exactly the h-clustering the join would have done anyway.
+    val triDf = tri.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
     // ONE per-doc pass carries everything every later stage needs:
     // shingles in rarest-first (df, h) order, doc size, prefix length
     // (s − ⌈τ·s⌉ + 1, all-integer: div floors, +denom−1 makes a ceil).
@@ -337,7 +345,7 @@ object Dedup {
     // its separate sizes aggregate — the ranking folds into the same
     // doc_id-keyed aggregation the verification arrays come from, so
     // the exchange count drops and the ranking is computed once.
-    val docSets = tri.join(docFreq, Seq("h"))
+    val docSets = triDf
       .groupBy(col("doc_id"))
       .agg(expr("transform(sort_array(collect_list(struct(df, h))), x -> x.h)").as("harr"),
         count(lit(1)).as("s"))
@@ -359,10 +367,10 @@ object Dedup {
     // recall loss); equal sizes keep both orientations, collapsed by
     // the least/greatest + distinct below.
     // Exchange audit (PLANS.md): THREE corpus-sized exchanges total —
-    // tri on h (document frequencies; reused by the docSets join),
-    // tri⋈df on doc_id (the doc-sets aggregation), and the index side
-    // of the probe join on h. Probe side, distinct pair set and the
-    // verification joins are prefix- or candidate-sized.
+    // tri on h (the df window), the windowed rows on doc_id (the
+    // doc-sets aggregation), and the index side of the probe join on
+    // h. Probe side, distinct pair set and the verification joins are
+    // prefix- or candidate-sized.
     val cands = probes
       .join(index, Seq("h"))
       .filter(col("pd") =!= col("ix") && col("ps") <= col("is"))
@@ -374,9 +382,9 @@ object Dedup {
     // extra corpus shuffle for the sorted-merge verifier's input)
     val docArr = docSets.select(col("doc_id"), array_sort(col("harr")).as("hs"))
     val sizes = docSets.select(col("doc_id"), col("s"))
+    val (inter, interCache) = pairIntersectionsOnArrays(cands, docArr)
     materializeAndRelease(
-      containmentVerify(pairIntersectionsOnArrays(cands, docArr), sizes,
-        tauNum, tauDenom), docSets)
+      containmentVerify(inter, sizes, tauNum, tauDenom), docSets, interCache)
   }
 
   /** |shingles(doc1) ∩ shingles(doc2)| for given candidate pairs —
@@ -391,7 +399,7 @@ object Dedup {
     * set operator (containment LSH, the MinHash accuracy harness), so
     * the exact-intersection contract has one implementation.
     */
-  private def pairIntersections(cands: DataFrame, tri: DataFrame): DataFrame =
+  private def pairIntersections(cands: DataFrame, tri: DataFrame): (DataFrame, DataFrame) =
     pairIntersectionsOnArrays(cands,
       tri.groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs")))
 
@@ -409,44 +417,58 @@ object Dedup {
     * already holds the arrays (re-sorting in memory beats a second
     * corpus shuffle).
     *
-    * Mega-document guard: pairs where BOTH sides' arrays are within
-    * [[MaxMergeArrayLen]] take the one-row-per-pair sorted-merge;
-    * pairs touching an oversized doc fall back to the exact
-    * explode-count shape (join on h + count), whose row width stays
-    * 16 bytes no matter the document. The split is decided from a
-    * doc-count-sized length table, so oversized arrays are never
-    * shipped to the candidate join at all. Outputs are identical —
-    * both paths count |A ∩ B| exactly (property-spec-pinned).
+    * Mega-document guard: docs above [[MaxMergeArrayLen]] ship a NULL
+    * array into the candidate joins (never their multi-MB payload);
+    * [[graft.expressions.SortedIntersectCount]] null-propagates, so a
+    * pair touching an oversized doc surfaces as `inter IS NULL` in the
+    * SAME fixed-width intermediate the normal pairs come from — ONE
+    * linear join chain, no per-branch recompute of the candidate set
+    * (an earlier length-table split fed the candidate generator into
+    * three branches, re-running the probe join per branch — measured
+    * ~2× the whole containment-LSH operator at sf0.1). The
+    * intermediate persists (24-byte rows, candidate-count-sized); the
+    * null pairs re-verify through the exact explode-count shape (row
+    * width constant regardless of document size); and the fallback
+    * branch is SKIPPED driver-side when no pair is oversized, so the
+    * overwhelmingly common case pays zero extra stages — the same
+    * small-side adaptivity as a broadcast threshold or clusterCc's
+    * collect probe. Outputs are identical — both paths count |A ∩ B|
+    * exactly (property-spec-pinned).
+    *
+    * Returns (result, cachedIntermediate): the caller hands the cache
+    * to [[materializeAndRelease]] so nothing outlives the operator.
     */
   private def pairIntersectionsOnArrays(cands: DataFrame, docArr: DataFrame,
-      cap: Int = MaxMergeArrayLen): DataFrame = {
+      cap: Int = MaxMergeArrayLen): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-    val lens = docArr.select(col("doc_id"), size(col("hs")).as("len"))
-    val tagged = cands.select(col("doc1"), col("doc2"))
-      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), Seq("doc1"))
-      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
-    val mergeable = tagged.filter(col("len1") <= cap && col("len2") <= cap)
-      .select(col("doc1"), col("doc2"))
-    val oversized = tagged.filter(col("len1") > cap || col("len2") > cap)
-      .select(col("doc1"), col("doc2"))
-    val merged = mergeable
-      .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
-      .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+    val capped = docArr.select(col("doc_id"),
+      when(size(col("hs")) <= cap, col("hs")).as("hs"))
+    val inter0 = cands.select(col("doc1"), col("doc2"))
+      .join(capped.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+      .join(capped.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
         column(graft.expressions.SortedIntersectCount(
           expression(col("hs1")), expression(col("hs2")))).as("inter"))
-    // fallback: explode only the docs that appear in an oversized pair
-    // (semi-join bound), then the classic count-join — exact, narrow
-    val bigDocs = oversized.select(col("doc1").as("doc_id"))
-      .union(oversized.select(col("doc2").as("doc_id"))).distinct()
-    val ex = docArr.join(bigDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val exploded = oversized
-      .join(ex.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
-      .join(ex.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("inter"))
-    merged.unionByName(exploded)
+      .persist()
+    val merged = inter0.filter(col("inter").isNotNull)
+    val oversized = inter0.filter(col("inter").isNull)
+      .select(col("doc1"), col("doc2"))
+    val result = if (oversized.isEmpty) merged else {
+      // fallback: explode only the docs that appear in an oversized
+      // pair (semi-join bound), then the classic count-join — exact,
+      // narrow
+      val bigDocs = oversized.select(col("doc1").as("doc_id"))
+        .union(oversized.select(col("doc2").as("doc_id"))).distinct()
+      val ex = docArr.join(bigDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val exploded = oversized
+        .join(ex.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+        .join(ex.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      merged.unionByName(exploded)
+    }
+    (result, inter0)
   }
 
   /** Benchmark-contamination check: which training documents contain
@@ -602,7 +624,7 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     // exact intersections via the shared sorted-merge verifier — one
     // row per candidate pair, no pair×shingle explosion
-    val inter = pairIntersections(cands, sh)
+    val (inter, interCache) = pairIntersections(cands, sh)
     materializeAndRelease(cands
       .join(inter, Seq("doc1", "doc2"), "left")
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
@@ -615,7 +637,7 @@ object Dedup {
         col("exact_jaccard"),
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
       .orderBy(col("doc1"), col("doc2")),
-      sh)
+      sh, interCache)
   }
 
   /** URL-canonicalization dedup: normalize each document's (synthetic,
