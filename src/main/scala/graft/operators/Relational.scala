@@ -443,10 +443,15 @@ object Relational {
     * ([[hotJoinKeys]]) flags as hot get salted — the hot fact rows
     * spread across `salts` reducers via a row-unique hash, and the
     * dimension side replicates `salts`× for the hot keys ONLY (a
-    * handful of extra rows, not `salts`× the dimension). Uniform data
-    * degenerates to the plain join plus two cheap broadcast probes, so
-    * the operator costs ~nothing when the skew it guards against is
-    * absent — the property that makes it deployable as a default at
+    * handful of extra rows, not `salts`× the dimension). The hot set
+    * is bounded ≤ `maxKeys` BY CONSTRUCTION, so it collects
+    * driver-side (the same bounded-collect precedent as the ANN train
+    * samples) and folds into the salt expressions as a codegen'd
+    * `InSet` probe — no broadcast join, no duplicated detection
+    * subplan per join side, and when the sample finds nothing hot the
+    * operator returns the PLAIN join, literally: uniform data pays
+    * exactly one projection-pruned sample aggregate and nothing else.
+    * That degeneracy is what makes it deployable as a default at
     * 100 TB, where replicating a dimension 8× unconditionally would
     * dominate the join. The manual fallback when AQE's skew-join split
     * can't apply (e.g. the skewed side feeds a co-partitioned
@@ -456,24 +461,24 @@ object Relational {
   def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8,
       sampleMod: Int = 100, minSampleRows: Long = 50): DataFrame = {
     val hot = hotJoinKeys(lineitem, sampleMod, minSampleRows)
-    // salt entropy from the full row (orderkey+linenumber alone stop
-    // being row-unique exactly when a key is hot), near-uniform spread
-    val l = lineitem
-      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
-      .withColumn("salt", when(col("hot_key").isNotNull,
-        pmod(hash(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey")), lit(salts))).otherwise(lit(0)))
-      .drop("hot_key")
-    val o = orders
-      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
-      .withColumn("salt", explode(when(col("hot_key").isNotNull,
-        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
-      .drop("hot_key")
-    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
-      .orderBy(col("o_orderstatus"))
+      .collect().map(_.getLong(0)).toSeq // ≤ maxKeys rows, bounded
+    if (hot.isEmpty) q24PlainJoin(lineitem, orders)
+    else {
+      // salt entropy from the full row (orderkey+linenumber alone stop
+      // being row-unique exactly when a key is hot), near-uniform
+      val l = lineitem
+        .withColumn("salt", when(col("l_orderkey").isInCollection(hot),
+          pmod(hash(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")), lit(salts))).otherwise(lit(0)))
+      val o = orders
+        .withColumn("salt", explode(when(col("o_orderkey").isInCollection(hot),
+          sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }
   }
 
   /** The unconditionally-salted variant (every key spread, dimension

@@ -220,6 +220,47 @@ object DocPipelineJobs {
       .select(col("doc_id"), col("known_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Live embedding near-dup gate: the vector twin of
+    * [[minhashGateStream]] — "is this arriving embedding within
+    * cosine ≥ tau of the corpus we already indexed?" (the ingest-time
+    * companion to `Dedup.embedNearDup`, e.g. admitting only
+    * semantically-novel documents). Each arrival's multi-table
+    * hyperplane bucket keys compute in the SAME codegen'd expression
+    * as batch (`VectorOps.lshTableKeys`, same plane family — keys are
+    * table-tagged, so equal keys means same table AND same signature),
+    * then probe a STATIC bucketed index through a broadcast
+    * stream-static join; candidates verify by exact cosine, and
+    * multi-table hits of one (arrival, known) pair collapse by
+    * keeping only the first colliding table — a pure expression over
+    * the two key arrays in the row, not a stateful dedup. No state
+    * store; recall follows the same 8×12 multi-table collision
+    * probability as the batch operator.
+    */
+  def embedGateStream(stream: DataFrame, knownVecs: DataFrame,
+      tau: Double = 0.95, nTables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
+    import graft.functions.VectorOps
+    val s = stream.select(col("vec_id"),
+        VectorOps.toDoubleArray(col("embedding")).as("vd"))
+      .withColumn("keys", VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable))
+      .select(col("vec_id"), col("vd"), col("keys"),
+        explode(col("keys")).as("bucket"))
+    val k = broadcast(knownVecs.select(col("vec_id").as("known_id"),
+        VectorOps.toDoubleArray(col("embedding")).as("known_vd"))
+      .withColumn("known_keys",
+        VectorOps.lshTableKeys(col("known_vd"), nTables, bitsPerTable))
+      .select(col("known_id"), col("known_vd"), col("known_keys"),
+        explode(col("known_keys")).as("bucket")))
+    s.join(k, Seq("bucket"))
+      .filter(col("vec_id") =!= col("known_id"))
+      // first colliding table dedups multi-table hits statelessly
+      .withColumn("first_bucket",
+        expr("filter(keys, (x, i) -> x = known_keys[i])[0]"))
+      .filter(col("bucket") === col("first_bucket"))
+      .withColumn("cos", VectorOps.cosine(col("vd"), col("known_vd")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id"), col("known_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Live whitening against FROZEN stats: the batch fit
     * (`Similarity.whitenStats`) broadcasts into a stream-static join
     * and the shared apply core emits z — live values equal the batch

@@ -22,6 +22,30 @@ class PlanPinSpec extends AnyFunSuite {
     assert(df.limit(1).count() >= 0)
   }
 
+  test("phashPairs dedups bands inline — no aggregate ever shuffles candidate pairs") {
+    // the scale claim SCALING.md measures (29.6 M candidates for 36 k
+    // results): the cross-band dedup and the distance cut must be
+    // filters fused into the join stage, not a groupBy over the
+    // candidate set — pin the plan so a refactor can't regress it
+    import spark.implicits._
+    val hashes = (1L to 50L).map(i => (i, i * 1234567L)).toDF("doc_id", "phash")
+    val df = graft.operators.Multimodal.phashPairs(hashes)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(!s.contains("Aggregate"),
+      s"banded pairing must not aggregate candidate pairs; got:\n$s")
+    assert(df.count() >= 0) // and the pinned plan actually runs
+  }
+
+  test("q24 targeted salting plans the PLAIN join when nothing is hot") {
+    // the degeneracy contract: on the uniform corpus the registered
+    // query must BE the plain join — no salt explode, no dim
+    // replication (the salted shape would show a Generate node)
+    val df = SparkEntry.queries("q24_salted_join")(spark, TestSpark.sfDir)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(!s.contains("Generate"),
+      s"uniform data must degenerate to the plain join; got:\n$s")
+  }
+
   test("the extension's strategy and pushdown rule are registered in the session") {
     val injected = spark.sessionState.planner.strategies.map(_.getClass.getName)
     assert(injected.exists(_.contains("graft")),

@@ -696,6 +696,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live embedding gate flags an arriving near-dup vector, agreeing with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat).toSeq
+    val known1 = vec(); val known2 = vec()
+    val arrivalDup = known1.map(v => v + 0.01f * rnd.nextGaussian().toFloat)
+    val arrivalNew = vec()
+    val known = Seq((1L, known1), (2L, known2)).toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.DocPipelineJobs
+      .embedGateStream(in.toDF().toDF("vec_id", "embedding"), known)
+      .writeStream.format("memory").queryName("emb_gate").outputMode("append").start()
+    try {
+      in.addData((100L, arrivalDup), (101L, arrivalNew))
+      q.processAllAvailable()
+      val rows = spark.table("emb_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the perturbed copy flags against its original, nothing else
+      assert(rows.exists(t => t._1 == 100L && t._2 == 1L && t._3 >= 0.95))
+      assert(rows.forall(_._1 == 100L))
+      // stateless first-table dedup: exactly one row per flagged pair
+      assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+      // parity: same planes + same cosine ⇒ the batch operator over
+      // the union reports exactly the gate's arrival↔known pairs
+      val union = known.union(
+        Seq((100L, arrivalDup), (101L, arrivalNew)).toDF("vec_id", "embedding"))
+      val batch = graft.operators.Dedup.embedNearDup(union).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => a < 100L && b >= 100L } // arrival↔known only
+        .map { case (a, b, c) => (b, a, c) }.toSet
+      assert(batch == rows.toSet)
+    } finally q.stop()
+  }
+
   test("live phash gate flags a near-copy upload against the static index, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
