@@ -93,8 +93,14 @@ object Multimodal {
     val compression = bb.getInt(30)
     val absH = math.abs(height)
     if (bpp != 24 || compression != 0 || width <= 0 || absH == 0) return None
-    val rowSize = ((24 * width + 31) / 32) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * absH > c.length) return None
+    // LONG row math: a crafted width near 2^31 overflows 24·width to a
+    // negative rowSize, which would sail through the bounds check and
+    // blow up the pixel allocation below (fuzz-spec finding)
+    val rowSizeL = ((24L * width + 31L) / 32L) * 4L
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * absH > c.length) return None
+    val rowSize = rowSizeL.toInt // ≤ c.length by the guard above
+    // width·absH ≤ c.length/3 here (3 bytes/px ≤ rowSize), so the
+    // allocation is bounded by the payload that actually arrived
     val px = new Array[Int](width * absH)
     var y = 0
     while (y < absH) {
@@ -228,6 +234,10 @@ object Multimodal {
     val bitDepth = c(24).toInt; val colorType = c(25).toInt; val interlace = c(28).toInt
     if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0 ||
       (colorType != 2 && colorType != 6)) return None
+    // decompression-bomb guard (fuzz-spec finding): header dims are
+    // attacker-controlled, and (stride+1)·height overflowed Int for a
+    // crafted width — cap total pixels BEFORE any allocation
+    if (width.toLong * height > MaxDecodePixels) return None
     val channels = if (colorType == 2) 3 else 4
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33 // past signature + IHDR
@@ -241,7 +251,12 @@ object Multimodal {
     }
     if (idat.size == 0) return None
     val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    // zlib cannot expand beyond ~1032×, so a raw buffer bigger than
+    // that bound can never be filled — reject instead of allocating
+    // hundreds of MB for a 50-byte payload that lies about its dims
+    val rawLen = (stride + 1L) * height
+    if (rawLen > idat.size.toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var n = 0
@@ -329,7 +344,7 @@ object Multimodal {
     * perceptual hash so the two can't disagree on what's an image.
     * Returns the normalized top-down packed-RGB grid or None.
     */
-  private[operators] def imagePixels(r: MMRecord): Option[(Int, Int, Array[Int])] = {
+  private[operators] def imagePixels(r: MMRecord): Option[(Int, Int, Array[Int])] = try {
     val c = r.content
     if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) bmpPixels(r)
     else if (c.length >= 4 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
@@ -338,6 +353,8 @@ object Multimodal {
         (c(2) & 0xff) == 0xff) jpegPixels(r)
     else if (isMp4(c)) mp4FramePixels(c) // keyframe of a JPEG-coded track
     else None
+  } catch { // same never-fail-a-task backstop as decodeOne
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** ISO-BMFF sniff: box 1 is practically always `ftyp`. */
@@ -345,11 +362,30 @@ object Multimodal {
     c.length >= 12 && c(4) == 'f'.toByte && c(5) == 't'.toByte &&
       c(6) == 'y'.toByte && c(7) == 'p'.toByte
 
+  /** Ceiling on decoded image pixels (~8K×8K): header dims above this
+    * are treated as malformed/hostile (decompression bomb) and the
+    * row takes the fallback lane. Keeps every per-record allocation
+    * bounded no matter what a crawled payload claims about itself.
+    */
+  private[operators] val MaxDecodePixels = 1L << 26
+
   /** Content-sniffing dispatch, like a real codec registry: magic
     * bytes pick the decoder; anything unrecognized (or recognized but
     * outside the baseline profile) takes the declared stub lane.
+    *
+    * Total by construction AND by backstop: each codec validates its
+    * own header (long arithmetic, pixel caps, bounds vs the payload
+    * that actually arrived), and a defensive catch-all routes any
+    * residual parser surprise to the fallback features — a crafted
+    * payload may waste one record's worth of work, never a task
+    * (fuzz-spec-pinned over random, magic-prefixed and
+    * mutated-valid payloads).
     */
-  private[operators] def decodeOne(r: MMRecord): MMFeatures = {
+  private[operators] def decodeOne(r: MMRecord): MMFeatures =
+    try decodeOneUnsafe(r)
+    catch { case scala.util.control.NonFatal(_) => fakeDecode(r) }
+
+  private def decodeOneUnsafe(r: MMRecord): MMFeatures = {
     val c = r.content
     if (c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte)
       decodeBmp(r).getOrElse(fakeDecode(r))

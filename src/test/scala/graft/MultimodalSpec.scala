@@ -463,4 +463,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(out(704L) == (128, 272, 120, 256))
   }
+
+  test("codec fuzz: arbitrary and mutated payloads never fail a task, one row per record") {
+    // the documented contract — "None / fallback features for anything
+    // malformed" — under adversarial bytes: pure-random blobs, magic
+    // numbers glued to garbage, and random single-byte mutations +
+    // truncations of VALID png/bmp/wav/jpeg/mp4 payloads (headers that
+    // lie about their own length fields are exactly what a web crawl
+    // contains). Every pipeline stage must survive all of them.
+    implicit val s = spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array('B', 'M'), Array('R', 'I', 'F', 'F'),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes)
+    def validPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val valid = Seq(validPng(), mp4Fixture(0, 1000L, 4500L, 2))
+    def mutate(c: Array[Byte]): Array[Byte] = {
+      val out = c.take(if (rnd.nextBoolean()) c.length else 1 + rnd.nextInt(c.length))
+      if (out.nonEmpty) out(rnd.nextInt(out.length)) = rnd.nextInt(256).toByte
+      out
+    }
+    val fmts = Seq("png", "bmp", "wav", "jpeg", "mp4")
+    val recs = (
+      (1 to 60).map(i => graft.operators.MMRecord(i.toLong,
+        blob(1 + rnd.nextInt(200)), fmts(i % 5), 8, 8, 3)) ++
+      (61 to 120).map(i => graft.operators.MMRecord(i.toLong,
+        magics(i % 5) ++ blob(1 + rnd.nextInt(100)), fmts(i % 5), 8, 8, 3)) ++
+      (121 to 180).map(i => graft.operators.MMRecord(i.toLong,
+        mutate(valid(i % 2)), fmts(i % 5), 8, 8, 3))
+    ).toDS()
+    assert(Multimodal.decodeFeatures(recs).count() == 180) // fallback, never crash
+    assert(Multimodal.resizeMeta(recs).count() == 180)
+    assert(Multimodal.frameSample(recs).count() >= 0)
+    assert(Multimodal.imagePhash(recs).count() >= 0) // unhashable rows drop
+  }
 }
