@@ -310,4 +310,43 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial, tauNum=$tauNum: generator lost or invented pairs")
     }
   }
+
+  test("adversarial text never fails a text/dedup operator: bad rows degrade, don't crash") {
+    // a real crawl contains all of these; the library contract is that
+    // each operator drops or scores the row, never kills the job
+    val adversarial = Seq[(Long, String)](
+      1L -> null,
+      2L -> "",
+      3L -> "   \t\n  ",
+      4L -> "one",
+      5L -> " ctrlcharshere and some more words",
+      6L -> ("tok" * 40000), // one ~120 KB token, no separators
+      7L -> "🎉🎊 emoji 🎈 and 中文字符 mixed with ascii words here",
+      8L -> Seq.fill(2000)("w").mkString(" "), // 2000 identical tokens
+      9L -> "normal words so at least one row flows all the way through")
+    val docs = adversarial.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("long"),
+          org.apache.spark.sql.functions.lit(0L)))
+    import graft.operators.TextOps
+    val ops: Seq[(String, () => Long)] = Seq(
+      "dd_exact" -> (() => Dedup.exact(docs).count()),
+      "ngram_jaccard" -> (() => Dedup.ngramJaccard(docs).count()),
+      "minhash_lsh" -> (() => Dedup.minhashLsh(docs).count()),
+      "simhash" -> (() => Dedup.simhashNearDup(docs).count()),
+      "containment_lsh" -> (() => Dedup.containmentPairsLsh(docs).count()),
+      "txt_tokens" -> (() => TextOps.tokens(docs).count()),
+      "txt_quality" -> (() => TextOps.quality(docs).count()),
+      "txt_fingerprint" -> (() => TextOps.fingerprint(docs).count()))
+    ops.foreach { case (name, run) =>
+      val n = try run() catch {
+        case e: Throwable => fail(s"$name crashed on adversarial text: ${e.getMessage}")
+      }
+      assert(n >= 0, name)
+    }
+  }
 }
