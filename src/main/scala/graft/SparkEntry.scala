@@ -264,6 +264,15 @@ object SparkEntry {
       Multimodal.phashPairs(
         Dedup.simhashSignatures(Tables(s, dir).documents)
           .select(col("doc_id"), col("sim").as("phash")))
+    }),
+    // same pairs through the multi-index generator (2×32-bit blocks +
+    // radius-1 ball probes — the clustered-corpus scale path): the
+    // SAME brute-force oracle proves its exact-recall claim too
+    "mm_phash_pairs_mih" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.phashPairsMih(
+        Dedup.simhashSignatures(Tables(s, dir).documents)
+          .select(col("doc_id"), col("sim").as("phash")))
     })
   )
 
@@ -2080,6 +2089,30 @@ object SparkEntry {
     // match here proves the 4×16-bit pigeonhole banding loses nothing
     // at maxDist 3 (and the min-dedup across band collisions is exact)
     "mm_phash_pairs" ->
+      ("""WITH words AS (
+        |  SELECT doc_id, 'xq' || w AS w FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+        |wc AS (SELECT doc_id, <<CODES:w>> AS cps FROM words),
+        |h AS (SELECT doc_id, <<HASH62:cps>> AS h FROM wc),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(s1.sim, s2.sim)) AS BIGINT) AS dist
+        |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+        |WHERE bit_count(xor(s1.sim, s2.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("<<CODES:w>>", charCodesSql("w"))
+        .replace("<<HASH62:cps>>", hash62Sql("cps"))),
+    // the multi-index generator must produce the IDENTICAL pair set —
+    // same band-free brute-force oracle, so a hash match proves the
+    // 2×32-block + radius-1-ball pigeonhole loses nothing at maxDist 3
+    "mm_phash_pairs_mih" ->
       ("""WITH words AS (
         |  SELECT doc_id, 'xq' || w AS w FROM (
         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),

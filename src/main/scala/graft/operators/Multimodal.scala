@@ -836,6 +836,52 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate pairs by Hamming distance ≤ maxDist via
+    * MULTI-INDEX HASHING (cf. Norouzi, Punjani, Fleet, "Fast Search
+    * in Hamming Space with Multi-Index Hashing", CVPR'12) — the
+    * alternative candidate generator to [[phashPairs]]'s 4×16-bit
+    * banding, for corpora whose signatures CLUSTER: two 32-bit blocks
+    * index the corpus, and each doc probes its own block value plus
+    * its 32 single-bit flips. Pigeonhole over m=2 blocks: dist ≤ 3
+    * leaves ≥1 block with ≤⌊3/2⌋ = 1 error, so enumerating the
+    * radius-1 Hamming ball on the probe side gives EXACT recall —
+    * same output as [[phashPairs]], same brute-force SQL oracle.
+    *
+    * Scale trade vs banding: probes are 66 rows/doc (vs 4) and the
+    * join shuffles them — but bucket keys live in a 2³²-value space
+    * (vs 2¹⁶), so correlated signatures can't pile thousands of docs
+    * into one bucket: in-bucket candidate work stays ~linear in docs
+    * where the 16-bit bands grow quadratically (measured: SCALING.md).
+    * Pick banding for small/uncorrelated corpora, MIH beyond. Dedup
+    * is exact and inline, like the banded pairer: a qualifying pair
+    * survives only from its probe-side-smaller orientation, in its
+    * first qualifying block, on the single ball variant that matches
+    * — no aggregate ever sees candidates.
+    */
+  def phashPairsMih(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"2x32-bit multi-index + radius-1 ball guarantees recall only for maxDist <= 3, got $maxDist")
+    val idx = hashes.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
+        explode(sequence(lit(0), lit(1))).as("blk"))
+      .withColumn("key", expr("shiftright(pb, blk * 32) & 4294967295"))
+    val probes = hashes.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+        explode(sequence(lit(0), lit(1))).as("blk"))
+      .withColumn("v", expr("shiftright(pa, blk * 32) & 4294967295"))
+      .select(col("doc_a"), col("pa"), col("blk"), explode(expr(
+        "concat(array(v), transform(sequence(0, 31), i -> v ^ shiftleft(1L, i)))")).as("key"))
+    probes.join(idx, Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"bit_count(pa ^ pb) <= $maxDist"))
+      // first qualifying block (guaranteed to exist by pigeonhole):
+      // emit there only — with the exact-match index, each pair hits a
+      // block through exactly ONE ball variant, so this is a full dedup
+      .filter(col("blk") ===
+        expr("if(bit_count((pa ^ pb) & 4294967295) <= 1, 0, 1)"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(pa ^ pb)").cast("long").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The rows-only `mm_meta` query: binary length + typed metadata,
     * all mirrorable by exact integer SQL.
     */

@@ -464,6 +464,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(704L) == (128, 272, 120, 256))
   }
 
+  test("multi-index pairer equals the banded pairer exactly, incl. planted near-pairs") {
+    implicit val s = spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random 64-bit hashes + planted pairs at every distance 0..4
+    // (4 must be EXCLUDED by both) + an identical-signature cluster
+    val base = (1L to 300L).map(i => (i, rnd.nextLong()))
+    def flip(h: Long, k: Int): Long = {
+      var out = h
+      rnd.shuffle((0 until 64).toList).take(k).foreach(b => out ^= (1L << b))
+      out
+    }
+    val planted = (0 to 4).map(d => (1000L + d, flip(base.head._2, d)))
+    val cluster = (2000L to 2005L).map(i => (i, base(5)._2))
+    val hashes = (base ++ planted ++ cluster).toDF("doc_id", "phash")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val banded = rows(Multimodal.phashPairs(hashes))
+    val mih = rows(Multimodal.phashPairsMih(hashes))
+    assert(mih == banded, "generators disagree")
+    // the distance-0..3 plants are all found, distance-4 is not
+    (0 to 3).foreach(d => assert(banded.exists(t =>
+      t._1 == 1L && t._2 == 1000L + d && t._3 == d), s"missing planted dist=$d"))
+    assert(!banded.exists(t => t._2 == 1004L && t._1 == 1L))
+    // identical-signature cluster: all C(6,2)+membership pairs present once
+    assert(mih.count(t => t._1 >= 2000L && t._2 >= 2000L) == 15)
+    assert(mih.size == mih.distinct.size)
+  }
+
   test("codec fuzz: arbitrary and mutated payloads never fail a task, one row per record") {
     // the documented contract — "None / fallback features for anything
     // malformed" — under adversarial bytes: pure-random blobs, magic
