@@ -46,6 +46,34 @@ class PlanPinSpec extends AnyFunSuite {
       s"uniform data must degenerate to the plain join; got:\n$s")
   }
 
+  /** Shuffle exchanges in the prepared plan (sparkPlan is BEFORE
+    * EnsureRequirements, so it never shows them). String-counted so
+    * the AQE wrapper can't hide nodes; BroadcastExchange prints
+    * differently and is deliberately not counted.
+    */
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("flagship queries keep their audited exchange counts") {
+    // PLANS.md's "one shuffle on the natural key (+ presentation
+    // sort)" claims as CI assertions — a lost map-side combine, a
+    // dropped broadcast hint or an accidental repartition would add
+    // an exchange here before it would show up in a bench
+    val expected = Seq(
+      "q1_agg" -> 2, // partial+final agg exchange, presentation sort
+      "dd_exact" -> 2, // md5-keyed agg exchange, presentation sort
+      "ev_session_gap" -> 2, // user-keyed window exchange, sort
+      "ev_top_users" -> 1, // user agg exchange; top-k is TakeOrdered, no sort exchange
+      "q2_join_agg" -> 2) // dim broadcast (no exchange) + agg + sort
+    expected.foreach { case (name, n ) =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      assert(shuffleCount(df) == n,
+        s"$name: expected $n shuffle exchanges, got ${shuffleCount(df)}:\n" +
+          df.queryExecution.sparkPlan.toString)
+    }
+  }
+
   test("the extension's strategy and pushdown rule are registered in the session") {
     val injected = spark.sessionState.planner.strategies.map(_.getClass.getName)
     assert(injected.exists(_.contains("graft")),
