@@ -187,4 +187,43 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(live.map(t => (t._1, t._2, t._3)).toSet == batch)
     assert(batch.nonEmpty, "fixture degenerate: no poison identities at this SF")
   }
+
+  test("embedding gate twin: live flags over the driver's vectors equal the batch pairs") {
+    // the driver's embeddings are mutually far apart at this SF (no
+    // pair reaches tau — verified), so arrivals are PERTURBED copies
+    // of real corpus vectors (the ScaleData replica trick): near-dups
+    // that must flag, on real vector shapes, against the real index.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val known = graft.sources.Tables(spark, TestSpark.sfDir).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val rnd = new scala.util.Random(7)
+    val arrivals = known.take(20).map { case (id, v) =>
+      (10000L + id, v.map(x => x + 0.005f * rnd.nextGaussian().toFloat))
+    } ++ known.slice(20, 30).map { case (id, _) =>
+      (20000L + id, Seq.fill(64)(rnd.nextGaussian().toFloat)) // novel: must NOT flag
+    }
+    val knownDf = known.toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.DocPipelineJobs
+      .embedGateStream(in.toDF().toDF("vec_id", "embedding"), knownDf)
+      .writeStream.format("memory").queryName("par_emb_gate")
+      .outputMode("append").start()
+    val live = try {
+      arrivals.grouped(10).foreach { c => in.addData(c); q.processAllAvailable() }
+      spark.table("par_emb_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally q.stop()
+    val knownIds = known.map(_._1).toSet
+    val batch = graft.operators.Dedup
+      .embedNearDup((known ++ arrivals).toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => knownIds.contains(a) ^ knownIds.contains(b) }
+      .map { case (a, b, c) => if (knownIds.contains(a)) (b, a, c) else (a, b, c) }
+      .toSet
+    assert(live == batch, "live gate and batch operator disagree on the same corpus")
+    assert(batch.size >= 15, s"fixture degenerate: only ${batch.size} planted flags")
+    assert(live.forall(_._1 < 20000L), "a novel random vector flagged")
+  }
 }
