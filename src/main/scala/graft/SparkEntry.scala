@@ -141,6 +141,7 @@ object SparkEntry {
     "txt_bpe_apply" -> ((s, dir) => TextOps.bpeApply(Tables(s, dir).documents)),
     "txt_vocab" -> ((s, dir) => TextOps.vocab(Tables(s, dir).documents)),
     "dd_clean_pipeline" -> ((s, dir) => TextOps.cleanPipeline(Tables(s, dir).documents)),
+    "pipe_curate" -> ((s, dir) => TextOps.curatePipeline(Tables(s, dir).documents)),
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables(s, dir).documents)),
     "dd_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(Tables(s, dir).documents)),
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
@@ -1173,6 +1174,44 @@ object SparkEntry {
         |FROM f
         |WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500
         |GROUP BY md5(norm_text)
+        |ORDER BY doc_id""".stripMargin,
+    // the composed curation pipeline: every CTE is the corresponding
+    // stage oracle (clean/score from dd_clean_pipeline, canonical via
+    // the h window, budget window from samp_token_budget) chained
+    "pipe_curate" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, md5(norm_text) AS h,
+        |    CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(norm_text, ' '),
+        |      w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM n),
+        |sc AS (
+        |  SELECT * FROM f
+        |  WHERE n_words >= 5 AND n_stop * 1000 <= n_words * 500),
+        |canon AS (
+        |  SELECT doc_id, source, h, n_words, n_stop,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY h) AS n_dups
+        |  FROM sc),
+        |q AS (
+        |  SELECT doc_id, source, h, CAST(n_dups AS BIGINT) AS n_dups, n_words,
+        |    ROUND(LEAST(1.0, n_words / 100.0) * 0.5
+        |      + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.5, 6) AS score
+        |  FROM canon WHERE rn = 1),
+        |cum AS (
+        |  SELECT doc_id, source, h, n_dups, n_words, score,
+        |    CAST(SUM(n_words) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, source, h, n_dups, n_words, score, cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= 5000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cum
         |ORDER BY doc_id""".stripMargin,
     "dd_incremental" ->
       """WITH n AS (

@@ -357,6 +357,48 @@ object TextOps {
       .select(col("doc_id"), col("h"), col("n_dups"), col("n_words"))
       .orderBy(col("doc_id"))
 
+  /** The end-to-end curation pipeline a training-data run actually
+    * executes, as ONE composed DataFrame program: normalize → quality
+    * cut → exact-dedup canonical (first doc per content hash, dup
+    * count carried) → per-source token-budget selection (quality-
+    * ordered prefix until the source's budget is spent). Every stage
+    * is an existing audited operator shape — [[cleanScored]], the
+    * h-keyed dedup window, `Sampling.tokenBudgetSelect`'s budget
+    * window — composed without re-tokenizing: the budget score reuses
+    * stage 1's word/stop counts.
+    *
+    * Scale shape: one h-keyed window (uniform md5 keys) and one
+    * source-keyed window — the latter sorts within source, so ONE
+    * giant source means one large external sort; when sources are
+    * that lopsided, budget per balanced hash-shard instead
+    * (`samp_token_budget`'s shape). Fully integer/round-6 arithmetic
+    * ⇒ exact CTE-chained SQL oracle.
+    */
+  def curatePipeline(documents: DataFrame, perSourceBudget: Long = 5000,
+      minWords: Int = 5, maxStopRatio: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = cleanScored(documents, minWords, maxStopRatio)
+    val canon = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("rn") === 1)
+    val score = round(least(lit(1.0), col("n_words") / 100.0) * 0.5
+      + (lit(1.0) - col("n_stop").cast("double") / col("n_words")) * 0.5, 6)
+    val budgetW = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    canon
+      .withColumn("score", score)
+      .withColumn("cum_tokens", sum(col("n_words")).over(budgetW))
+      .withColumn("keep",
+        when(col("cum_tokens") <= perSourceBudget, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("h"),
+        col("n_dups").cast("long").as("n_dups"), col("n_words"),
+        col("score"), col("cum_tokens"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The stateless prefix of [[cleanPipeline]] — normalize, word/stop
     * counts, quality cut, content hash — shared verbatim by the batch
     * pipeline and the streaming twin

@@ -313,4 +313,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(out(0)._4 - (contrib(2, 1, 3) + contrib(1, 2, 3))) < 1e-6)
     assert(math.abs(out(1)._4 - contrib(1, 2, 2)) < 1e-6)
   }
+
+  test("curatePipeline: normalize→dedup canonical→per-source budget, end to end") {
+    val longText = Seq.fill(60)("word").mkString(" ") // 60 words, no stopwords
+    val corpus = Seq(
+      (1L, longText, "srcA"),            // canonical of the dup pair
+      (2L, longText.toUpperCase, "srcA"), // normalizes identical → dup of 1
+      (3L, "tiny doc", "srcA"),          // < 5 words → quality-cut
+      (4L, Seq.fill(80)("data").mkString(" "), "srcB"),
+      (5L, Seq.fill(70)("more").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.curatePipeline(corpus, perSourceBudget = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(6), r.getLong(7))).toMap
+    assert(out.keySet == Set(1L, 4L, 5L)) // 2 deduped away, 3 cut
+    assert(out(1L)._2 == 2L) // dup count carried on the canonical
+    // srcB budget 100: doc 4 (80 words, higher score) fits, doc 5 overflows
+    assert(out(4L) == (("srcB", 1L, 80L, 80L, 1L)))
+    assert(out(5L)._4 == 150L && out(5L)._5 == 0L)
+    assert(out(1L)._5 == 1L) // srcA's only survivor fits its budget
+  }
 }
