@@ -34,6 +34,12 @@ class PlanPinSpec extends AnyFunSuite {
     assert(!s.contains("Aggregate"),
       s"banded pairing must not aggregate candidate pairs; got:\n$s")
     assert(df.count() >= 0) // and the pinned plan actually runs
+    // same contract for the multi-index generator: ball-probe dedup
+    // and the distance cut are inline too
+    val mih = graft.operators.Multimodal.phashPairsMih(hashes)
+    assert(!mih.queryExecution.sparkPlan.toString.contains("Aggregate"),
+      "multi-index pairing must not aggregate candidate pairs")
+    assert(mih.count() >= 0)
   }
 
   test("q24 targeted salting plans the PLAIN join when nothing is hot") {
