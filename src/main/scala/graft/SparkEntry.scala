@@ -274,6 +274,16 @@ object SparkEntry {
       Multimodal.phashPairsMih(
         Dedup.simhashSignatures(Tables(s, dir).documents)
           .select(col("doc_id"), col("sim").as("phash")))
+    }),
+    // the ADAPTIVE pairer: bucket-occupancy probe picks banded vs MIH
+    // per corpus (the dd_jaccard_adaptive precedent) — same
+    // brute-force oracle, so whichever generator the probe picks must
+    // produce the identical pair set
+    "mm_phash_pairs_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.phashPairsAuto(
+        Dedup.simhashSignatures(Tables(s, dir).documents)
+          .select(col("doc_id"), col("sim").as("phash")))
     })
   )
 
@@ -1047,7 +1057,7 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     // add-1 smoothed bigram LM: c1 derives from the bigram table
-    // (Σ_w2 c12), V from the corpus distinct-token count — both
+    // (Σ_w2 c12), V from the model's own w1/w2 marginals — all
     // re-derived here so the model is trained twice independently
     "txt_bigram_surprisal" ->
       """WITH toks AS (
@@ -1060,7 +1070,7 @@ object SparkEntry {
         |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM stats GROUP BY w1),
         |voc AS (
         |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t)
+        |  FROM (SELECT w1 AS w FROM stats UNION ALL SELECT w2 FROM stats) t)
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(CAST(log2(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))
         |        - log2(CAST(c12 AS DOUBLE) + CAST(1.0 AS DOUBLE))
@@ -2152,6 +2162,29 @@ object SparkEntry {
     // same band-free brute-force oracle, so a hash match proves the
     // 2×32-block + radius-1-ball pigeonhole loses nothing at maxDist 3
     "mm_phash_pairs_mih" ->
+      ("""WITH words AS (
+        |  SELECT doc_id, 'xq' || w AS w FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+        |wc AS (SELECT doc_id, <<CODES:w>> AS cps FROM words),
+        |h AS (SELECT doc_id, <<HASH62:cps>> AS h FROM wc),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(s1.sim, s2.sim)) AS BIGINT) AS dist
+        |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+        |WHERE bit_count(xor(s1.sim, s2.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("<<CODES:w>>", charCodesSql("w"))
+        .replace("<<HASH62:cps>>", hash62Sql("cps"))),
+    // the adaptive dispatcher must match the same brute-force pair
+    // set whichever generator its occupancy probe picks
+    "mm_phash_pairs_auto" ->
       ("""WITH words AS (
         |  SELECT doc_id, 'xq' || w AS w FROM (
         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared cache-lifecycle helper for operators that persist an
+  * intermediate across plural plan subtrees (signature tables,
+  * exploded n-gram frames, pair intermediates).
+  */
+private[graft] object Caching {
+
+  /** Eagerly materializes `result` (checkpointing truncates lineage,
+    * so the returned frame no longer references the cached
+    * intermediates), then unpersists the intermediates. Keeps the
+    * multi-subtree operators leak-free in long-lived sessions.
+    *
+    * Durability is config-gated: when a reliable checkpoint dir is
+    * configured (`SparkContext.setCheckpointDir` / the
+    * `spark.checkpoint.dir` conf), the result goes through
+    * `checkpoint()` — blocks live on shared storage and survive
+    * executor loss, the right choice on a real cluster. Otherwise it
+    * falls back to `localCheckpoint()`: blocks pinned in executor
+    * storage only, so an executor loss fails the job instead of
+    * recomputing — the right (cheaper) trade for single-node runs.
+    */
+  def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
+    try {
+      val sc = result.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) // honor the conf even if nobody called setCheckpointDir
+        sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
+      if (sc.getCheckpointDir.isDefined) result.checkpoint()
+      else result.localCheckpoint()
+    } finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
+}

@@ -28,28 +28,9 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
-  /** Eagerly materializes `result` (checkpointing truncates lineage,
-    * so the returned frame no longer references the cached
-    * intermediates), then unpersists the intermediates. Keeps the
-    * near-dup operators leak-free in long-lived sessions.
-    *
-    * Durability is config-gated: when a reliable checkpoint dir is
-    * configured (`SparkContext.setCheckpointDir` / the
-    * `spark.checkpoint.dir` conf), the result goes through
-    * `checkpoint()` — blocks live on shared storage and survive
-    * executor loss, the right choice on a real cluster. Otherwise it
-    * falls back to `localCheckpoint()`: blocks pinned in executor
-    * storage only, so an executor loss fails the job instead of
-    * recomputing — the right (cheaper) trade for single-node runs.
-    */
+  /** See [[Caching.materializeAndRelease]] — shared with TextOps. */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
-    try {
-      val sc = result.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) // honor the conf even if nobody called setCheckpointDir
-        sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
-      if (sc.getCheckpointDir.isDefined) result.checkpoint()
-      else result.localCheckpoint()
-    } finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
+    Caching.materializeAndRelease(result, cached: _*)
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words
     * drop out, mirroring the SQL oracle's generate_series emptiness).
@@ -382,7 +363,12 @@ object Dedup {
     // extra corpus shuffle for the sorted-merge verifier's input)
     val docArr = docSets.select(col("doc_id"), array_sort(col("harr")).as("hs"))
     val sizes = docSets.select(col("doc_id"), col("s"))
-    val (inter, interCache) = pairIntersectionsOnArrays(cands, docArr)
+    // pairIntersectionsOnArrays runs a construction-time probe job; if
+    // it throws, release docSets here (materializeAndRelease's finally
+    // is never reached)
+    val (inter, interCache) =
+      try pairIntersectionsOnArrays(cands, docArr)
+      catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
     materializeAndRelease(
       containmentVerify(inter, sizes, tauNum, tauDenom), docSets, interCache)
   }
@@ -450,25 +436,33 @@ object Dedup {
         column(graft.expressions.SortedIntersectCount(
           expression(col("hs1")), expression(col("hs2")))).as("inter"))
       .persist()
-    val merged = inter0.filter(col("inter").isNotNull)
-    val oversized = inter0.filter(col("inter").isNull)
-      .select(col("doc1"), col("doc2"))
-    val result = if (oversized.isEmpty) merged else {
-      // fallback: explode only the docs that appear in an oversized
-      // pair (semi-join bound), then the classic count-join — exact,
-      // narrow
-      val bigDocs = oversized.select(col("doc1").as("doc_id"))
-        .union(oversized.select(col("doc2").as("doc_id"))).distinct()
-      val ex = docArr.join(bigDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-      val exploded = oversized
-        .join(ex.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
-        .join(ex.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("inter"))
-      merged.unionByName(exploded)
+    // NOTE: the `oversized.isEmpty` probe below runs a Spark job at
+    // operator-CONSTRUCTION time (the driver-side small-side check).
+    // If that job throws, unpersist inter0 here — the caller's
+    // materializeAndRelease finally-block is never reached.
+    try {
+      val merged = inter0.filter(col("inter").isNotNull)
+      val oversized = inter0.filter(col("inter").isNull)
+        .select(col("doc1"), col("doc2"))
+      val result = if (oversized.isEmpty) merged else {
+        // fallback: explode only the docs that appear in an oversized
+        // pair (semi-join bound), then the classic count-join — exact,
+        // narrow
+        val bigDocs = oversized.select(col("doc1").as("doc_id"))
+          .union(oversized.select(col("doc2").as("doc_id"))).distinct()
+        val ex = docArr.join(bigDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        val exploded = oversized
+          .join(ex.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+          .join(ex.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+          .groupBy(col("doc1"), col("doc2"))
+          .agg(count(lit(1)).as("inter"))
+        merged.unionByName(exploded)
+      }
+      (result, inter0)
+    } catch {
+      case t: Throwable => inter0.unpersist(blocking = false); throw t
     }
-    (result, inter0)
   }
 
   /** Benchmark-contamination check: which training documents contain
@@ -624,7 +618,10 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     // exact intersections via the shared sorted-merge verifier — one
     // row per candidate pair, no pair×shingle explosion
-    val (inter, interCache) = pairIntersections(cands, sh)
+    // same construction-time-probe caveat as containmentPairsLsh
+    val (inter, interCache) =
+      try pairIntersections(cands, sh)
+      catch { case t: Throwable => sh.unpersist(blocking = false); throw t }
     materializeAndRelease(cands
       .join(inter, Seq("doc1", "doc2"), "left")
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))

@@ -91,8 +91,16 @@ object Multimodal {
     val height = bb.getInt(22) // positive = bottom-up; sign only flips row order
     val bpp = bb.getShort(28).toInt
     val compression = bb.getInt(30)
+    // dimension cap FIRST, in Long (like the PNG path): width and
+    // |height| both near 2^31 overflow even rowSizeL·absH (≈1.4e19 >
+    // Long.MaxValue), which would wrap negative past the bounds check
+    // and hand a multi-GB (or, wrapping in Int, zero-length)
+    // allocation to the pixel loop; Long abs also neutralizes
+    // height == Int.MinValue, where math.abs(Int) stays negative
+    if (width <= 0 || width.toLong * math.abs(height.toLong) > MaxDecodePixels)
+      return None
     val absH = math.abs(height)
-    if (bpp != 24 || compression != 0 || width <= 0 || absH == 0) return None
+    if (bpp != 24 || compression != 0 || absH == 0) return None
     // LONG row math: a crafted width near 2^31 overflows 24·width to a
     // negative rowSize, which would sail through the bounds check and
     // blow up the pixel allocation below (fuzz-spec finding)
@@ -880,6 +888,62 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(pa ^ pb)").cast("long").as("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate comparisons per doc above which the banded pairer's
+    * in-bucket quadratic work outgrows MIH's 66-probe-rows-per-doc
+    * shuffle. Calibrated from SCALING.md's measured crossover on the
+    * clustered corpus: ~600 comparisons/doc at sf0.1 (banding still
+    * 1.2× faster), ~6 000/doc at 10× (MIH 1.5× faster) — the
+    * geometric midpoint, rounded.
+    */
+  private[operators] val MihCandPerDocCutover = 2000.0
+
+  /** Which pair generator does this corpus want? The bucket-occupancy
+    * probe behind [[phashPairsAuto]] (the [[Dedup.jaccardStrategy]]
+    * precedent: measure, don't guess). Banded cost is
+    * Σ_buckets n·(n−1)/2 codegen comparisons — quadratic in bucket
+    * occupancy, so correlated signatures (near-identical crawls,
+    * templated thumbnails) grow it super-linearly; MIH pays a flat
+    * 66 probe rows/doc through the shuffle but its 2³²-value keys
+    * keep buckets ~singleton. One keyed aggregate over the 4-rows-
+    * per-doc band table — a fraction of either generator's join.
+    */
+  def phashStrategy(hashes: DataFrame,
+      candPerDocCutover: Double = MihCandPerDocCutover): String = {
+    val r = hashes
+      .select(explode(sequence(lit(0), lit(3))).as("band"), col("phash"))
+      .select(col("band"), expr("shiftright(phash, band * 16) & 65535").as("key"))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("cand"), sum(col("n")).as("rows4"))
+      .head()
+    val cand = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val docs = (if (r.isNullAt(1)) 0L else r.getLong(1)) / 4
+    if (docs > 0 && cand.toDouble / docs > candPerDocCutover) "mih" else "banded"
+  }
+
+  /** Adaptive Hamming pairing: probe the band-bucket occupancy with
+    * [[phashStrategy]], then dispatch to [[phashPairs]] (banding — 4
+    * probe rows/doc, wins on uncorrelated corpora) or
+    * [[phashPairsMih]] (multi-index — flat probe cost, wins as
+    * signature clustering compounds). Both are pigeonhole-exact at
+    * maxDist ≤ 3 and produce identical pairs (same brute-force
+    * oracle), so the switch is a pure cost decision. The hash table
+    * feeds the probe AND the chosen generator's two join sides, so it
+    * is persisted for the call (it may sit on an expensive decode
+    * lineage) and released via the shared checkpoint epilogue.
+    */
+  def phashPairsAuto(hashes: DataFrame, maxDist: Int = 3,
+      candPerDocCutover: Double = MihCandPerDocCutover): DataFrame = {
+    val h = hashes.persist()
+    // the probe job runs at construction time; release the cache on
+    // its failure (the epilogue's finally is never reached)
+    val strat =
+      try phashStrategy(h, candPerDocCutover)
+      catch { case t: Throwable => h.unpersist(blocking = false); throw t }
+    graft.operators.Caching.materializeAndRelease(
+      if (strat == "mih") phashPairsMih(h, maxDist) else phashPairs(h, maxDist),
+      h)
   }
 
   /** The rows-only `mm_meta` query: binary length + typed metadata,

@@ -457,6 +457,18 @@ object Relational {
     * can't apply (e.g. the skewed side feeds a co-partitioned
     * downstream op). Result provably identical to the plain join —
     * the oracle IS the plain join in an independent engine.
+    *
+    * EAGER semantics, by design: the detection sample runs (and
+    * `collect()`s) at DataFrame-CONSTRUCTION time, so the hot-key
+    * set is frozen into the returned plan when the operator is
+    * built, not when it executes — re-invoking the builder re-runs
+    * the sample job, and a fact table that changes between build and
+    * execute is salted against the stale set (still CORRECT — the
+    * salt only redistributes rows — just possibly mistuned). The
+    * old broadcast-join shape evaluated detection at execution time
+    * but duplicated the detection subplan on both join sides; batch
+    * pipelines build-then-run immediately, so construction-time
+    * detection is the right trade here.
     */
   def q24SaltedJoin(lineitem: DataFrame, orders: DataFrame, salts: Int = 8,
       sampleMod: Int = 100, minSampleRows: Long = 50): DataFrame = {

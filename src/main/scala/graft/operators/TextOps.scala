@@ -259,13 +259,20 @@ object TextOps {
     */
   def bpeApply(documents: DataFrame): DataFrame = {
     val m = bpeMergedSql("w", sparkSql = true)
+    // the merge chain `m` is a 10-deep nested replace over the
+    // symbol string; materialize it ONCE per word via an inner
+    // transform, then count delimiters on the merged result — the
+    // single-expression `length(m) - length(replace(m, …))` spelling
+    // inlined the whole chain twice per word (2× the string-rewrite
+    // work and 2× the generated code)
     documents.select(col("doc_id"),
         expr("aggregate(transform(filter(split(text, ' '), w -> length(w) > 0)," +
           " w -> length(w)), 0L, (a, x) -> a + CAST(x AS BIGINT))")
           .as("n_char_tokens"),
         expr(s"aggregate(transform(filter(split(text, ' '), w -> length(w) > 0)," +
-          s" w -> length($m) - length(replace($m, '$BpeSep', '')) - 1)," +
-          " 0L, (a, x) -> a + CAST(x AS BIGINT))").as("n_bpe_tokens"))
+          s" w -> $m)," +
+          s" 0L, (a, s) -> a + CAST(length(s) - length(replace(s, '$BpeSep', '')) - 1 AS BIGINT))")
+          .as("n_bpe_tokens"))
       .withColumn("compression",
         when(col("n_bpe_tokens") === 0, lit(1.0))
           .otherwise(round(col("n_char_tokens").cast("double")
@@ -590,10 +597,22 @@ object TextOps {
     * (1/m)·Σ log₂((c(w₁)+V)/(c(w₁w₂)+1)). The next step up the
     * LM-quality ladder from [[surprisal]]: context-sensitive, so
     * word salad scores high-bits even when its unigrams are common.
-    * The history mass c(w₁)=Σ_w₂ c(w₁w₂) derives from the bigram
-    * table itself (self-consistent, no second corpus pass); V is the
-    * corpus distinct-token count, making every smoothed probability
-    * well-defined. Unlike the unigram tf table the bigram model can
+    * The whole model is self-consistent with the bigram table: the
+    * history mass c(w₁)=Σ_w₂ c(w₁w₂) is a marginal of it, and V is
+    * the LM's own vocabulary — distinct tokens across the w₁/w₂
+    * marginals (every smoothed probability stays well-defined; a
+    * token the model never saw in any bigram contributes nothing to
+    * any score, so corpus-vs-marginal V differ only via
+    * single-token documents, which score no bigrams either way).
+    * That self-consistency is also the scale story: the corpus is
+    * exploded into bigrams exactly ONCE (persisted — the batch
+    * analog of materializing the training table; the round-6 audit
+    * found the un-persisted shape paid three corpus explodes), the
+    * distinct-bigram stats table is persisted too (vocabulary²-
+    * bounded, read by the history marginal, the vocabulary scalar
+    * and the model self-join), and everything downstream of the two
+    * caches is model-sized except the scoring join + per-doc
+    * aggregation. Unlike the unigram tf table the bigram model can
     * outgrow a broadcast at 100 TB, so the model join stays an
     * un-hinted equi-join on (w1, w2) — AQE picks broadcast while it
     * fits and shuffled-hash beyond. Bit costs are DECIMAL(28,12)
@@ -601,14 +620,24 @@ object TextOps {
     * decimals to absorb log₂ ulp differences across engines.
     */
   def bigramSurprisal(documents: DataFrame): DataFrame = {
-    val bg = bigrams(documents)
-    val stats = bigramStats(bg)
+    val (scored, bg, stats) = bigramSurprisalPlan(documents)
+    Caching.materializeAndRelease(scored, bg, stats)
+  }
+
+  /** The un-materialized scoring plan plus its two caches — split out
+    * (package-private) so PlanPinSpec can assert the one-corpus-
+    * explode shape before the checkpoint truncates the lineage.
+    */
+  private[graft] def bigramSurprisalPlan(
+      documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bg = bigrams(documents).persist()
+    val stats = bigramStats(bg).persist()
     val model = stats.join(
       stats.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), Seq("w1"))
-    val vocab = documents
-      .select(explode(split(col("text"), " ")).as("w"))
+    val vocab = stats.select(col("w1").as("w"))
+      .union(stats.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
-    bg.join(model, Seq("w1", "w2"))
+    val scored = bg.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -619,6 +648,7 @@ object TextOps {
         round(col("sb").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("avg_bigram_bits"))
       .orderBy(col("doc_id"))
+    (scored, bg, stats)
   }
 
   /** Per-doc adjacent token pairs — a narrow map (sequence +

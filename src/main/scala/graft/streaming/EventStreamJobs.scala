@@ -46,6 +46,19 @@ final case class Requeued(
     user_id: Long, event_type: String, value_key: Long,
     event_id: Long, delivery_count: Long, destination: String)
 
+/** Trailing-window event timestamps for the live rate limiter,
+  * ascending µs — pruned to the window on every arrival.
+  */
+final case class RateState(ts: Seq[Long])
+
+/** One rate-limit decision: the event's trailing-window count for its
+  * producer and the flood flag — the same row contract as the batch
+  * `EventOps.rateLimit`.
+  */
+final case class RateLimited(
+    user_id: Long, event_id: Long, ts_us: Long,
+    n_in_window: Long, flood: Long)
+
 /** Exact microseconds from a java.sql.Timestamp: getTime() alone
   * truncates to milliseconds (the nanos field holds the full
   * fractional second), which would diverge from the batch twins'
@@ -253,6 +266,67 @@ object EventStreamJobs {
               }
             }
             state.update(s)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Live sliding-window rate limiting — the streaming twin of
+    * `EventOps.rateLimit` (the abuse gate the reference's bus puts in
+    * front of dead-lettering): each arriving event is scored with its
+    * producer's trailing-window event count and a flood flag. The
+    * batch RANGE frame maps to per-user state holding the in-window
+    * arrival timestamps, pruned on every event — same-instant
+    * arrivals IN A BATCH are scored as one frame (all peers count
+    * each other, exactly like the RANGE frame); a same-instant peer
+    * in a LATER micro-batch scores what has arrived, the only honest
+    * live semantics.
+    *
+    * State is O(events-per-user-per-window) — exact, which is what
+    * the parity harness pins; a production limiter with huge windows
+    * would coarsen to per-bucket counts (O(window/bucket), ±bucket
+    * accuracy) — same state machinery, smaller rows. Idle producers
+    * evict via processing-time timeout when `ttlMs > 0`: a user
+    * silent for the whole window has an empty frame anyway, so
+    * eviction never changes a future score. TTL defaults off so
+    * micro-batch tests stay deterministic.
+    */
+  def rateLimitStream(events: Dataset[LiveEvent], windowSec: Long = 604800L,
+      maxPerWindow: Int = 15, ttlMs: Long = 0L)
+      (implicit spark: SparkSession): Dataset[RateLimited] = {
+    import spark.implicits._
+    val winUs = windowSec * 1000000L
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateLimited](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[LiveEvent], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (TsUs(e.ts), e.event_id))
+            var kept = state.getOption.map(_.ts).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[RateLimited]
+            // consecutive same-instant runs share one frame
+            var i = 0
+            while (i < sorted.length) {
+              val ts = TsUs(sorted(i).ts)
+              var j = i
+              while (j < sorted.length && TsUs(sorted(j).ts) == ts) j += 1
+              kept = kept.dropWhile(_ < ts - winUs) ++ Seq.fill(j - i)(ts)
+              val n = kept.size.toLong
+              val flood = if (n > maxPerWindow) 1L else 0L
+              (i until j).foreach { k =>
+                out += RateLimited(userId, sorted(k).event_id, ts, n, flood)
+              }
+              i = j
+            }
+            if (kept.nonEmpty) state.update(RateState(kept)) else state.remove()
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             out.result().iterator
           }

@@ -493,6 +493,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mih.size == mih.distinct.size)
   }
 
+  test("phashStrategy picks banded on uncorrelated hashes, MIH on clustered ones") {
+    implicit val s = spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // uncorrelated: 64-bit random hashes — band buckets ~singleton,
+    // candidate comparisons per doc ≈ 0 → banding
+    val uniform = (1L to 2000L).map(i => (i, rnd.nextLong())).toDF("doc_id", "phash")
+    assert(Multimodal.phashStrategy(uniform) == "banded")
+    // clustered: everyone shares the template signature except a few
+    // flipped bits — each 16-bit band bucket holds ~all docs, so
+    // comparisons per doc ≈ n ≫ cutover → MIH
+    val template = rnd.nextLong()
+    val clustered = (1L to 5000L)
+      .map(i => (i, template ^ (1L << (i % 8).toInt))).toDF("doc_id", "phash")
+    assert(Multimodal.phashStrategy(clustered) == "mih")
+    // the dispatcher's output equals both generators' on either regime
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sample = (1L to 200L).map(i => (i, rnd.nextLong())) ++
+      (500L to 520L).map(i => (i, template))
+    val sampleDf = sample.toDF("doc_id", "phash")
+    assert(rows(Multimodal.phashPairsAuto(sampleDf)) ==
+      rows(Multimodal.phashPairs(sampleDf)))
+  }
+
   test("codec fuzz: arbitrary and mutated payloads never fail a task, one row per record") {
     // the documented contract — "None / fallback features for anything
     // malformed" — under adversarial bytes: pure-random blobs, magic

@@ -53,13 +53,24 @@ class PlanPinSpec extends AnyFunSuite {
   }
 
   /** Shuffle exchanges in the prepared plan (sparkPlan is BEFORE
-    * EnsureRequirements, so it never shows them). String-counted so
-    * the AQE wrapper can't hide nodes; BroadcastExchange prints
-    * differently and is deliberately not counted.
+    * EnsureRequirements, so it never shows them). Counted by
+    * traversing the plan TREE — string-matching the rendered plan
+    * broke on exchange-naming drift across Spark versions (round-6
+    * advice). AQE wraps the plan in a leaf AdaptiveSparkPlanExec, so
+    * the traversal recurses through its current physical plan;
+    * BroadcastExchange is not ShuffleExchangeLike and is
+    * deliberately not counted.
     */
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-      .findAllIn(df.queryExecution.executedPlan.toString).size
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: ShuffleExchangeLike => 1
+    }.sum
+    walk(df.queryExecution.executedPlan)
+  }
 
   test("flagship queries keep their audited exchange counts") {
     // PLANS.md's "one shuffle on the natural key (+ presentation
@@ -77,6 +88,40 @@ class PlanPinSpec extends AnyFunSuite {
       assert(shuffleCount(df) == n,
         s"$name: expected $n shuffle exchanges, got ${shuffleCount(df)}:\n" +
           df.queryExecution.sparkPlan.toString)
+    }
+  }
+
+  test("txt_bigram_surprisal explodes the corpus exactly once (cached bigram frame)") {
+    // the round-6 weak plan: un-persisted subtrees paid THREE corpus
+    // explodes (scoring join, model build, vocabulary). The fix pins
+    // to: ONE Generate total — inside the cached bigram frame — and
+    // the scoring plan reads only InMemoryRelations, never the source
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case n if pf.isDefinedAt(n) => Seq(pf(n))
+      }.flatten
+    val docs = graft.sources.Tables(spark, TestSpark.sfDir).documents
+    val (scored, bg, stats) = graft.operators.TextOps.bigramSurprisalPlan(docs)
+    try {
+      // bg reads its own cache; the single corpus explode lives in the
+      // cached plan INSIDE the InMemoryRelation
+      val bgCached = collectAll(bg.queryExecution.executedPlan) {
+        case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      assert(bgCached.size == 1 && collectAll(bgCached.head) {
+          case g: GenerateExec => g }.size == 1,
+        s"the bigram frame must hold the single corpus explode:\n${bg.queryExecution.executedPlan}")
+      val scoredPlan = scored.queryExecution.executedPlan
+      assert(collectAll(scoredPlan) { case g: GenerateExec => g }.isEmpty,
+        s"scoring plan must not re-explode the corpus:\n$scoredPlan")
+      assert(collectAll(scoredPlan) { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"scoring plan must read the cached frames:\n$scoredPlan")
+      assert(scored.limit(1).count() >= 0) // and the pinned plan runs
+    } finally {
+      bg.unpersist(blocking = false); stats.unpersist(blocking = false)
     }
   }
 

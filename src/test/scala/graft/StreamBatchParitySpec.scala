@@ -188,6 +188,24 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture degenerate: no poison identities at this SF")
   }
 
+  test("rate-limit twin: per-event trailing counts equal the batch RANGE frame") {
+    // the feed replays in (ts, event_id) order, so every event's
+    // trailing window is fully arrived when it is scored — the live
+    // counts must equal the batch RANGE frame exactly, flood flags
+    // included (the driver data has no same-(user, ts) ties, so
+    // chunk boundaries cannot split a frame's same-instant peers)
+    implicit val s = spark
+    val in = newFeed()
+    val live = replay(EventStreamJobs.rateLimitStream(in.toDS()), "append", "par_rate")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = EventOps.rateLimit(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(live == batch)
+    assert(batch.exists(_._5 == 1L), "fixture degenerate: nobody floods at this SF")
+  }
+
   test("embedding gate twin: live flags over the driver's vectors equal the batch pairs") {
     // the driver's embeddings are mutually far apart at this SF (no
     // pair reaches tau — verified), so arrivals are PERTURBED copies

@@ -149,6 +149,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live rate limiter prunes the trailing window and frames same-instant peers together") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LiveEvent]
+    // 10-minute window, flood above 2 events
+    val q = EventStreamJobs.rateLimitStream(in.toDS(), windowSec = 600, maxPerWindow = 2)
+      .writeStream.format("memory").queryName("rated").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "view"), ev(2, 5, 1, "view"))
+      q.processAllAvailable()
+      // same-instant peers in one batch share the frame — both count
+      // all four in-window events (RANGE semantics) and both flood
+      in.addData(ev(3, 8, 1, "view"), ev(4, 8, 1, "view"))
+      q.processAllAvailable()
+      // 12 quiet minutes: everything before t=10 pruned → count 1
+      in.addData(ev(5, 20, 1, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("rated").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n_in_window"), r.getAs[Long]("flood"))).toMap
+      assert(rows == Map(1L -> (1L, 0L), 2L -> (2L, 0L),
+        3L -> (4L, 1L), 4L -> (4L, 1L), 5L -> (1L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionizer matches batch sessionGap on random in-order timelines") {
     import spark.implicits._
     implicit val s = spark
