@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: GENERATE the TPC-H-side tables at an arbitrary scale
+  * factor, matching the driver generator's schemas and distributions
+  * (measured off /root/testdata: sequential keys, uniform dims,
+  * Poisson(4) lineitem fanout, uniform value ranges) — the true-scale
+  * alternative to [[ScaleData]]'s union-of-replicas.
+  *
+  * Why it exists (round-6 verdict item 7): a replica keeps every
+  * join's key space partitioned into disjoint blocks — o_custkey from
+  * replica i only ever meets c_custkey from replica i — so join
+  * selectivities, group cardinalities and AQE's runtime statistics
+  * are replica-invariant. Generated data scales them the way a real
+  * corpus does: orders reference the FULL grown customer space, the
+  * distinct-key counts of every aggregate grow with SF, and
+  * filter+join selectivity compounds instead of repeating.
+  *
+  * Everything derives deterministically from the row id via hash
+  * folds (no rand(): reruns are identical, and generation is a
+  * narrow per-row map — no shuffle except lineitem's fanout explode,
+  * which is also narrow). The non-TPC-H tables (events, documents,
+  * embeddings) have no TPC-H scaling rule and stay on [[ScaleData]]'s
+  * content-perturbed replicas: run ScaleData first, then this tool
+  * over the same outDir (it overwrites only the five TPC-H tables +
+  * dims).
+  *
+  * Usage: runMain graft.GenData <srcDir> <outDir> <sf>
+  */
+object GenData {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/sf1gen"
+    val sf = if (args.length > 2) args(2).toDouble else 1.0
+    val spark = GraftSession.local(32)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try generate(spark, srcDir, outDir, sf)
+    finally spark.stop()
+  }
+
+  /** Uniform double in [0, 1) from (id, salt) — the deterministic
+    * stand-in for rand(), stable across partitionings and reruns.
+    */
+  private def u(salt: Int) =
+    (pmod(hash(col("id"), lit(salt)), lit(1000000)).cast("double") / 1e6)
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      sf: Double): Unit = {
+    val nCust = (150000 * sf).toLong
+    val nSupp = (10000 * sf).toLong
+    val nPart = (200000 * sf).toLong
+    val nOrd = (1500000 * sf).toLong
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[gen] wrote $name")
+    }
+    // fixed dims: TPC-H's own rule — region/nation do not scale
+    write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
+    write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
+
+    val segs = "array('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')"
+    write(spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(hash(col("id"), lit(1)), lit(25)).cast("int").as("c_nationkey"),
+      round(u(2) * 11000 - 1000, 2).as("c_acctbal"),
+      expr(s"element_at($segs, cast(pmod(hash(id, 3), 5) + 1 as int))")
+        .as("c_mktsegment")), "customer")
+
+    write(spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(hash(col("id"), lit(4)), lit(25)).cast("int").as("s_nationkey"),
+      round(u(5) * 11000 - 1000, 2).as("s_acctbal")), "supplier")
+
+    val adjs = "array('large','hot','blue','small','dim','fast','calm','new')"
+    val nouns = "array('ring','bolt','case','disk','gear','pipe','cowl','fan')"
+    val types = "array('LARGE','ECONOMY','SMALL','MEDIUM','STANDARD','PROMO')"
+    write(spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      expr(s"concat(element_at($adjs, cast(pmod(hash(id, 6), 8) + 1 as int)), ' ', " +
+        s"element_at($nouns, cast(pmod(hash(id, 7), 8) + 1 as int)))").as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(hash(col("id"), lit(8)), lit(25)) + 1).cast("string")).as("p_brand"),
+      expr(s"element_at($types, cast(pmod(hash(id, 9), 6) + 1 as int))").as("p_type"),
+      (pmod(hash(col("id"), lit(10)), lit(50)) + 1).cast("int").as("p_size"),
+      round(lit(900.0) + col("id").cast("double") / 10.0, 2).as("p_retailprice")),
+      "part")
+
+    // orders: ~6.6 years of order dates, all value columns uniform —
+    // o_custkey spans the FULL grown customer space (the property the
+    // replica cannot have)
+    val dateSpanDays = 2404 // 1995-01-01 .. 2001-08-01
+    val orders = spark.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      pmod(hash(col("id"), lit(11)), lit(nCust)).as("o_custkey"),
+      expr("element_at(array('F','O','P'), cast(pmod(hash(id, 12), 3) + 1 as int))")
+        .as("o_orderstatus"),
+      round(u(13) * 499000 + 1000, 2).as("o_totalprice"),
+      expr(s"timestamp(date_add(date'1995-01-01', " +
+        s"cast(pmod(hash(id, 14), $dateSpanDays) as int)))").as("o_orderdate"),
+      expr("element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), " +
+        "cast(pmod(hash(id, 15), 5) + 1 as int))").as("o_orderpriority"))
+    write(orders, "orders")
+
+    // lineitem: fanout ~ Poisson(4) per order (measured: mean 4.07,
+    // ~1.8% zero-lineitem orders ≈ e^-4), via inverse-CDF lookup on a
+    // literal table; every per-line value re-hashes (orderkey, line)
+    val pois4Cdf: Seq[Double] = { // P(N <= k), k = 0..16
+      val lambda = 4.0
+      val pmf = (0 to 16).scanLeft(math.exp(-lambda)) { case (p, k) =>
+        p * lambda / (k + 1) }.take(17)
+      pmf.scanLeft(0.0)(_ + _).drop(1)
+    }
+    val cdfArr = pois4Cdf.map(p => f"$p%.9f").mkString("array(", ",", ")")
+    val fanout = spark.range(nOrd).select(
+      col("id"),
+      // smallest k with u < CDF(k) — 0..17 (17 if u beyond the table)
+      expr(s"size(filter($cdfArr, p -> p <= pmod(hash(id, 16), 1000000) / 1e6))")
+        .as("nl"))
+    val li = fanout.filter(col("nl") >= 1)
+      .select(col("id").as("l_orderkey"),
+        explode(expr("sequence(1, nl)")).as("l_linenumber"))
+      .withColumn("lid", hash(col("l_orderkey"), col("l_linenumber")))
+    def lu(salt: Int) =
+      (pmod(hash(col("lid"), lit(salt)), lit(1000000)).cast("double") / 1e6)
+    // o_orderdate re-derives from the same (orderkey, salt) hash the
+    // orders table used — no join, generation stays a narrow map
+    write(li
+      .withColumn("o_orderdate", expr("timestamp(date_add(date'1995-01-01', " +
+        s"cast(pmod(hash(l_orderkey, 14), $dateSpanDays) as int)))"))
+      .select(
+        col("l_orderkey"),
+        pmod(hash(col("lid"), lit(20)), lit(nPart)).as("l_partkey"),
+        pmod(hash(col("lid"), lit(21)), lit(nSupp)).as("l_suppkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        (pmod(hash(col("lid"), lit(22)), lit(50)) + 1).cast("double").as("l_quantity"),
+        round(lu(23) * 104100 + 900, 2).as("l_extendedprice"),
+        (pmod(hash(col("lid"), lit(24)), lit(11)).cast("double") / 100.0).as("l_discount"),
+        (pmod(hash(col("lid"), lit(25)), lit(9)).cast("double") / 100.0).as("l_tax"),
+        expr("element_at(array('A','N','R'), cast(pmod(hash(lid, 26), 3) + 1 as int))")
+          .as("l_returnflag"),
+        expr("element_at(array('F','O'), cast(pmod(hash(lid, 27), 2) + 1 as int))")
+          .as("l_linestatus"),
+        expr("timestamp(date_add(to_date(o_orderdate), " +
+          "cast(pmod(hash(lid, 28), 95) + 1 as int)))").as("l_shipdate")),
+      "lineitem")
+    println(s"[gen] done: $outDir at sf=$sf")
+  }
+}

@@ -27,12 +27,28 @@ object SkewBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Cluster-regime knob (round-6 verdict item 2): at 32 partitions a
+    // 10% hot key gives its reducer only ~3× the average — the mild
+    // regime. On a 1000-executor cluster shuffle partitions sit in the
+    // thousands, where the same key is a 100–1000× imbalance. Raising
+    // partitions single-node reproduces that reducer-IMBALANCE shape
+    // (one straggler task vs many tiny ones) even though total cores
+    // stay 32.
+    val shufflePartitions =
+      sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
     val spark = GraftSession.local(cpus)
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val t = Tables(spark, sfDir)
     val arms: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "plain" -> (() => Relational.q24PlainJoin(t.lineitem, t.orders)),
       "salted_all" -> (() => Relational.q24SaltedJoinAll(t.lineitem, t.orders)),
-      "salted_targeted" -> (() => Relational.q24SaltedJoin(t.lineitem, t.orders)))
+      "salted_targeted" -> (() => Relational.q24SaltedJoin(t.lineitem, t.orders)),
+      // the user-keyed window family's representative: one exchange on
+      // user_id + an in-partition sort — the "hot key ⇒ bigger
+      // external sort, never memory" claim under the same knob
+      "window_session_gap" -> (() => graft.operators.EventOps.sessionGap(t.events)),
+      "window_rate_limit" -> (() => graft.operators.EventOps.rateLimit(t.events)))
     def runOnce(fn: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()
@@ -45,8 +61,9 @@ object SkewBench {
     def r(v: Double) = math.rint(v * 1e4) / 1e4
     val qs = mins.map { case (n, v) => s"""${JsonUtil.str(n)}:${r(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"q24_arms","passes":$passes,"queries":$qs,""" +
-      s""""sf":${JsonUtil.str(sfDir)}}""")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    println(s"""{"metric":"q24_arms","passes":$passes,"shuffle_partitions":$parts,""" +
+      s""""queries":$qs,"sf":${JsonUtil.str(sfDir)}}""")
     spark.stop()
   }
 }

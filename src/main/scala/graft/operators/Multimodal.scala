@@ -408,8 +408,10 @@ object Multimodal {
       decodeJpeg(r).getOrElse(fakeDecode(r))
     else if (isMp4(c))
       // real pixels for JPEG-coded tracks (first keyframe through the
-      // ImageIO lane, codec tag 6.0); AVC/HEVC stays the declared
-      // histogram stub — no JVM codec for those bitstreams exists here
+      // ImageIO lane) and for I_PCM-coded `avc1` IDR frames (the
+      // in-tree H264 lane), codec tag 6.0; entropy-coded AVC and HEVC
+      // stay the declared histogram stub — the dependency-boundary
+      // decision in SURVEY §4
       mp4FramePixels(c).map { case (w, h, px) => rgbFeatures(r, w, h, px, 6.0) }
         .getOrElse(fakeDecode(r))
     else fakeDecode(r)
@@ -543,90 +545,155 @@ object Multimodal {
     * lane stays the declared histogram stub (no JVM codec exists).
     * Any malformed geometry degrades to None, never a task failure.
     */
-  private[graft] def mp4FirstJpegFrame(c: Array[Byte]): Option[Array[Byte]] = {
-    try {
-      val bb = java.nio.ByteBuffer.wrap(c)
-      def fourcc(off: Int) = new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      // (payloadOff, payloadLen, nextBoxOff) — same grammar as mp4Meta
-      def box(off: Int, limit: Int): Option[(String, Int, Int, Int)] = {
-        if (off + 8 > limit) return None
-        val size32 = bb.getInt(off).toLong & 0xffffffffL
-        val typ = fourcc(off + 4)
-        val (payload, end) =
-          if (size32 == 0) (off + 8, limit)
-          else if (size32 == 1) {
-            if (off + 16 > limit) return None
-            val size64 = bb.getLong(off + 8)
-            if (size64 < 16 || off + size64 > limit) return None
-            (off + 16, off + size64.toInt)
-          } else {
-            if (size32 < 8 || off + size32 > limit) return None
-            (off + 8, off + size32.toInt)
-          }
-        Some((typ, payload, end - payload, end))
-      }
-      /** First child box named `typ` within [from, to). */
-      def child(typ: String, from: Int, to: Int): Option[(Int, Int)] = {
-        var off = from
-        while (off + 8 <= to) {
-          box(off, to) match {
-            case Some((t, p, len, next)) if t == typ => return Some((p, len))
-            case Some((_, _, _, next)) if next > off => off = next
-            case _ => return None
-          }
+  /** Shared ISO-BMFF box grammar for the first-sample extractors —
+    * one implementation of box/child/path and the stsz/stco
+    * first-sample math, used by the JPEG and AVC keyframe lanes.
+    */
+  private final class BoxWalker(c: Array[Byte]) {
+    private val bb = java.nio.ByteBuffer.wrap(c)
+    def int(off: Int): Int = bb.getInt(off)
+    def fourcc(off: Int): String =
+      new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // (payloadOff, payloadLen, nextBoxOff) — same grammar as mp4Meta
+    def box(off: Int, limit: Int): Option[(String, Int, Int, Int)] = {
+      if (off + 8 > limit) return None
+      val size32 = bb.getInt(off).toLong & 0xffffffffL
+      val typ = fourcc(off + 4)
+      val (payload, end) =
+        if (size32 == 0) (off + 8, limit)
+        else if (size32 == 1) {
+          if (off + 16 > limit) return None
+          val size64 = bb.getLong(off + 8)
+          if (size64 < 16 || off + size64 > limit) return None
+          (off + 16, off + size64.toInt)
+        } else {
+          if (size32 < 8 || off + size32 > limit) return None
+          (off + 8, off + size32.toInt)
         }
-        None
-      }
-      def path(names: Seq[String], from: Int, to: Int): Option[(Int, Int)] =
-        names.foldLeft(Option((from, to))) { (acc, name) =>
-          acc.flatMap { case (f, t) => child(name, f, t).map { case (p, l) => (p, p + l) } }
+      Some((typ, payload, end - payload, end))
+    }
+    /** First child box named `typ` within [from, to). */
+    def child(typ: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        box(off, to) match {
+          case Some((t, p, len, _)) if t == typ => return Some((p, len))
+          case Some((_, _, _, next)) if next > off => off = next
+          case _ => return None
         }
-      // every trak is tried: files commonly lead with a non-video track
+      }
+      None
+    }
+    def path(names: Seq[String], from: Int, to: Int): Option[(Int, Int)] =
+      names.foldLeft(Option((from, to))) { (acc, name) =>
+        acc.flatMap { case (f, t) => child(name, f, t).map { case (p, l) => (p, p + l) } }
+      }
+    /** Bytes of sample 1 — stsz gives its length, stco/co64 chunk 1's
+      * file-absolute offset (sample 1 starts exactly there, no stsc
+      * math needed for the first sample).
+      */
+    def firstSample(stblP: Int, stblEnd: Int): Option[Array[Byte]] =
+      for {
+        (stszP, stszLen) <- child("stsz", stblP, stblEnd)
+        if stszLen >= 12
+        uniform = bb.getInt(stszP + 4)
+        size <- if (uniform != 0) Some(uniform)
+                else if (stszLen >= 16 && bb.getInt(stszP + 8) >= 1)
+                  Some(bb.getInt(stszP + 12))
+                else None
+        if size > 0
+        offFirst <- child("stco", stblP, stblEnd)
+          .filter(_._2 >= 12).map(t => bb.getInt(t._1 + 8).toLong & 0xffffffffL)
+          .orElse(child("co64", stblP, stblEnd)
+            .filter(_._2 >= 16).map(t => bb.getLong(t._1 + 8)))
+        if offFirst >= 0 && offFirst + size <= c.length
+      } yield java.util.Arrays.copyOfRange(c, offFirst.toInt, offFirst.toInt + size)
+    /** Run `f` over every trak's (stbl bounds, first stsd entry
+      * bounds); first Some wins. Files commonly lead with a non-video
+      * track, so every trak is tried.
+      */
+    def firstTrack[T](f: (Int, Int, Int, Int) => Option[T]): Option[T] = {
       val (moovP, moovEnd) = path(Seq("moov"), 0, c.length).getOrElse(return None)
       var off = moovP
       while (off + 8 <= moovEnd) {
         box(off, moovEnd) match {
           case Some(("trak", p, len, next)) =>
-            val frame = for {
+            val hit = for {
               (stblP, stblEnd) <- path(Seq("mdia", "minf", "stbl"), p, p + len)
               (stsdP, stsdLen) <- child("stsd", stblP, stblEnd)
               if stsdLen >= 16
-              entryType = fourcc(stsdP + 12)
-              if entryType == "jpeg" || entryType == "mp4v"
-              (stszP, stszLen) <- child("stsz", stblP, stblEnd)
-              if stszLen >= 12
-              uniform = bb.getInt(stszP + 4)
-              size <- if (uniform != 0) Some(uniform)
-                      else if (stszLen >= 16 && bb.getInt(stszP + 8) >= 1)
-                        Some(bb.getInt(stszP + 12))
-                      else None
-              if size > 0
-              offFirst <- child("stco", stblP, stblEnd)
-                .filter(_._2 >= 12).map(t => bb.getInt(t._1 + 8).toLong & 0xffffffffL)
-                .orElse(child("co64", stblP, stblEnd)
-                  .filter(_._2 >= 16).map(t => bb.getLong(t._1 + 8)))
-              if offFirst >= 0 && offFirst + size <= c.length
-              slice = java.util.Arrays.copyOfRange(c, offFirst.toInt, offFirst.toInt + size)
-              if slice.length >= 3 && (slice(0) & 0xff) == 0xff &&
-                (slice(1) & 0xff) == 0xd8 && (slice(2) & 0xff) == 0xff
-            } yield slice
-            if (frame.isDefined) return frame
+              out <- f(stblP, stblEnd, stsdP, stsdLen)
+            } yield out
+            if (hit.isDefined) return hit
             off = next
           case Some((_, _, _, next)) if next > off => off = next
           case _ => return None
         }
       }
       None
+    }
+  }
+
+  private[graft] def mp4FirstJpegFrame(c: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val w = new BoxWalker(c)
+      w.firstTrack { (stblP, stblEnd, stsdP, _) =>
+        val entryType = w.fourcc(stsdP + 12)
+        if (entryType != "jpeg" && entryType != "mp4v") None
+        else w.firstSample(stblP, stblEnd).filter(slice =>
+          slice.length >= 3 && (slice(0) & 0xff) == 0xff &&
+            (slice(1) & 0xff) == 0xd8 && (slice(2) & 0xff) == 0xff)
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Pixels of an mp4's first JPEG-coded video sample, through the
-    * same ImageIO lane every plain-JPEG payload takes — so a video
-    * keyframe and the standalone image it was muxed from produce the
-    * same packed-RGB grid, the same features and the same dHash.
+  /** First keyframe of an `avc1`-coded track, decoded through the
+    * in-tree H.264 I_PCM lane ([[H264]] — real pixels for
+    * uncompressed-coded IDR frames; entropy-coded streams return None
+    * and keep the declared histogram stub). SPS/PPS come from the
+    * sample entry's `avcC` configuration box (ISO 14496-15: after the
+    * 86-byte VisualSampleEntry header — ver/profile/compat/level, a
+    * 2-bit NAL length-size, then length-prefixed SPS and PPS sets);
+    * the sample itself is AVCC-framed in `mdat`.
+    */
+  private[graft] def mp4FirstAvcFrame(c: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try {
+      val w = new BoxWalker(c)
+      w.firstTrack { (stblP, stblEnd, stsdP, stsdLen) =>
+        val entryType = w.fourcc(stsdP + 12)
+        val entryLen = w.int(stsdP + 8)
+        if (entryType != "avc1" || entryLen < 94 ||
+          stsdP + 8 + entryLen > stsdP + stsdLen) None
+        else for {
+          (avccP, avccLen) <- w.child("avcC", stsdP + 8 + 86, stsdP + 8 + entryLen)
+          if avccLen >= 7
+          lengthSize = (c(avccP + 4) & 0x03) + 1
+          nSps = c(avccP + 5) & 0x1f
+          if nSps >= 1
+          spsLen = ((c(avccP + 6) & 0xff) << 8) | (c(avccP + 7) & 0xff)
+          if avccP + 8 + spsLen + 1 <= avccP + avccLen
+          sps = java.util.Arrays.copyOfRange(c, avccP + 8, avccP + 8 + spsLen)
+          ppsCntOff = avccP + 8 + spsLen
+          if (c(ppsCntOff) & 0xff) >= 1
+          ppsLen = ((c(ppsCntOff + 1) & 0xff) << 8) | (c(ppsCntOff + 2) & 0xff)
+          if ppsCntOff + 3 + ppsLen <= avccP + avccLen
+          pps = java.util.Arrays.copyOfRange(c, ppsCntOff + 3, ppsCntOff + 3 + ppsLen)
+          sample <- w.firstSample(stblP, stblEnd)
+          out <- H264.decodeAvccSample(sps, pps, sample, lengthSize)
+        } yield out
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pixels of an mp4's first video keyframe: JPEG-coded samples go
+    * through the same ImageIO lane every plain-JPEG payload takes —
+    * so a video keyframe and the standalone image it was muxed from
+    * produce the same packed-RGB grid, the same features and the same
+    * dHash — and `avc1` tracks through the in-tree H.264 I_PCM lane.
     */
   private[graft] def mp4FramePixels(c: Array[Byte]): Option[(Int, Int, Array[Int])] =
     mp4FirstJpegFrame(c).flatMap(jpegBytesPixels)
+      .orElse(mp4FirstAvcFrame(c))
 
   /** Ceiling on a CONTENT-parsed frame count (~9.7 h at 30 fps): a
     * parsed value above this is treated as malformed metadata and the

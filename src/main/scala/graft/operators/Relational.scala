@@ -326,15 +326,27 @@ object Relational {
     // no Expand. Two countDistinct in ONE agg would triple the input
     // through an Expand before the shuffle, which is what made the
     // first cut of this query 3× slower.
+    //
+    // The approx sketches live in their OWN aggregate, never in the
+    // countDistinct branches: an agg mixing approx with a distinct
+    // column plans the partial stage on (group, value) — one
+    // multi-KB HLL buffer PER DISTINCT PAIR in every partition's
+    // hash map. With key-clustered input (the replica bench) partial
+    // maps stay small and it hides; on uniformly-spread keys (true
+    // generated sf1) every partition materializes the full pair
+    // space × sketch bytes — measured 2.4 s → 7.5–34 s (spill/GC
+    // bound). Separated, sketch state is |groups| × 2 buffers and
+    // the extra corpus scan is cheap (scan-bound, round-7 audit).
     val parts = lineitem.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
-        count(lit(1)).as("n_rows")) // non-distinct aggs ride the
+        count(lit(1)).as("n_rows")) // non-distinct long rides the
     // single-distinct plan through PartialMerge — no extra job
     val supps = lineitem.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"))
+    val approx = lineitem.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("supps_approx"))
-    parts.join(supps, Seq("l_returnflag"))
+    parts.join(supps, Seq("l_returnflag")).join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"),
         (abs(col("parts_approx") - col("n_parts")) <= col("n_parts") * lit(0.1))
           .as("parts_ok"),

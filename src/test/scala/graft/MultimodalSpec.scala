@@ -560,4 +560,217 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(recs).count() >= 0)
     assert(Multimodal.imagePhash(recs).count() >= 0) // unhashable rows drop
   }
+
+  // ---- H.264 I_PCM keyframe lane: hand-assembled bitstream fixtures ----
+
+  /** MSB-first bit writer + RBSP emulation-prevention escaping — the
+    * test-side encoder for the I_PCM fixtures (the payload carries its
+    * own expected pixels, so the decode is provable without an
+    * external reference decoder).
+    */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var n = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+    }
+    def u(v: Int, bits: Int): Unit = (bits - 1 to 0 by -1).foreach(i => bit((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len)
+    }
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def align(): Unit = while (n != 0) bit(0)
+    def raw(bs: Array[Byte]): Unit = { align(); bs.foreach(buf += _) }
+    def trailing(): Unit = { bit(1); align() }
+    def rbsp: Array[Byte] = { require(n == 0, "unaligned"); buf.toArray }
+  }
+
+  /** 00 00 (00|01|02|03) → 00 00 03 xx, per the NAL escape rule. */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  private def spsBytes(wMbs: Int, hMbs: Int,
+      crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
+    val w = new BitWriter
+    w.u(66, 8); w.u(0, 8); w.u(30, 8) // baseline profile, level 3.0
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // poc_type 2: no poc fields in the slice header
+    w.ue(0); w.u(0, 1) // max_num_ref_frames, gaps_allowed
+    w.ue(wMbs - 1); w.ue(hMbs - 1)
+    w.u(1, 1); w.u(0, 1) // frame_mbs_only, direct_8x8
+    if (crop == (0, 0, 0, 0)) w.u(0, 1)
+    else { w.u(1, 1); w.ue(crop._1); w.ue(crop._2); w.ue(crop._3); w.ue(crop._4) }
+    w.u(0, 1) // vui_parameters_present
+    w.trailing()
+    Array(0x67.toByte) ++ escapeRbsp(w.rbsp) // NAL header: ref_idc 3, type 7
+  }
+
+  private def ppsBytes(cabac: Boolean = false): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps_id, sps_id
+    w.u(if (cabac) 1 else 0, 1); w.u(0, 1) // entropy_coding, bottom_poc
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx defaults
+    w.u(0, 1); w.u(0, 2) // weighted_pred, weighted_bipred
+    w.se(0); w.se(0); w.se(0) // init_qp, init_qs, chroma_qp_offset
+    w.u(0, 1); w.u(0, 1); w.u(0, 1) // deblock_present, constrained, redundant
+    w.trailing()
+    Array(0x68.toByte) ++ escapeRbsp(w.rbsp) // type 8
+  }
+
+  /** One-slice IDR NAL whose macroblocks are all I_PCM with the given
+    * per-mb (Y[256], Cb[64], Cr[64]) planes.
+    */
+  private def idrIPcmBytes(mbs: Seq[(Array[Byte], Array[Byte], Array[Byte])])
+      : Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0) // first_mb, slice_type I(7), pps_id
+    w.u(0, 4) // frame_num (log2 = 4)
+    w.ue(0) // idr_pic_id
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking IDR flags
+    w.se(0) // slice_qp_delta
+    mbs.foreach { case (y, cb, cr) =>
+      w.ue(25) // I_PCM
+      w.raw(y); w.raw(cb); w.raw(cr) // raw() aligns = pcm_alignment bits
+    }
+    w.trailing()
+    Array(0x65.toByte) ++ escapeRbsp(w.rbsp) // type 5, ref_idc 3
+  }
+
+  /** A complete avc1 mp4: VisualSampleEntry (86 bytes) + avcC carrying
+    * SPS/PPS, stsz/stco pointing at the AVCC-framed sample in mdat.
+    */
+  private def mp4WithAvcSample(sps: Array[Byte], pps: Array[Byte],
+      idr: Array[Byte]): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def boxOf(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val sample = {
+      val bb = ByteBuffer.allocate(4 + idr.length)
+      bb.putInt(idr.length).put(idr) // AVCC framing, lengthSize 4
+      bb.array()
+    }
+    val mdat = boxOf("mdat", sample)
+    val sampleOff = 16 + 8 // after ftyp(16) + mdat header(8)
+    val avcc = boxOf("avcC", {
+      val bb = ByteBuffer.allocate(6 + 2 + sps.length + 1 + 2 + pps.length)
+      bb.put(1.toByte).put(66.toByte).put(0.toByte).put(30.toByte)
+      bb.put(0xFF.toByte) // reserved | lengthSizeMinusOne = 3
+      bb.put(0xE1.toByte) // reserved | numSPS = 1
+      bb.putShort(sps.length.toShort).put(sps)
+      bb.put(1.toByte).putShort(pps.length.toShort).put(pps)
+      bb.array()
+    })
+    val entry = {
+      val bb = ByteBuffer.allocate(86 + avcc.length)
+      bb.putInt(86 + avcc.length).put("avc1".getBytes)
+      bb.put(new Array[Byte](6)).putShort(1) // reserved, data_ref_index
+      bb.put(new Array[Byte](16)) // pre_defined/reserved block
+      bb.putShort(32).putShort(32) // width, height (display hint)
+      bb.putInt(0x00480000).putInt(0x00480000).putInt(0) // dpi, reserved
+      bb.putShort(1).put(new Array[Byte](32)) // frame_count, compressor
+      bb.putShort(24).putShort(-1) // depth, pre_defined
+      bb.put(avcc)
+      bb.array()
+    }
+    val stsd = boxOf("stsd", {
+      val bb = ByteBuffer.allocate(8 + entry.length)
+      bb.putInt(0).putInt(1).put(entry)
+      bb.array()
+    })
+    val stsz = boxOf("stsz", {
+      val bb = ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(sample.length).putInt(1)
+      bb.array()
+    })
+    val stco = boxOf("stco", {
+      val bb = ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(1).putInt(sampleOff)
+      bb.array()
+    })
+    val stbl = boxOf("stbl", stsd ++ stsz ++ stco)
+    val trak = boxOf("trak", boxOf("mdia", boxOf("minf", stbl)))
+    val moov = boxOf("moov", trak)
+    val ftyp = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.array()
+    }
+    ftyp ++ mdat ++ moov
+  }
+
+  test("avc1 mp4: an I_PCM IDR keyframe decodes to its literal pixels") {
+    // grayscale gradient (Cb = Cr = 128 ⇒ R = G = B = Y exactly), with
+    // zero rows so the emulation-prevention escape path is exercised
+    // on both sides (the writer inserts 0x03, the decoder strips it)
+    val yPlane = Array.tabulate(256)(i => ((i / 16) * 16).toByte) // rows 0,16,…,240
+    val gray = Array.fill(64)(128.toByte)
+    val mb = (yPlane, gray, gray)
+    val video = mp4WithAvcSample(spsBytes(2, 2), ppsBytes(),
+      idrIPcmBytes(Seq(mb, mb, mb, mb))) // 32×32, 4 identical mbs
+    val out = graft.operators.Multimodal.mp4FirstAvcFrame(video)
+    assert(out.isDefined, "I_PCM keyframe must decode")
+    val (w, h, px) = out.get
+    assert(w == 32 && h == 32)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val lum = (y % 16) * 16 // the literal PCM row value
+      assert(px(y * 32 + x) == ((lum << 16) | (lum << 8) | lum),
+        s"pixel ($x,$y)")
+    }
+    // the decodeFeatures lane scores it as a REAL keyframe (tag 6.0)
+    implicit val s = spark
+    import spark.implicits._
+    val recs = Seq(graft.operators.MMRecord(9L, video, "mp4", 32, 32, 1)).toDS()
+    val f = Multimodal.decodeFeatures(recs).collect().head.features
+    assert(f(7) == 6.0, "avc I_PCM must take the real keyframe lane")
+    val meanLum = (0 until 16).map(_ * 16).sum / 16.0 / 255.0
+    assert(math.abs(f(3) - meanLum) < 1e-9, "luma mean must match the PCM payload")
+  }
+
+  test("avc1 color conversion, cropping, and the declared entropy-coded boundary") {
+    // one uniform color mb: Y=100, Cb=200, Cr=50 → BT.601: R=0 (clamped
+    // from −9.4), G=131, B=228 — hand-computed, not copied from the code
+    val y100 = Array.fill(256)(100.toByte)
+    val cb200 = Array.fill(64)(200.toByte)
+    val cr50 = Array.fill(64)(50.toByte)
+    val colored = mp4WithAvcSample(spsBytes(1, 1), ppsBytes(),
+      idrIPcmBytes(Seq((y100, cb200, cr50))))
+    val (w1, h1, px1) = graft.operators.Multimodal.mp4FirstAvcFrame(colored).get
+    assert(w1 == 16 && h1 == 16)
+    assert(px1.forall(_ == ((0 << 16) | (131 << 8) | 228)))
+    // frame cropping: crop_right=6 ⇒ 32−12=20 px wide (crop unit 2)
+    val gray = Array.fill(64)(128.toByte)
+    val mb = (Array.fill(256)(77.toByte), gray, gray)
+    val cropped = mp4WithAvcSample(spsBytes(2, 1, crop = (0, 6, 0, 0)), ppsBytes(),
+      idrIPcmBytes(Seq(mb, mb)))
+    val (w2, h2, px2) = graft.operators.Multimodal.mp4FirstAvcFrame(cropped).get
+    assert(w2 == 20 && h2 == 16 && px2.length == 320)
+    assert(px2.forall(_ == ((77 << 16) | (77 << 8) | 77)))
+    // the boundary: a CABAC PPS — no entropy decoder in-tree — must
+    // return None and leave the row on the histogram stub
+    val cabac = mp4WithAvcSample(spsBytes(1, 1), ppsBytes(cabac = true),
+      idrIPcmBytes(Seq((y100, cb200, cr50))))
+    assert(graft.operators.Multimodal.mp4FirstAvcFrame(cabac).isEmpty)
+    implicit val s = spark
+    import spark.implicits._
+    val f = Multimodal.decodeFeatures(
+      Seq(graft.operators.MMRecord(3L, cabac, "mp4", 16, 16, 1)).toDS())
+      .collect().head.features
+    assert(f(7) != 6.0, "CABAC stream stays on the declared stub lane")
+  }
 }
