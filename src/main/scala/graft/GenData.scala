@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * Everything derives deterministically from the row id via hash
   * folds (no rand(): reruns are identical, and generation is a
   * narrow per-row map — no shuffle except lineitem's fanout explode,
-  * which is also narrow). The non-TPC-H tables (events, documents,
-  * embeddings) have no TPC-H scaling rule and stay on [[ScaleData]]'s
-  * content-perturbed replicas: run ScaleData first, then this tool
-  * over the same outDir (it overwrites only the five TPC-H tables +
-  * dims).
+  * which is also narrow). The events table generates too (monotone
+  * arrival timestamps, full grown user space, Exponential(50)
+  * values). The content tables (documents, embeddings) have no
+  * generation rule that preserves their text/vector statistics and
+  * stay on [[ScaleData]]'s content-perturbed replicas: run ScaleData
+  * first, then this tool over the same outDir (it overwrites the
+  * five TPC-H tables, dims, and events).
   *
   * Usage: runMain graft.GenData <srcDir> <outDir> <sf>
   */
@@ -52,6 +54,8 @@ object GenData {
     val nSupp = (10000 * sf).toLong
     val nPart = (200000 * sf).toLong
     val nOrd = (1500000 * sf).toLong
+    val nEvt = (1000000 * sf).toLong
+    val nUsr = (15000 * sf).toLong
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -148,6 +152,25 @@ object GenData {
         expr("timestamp(date_add(to_date(o_orderdate), " +
           "cast(pmod(hash(lid, 28), 95) + 1 as int)))").as("l_shipdate")),
       "lineitem")
+
+    // events: ~30 days of arrivals, monotone ts in event_id (spacing +
+    // sub-spacing jitter — the bus-delivery order the streaming twins
+    // replay), users spanning the FULL grown user space, uniform
+    // types, Exponential(50) values via inverse-CDF, {"k": 0..99}
+    // props — all measured off the driver tables
+    val spacingUs = 2592000000000L / math.max(1L, nEvt) // 30 days / N
+    write(spark.range(nEvt).select(
+      col("id").as("event_id"),
+      expr(s"timestamp_micros(cast(unix_micros(timestamp'2024-01-01 00:00:00Z') " +
+        s"+ id * ${spacingUs}L + pmod(hash(id, 30), ${spacingUs}L) as bigint))")
+        .as("ts"),
+      pmod(hash(col("id"), lit(31)), lit(nUsr)).as("user_id"),
+      expr("element_at(array('click','error','purchase','signup','view'), " +
+        "cast(pmod(hash(id, 32), 5) + 1 as int))").as("event_type"),
+      round(expr(s"-50.0 * ln(1.0 - pmod(hash(id, 33), 1000000) / 1e6)"), 2)
+        .as("value"),
+      concat(lit("{\"k\": "), pmod(hash(col("id"), lit(34)), lit(100)),
+        lit("}")).as("props")), "events")
     println(s"[gen] done: $outDir at sf=$sf")
   }
 }

@@ -272,19 +272,32 @@ object EventOps {
       .orderBy(col("k_bucket"))
 
   /** Sliding-window rate limiting: each event's trailing-window
-    * event count for its producer (RANGE frame over µs epochs —
-    * same-instant peers share a frame, quiet gaps shrink it) and a
-    * flood flag when the count exceeds the limit. The abuse-
-    * detection / backpressure primitive a production bus puts in
-    * front of [[deadLetter]]. One user-keyed exchange; the frame
-    * bound is exact integer arithmetic.
+    * event count for its producer (same-instant peers share a frame,
+    * quiet gaps shrink it) and a flood flag when the count exceeds
+    * the limit. The abuse-detection / backpressure primitive a
+    * production bus puts in front of [[deadLetter]].
+    *
+    * The trailing count is computed as the DIFFERENCE of two
+    * growing frames — count(ts' ≤ t) − count(ts' ≤ t−W−1µs), exact
+    * for integer µs epochs — instead of one sliding RANGE frame
+    * [−W, 0]. Same answer, radically different skew behavior: Spark
+    * evaluates a growing (unbounded-preceding) frame incrementally,
+    * O(rows) per partition, while a sliding frame re-aggregates the
+    * whole buffer every time its lower bound moves — O(rows ×
+    * frame) — which is QUADRATIC exactly on the hot producer this
+    * operator exists to catch (measured on the 10%-flood skew
+    * replica: 36.6 s sliding vs sub-second grown, SCALING.md
+    * round 7). Both frames share one user-keyed exchange + sort.
     */
   def rateLimit(events: DataFrame, windowSec: Long = 604800L,
       maxPerWindow: Int = 15): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      .rangeBetween(-windowSec * 1000000L, 0)
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val upTo = byTs.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val beforeWindow =
+      byTs.rangeBetween(Window.unboundedPreceding, -windowSec * 1000000L - 1L)
     withTsUs(events)
-      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("n_in_window",
+        count(lit(1)).over(upTo) - count(lit(1)).over(beforeWindow))
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("n_in_window"),
         when(col("n_in_window") > maxPerWindow, 1L).otherwise(0L).as("flood"))
