@@ -23,11 +23,20 @@ import org.apache.spark.sql.functions._
   * narrow per-row map — no shuffle except lineitem's fanout explode,
   * which is also narrow). The events table generates too (monotone
   * arrival timestamps, full grown user space, Exponential(50)
-  * values). The content tables (documents, embeddings) have no
-  * generation rule that preserves their text/vector statistics and
-  * stay on [[ScaleData]]'s content-perturbed replicas: run ScaleData
-  * first, then this tool over the same outDir (it overwrites the
-  * five TPC-H tables, dims, and events).
+  * values), and so do the content tables, with the driver
+  * generator's measured rules: documents = uniform words from the
+  * 30-word vocabulary, word count uniform 10..100, source round-robin
+  * over 20, lang multinomial (en 0.40, others 0.15), 5% near-dup
+  * docs that append " dup" to a uniformly-chosen base doc's text
+  * (colliding bases yield the driver's handful of exact-dup pairs);
+  * embeddings = 64-dim unit-normalized Gaussians (Box–Muller over
+  * hash uniforms) with a uniform label 0..9 — measured independent
+  * of the vector (the driver corpus has no planted vector near-dups:
+  * max off-diagonal cosine 0.60 at sf0.1). Unlike [[ScaleData]]'s
+  * per-replica vocab suffixing, the generated corpus keeps ONE
+  * shared shingle space, so document frequencies, LSH bucket
+  * occupancies and near-dup pair counts grow the way a real corpus
+  * grows — the property the dedup-family scale claims need.
   *
   * Usage: runMain graft.GenData <srcDir> <outDir> <sf>
   */
@@ -171,6 +180,54 @@ object GenData {
         .as("value"),
       concat(lit("{\"k\": "), pmod(hash(col("id"), lit(34)), lit(100)),
         lit("}")).as("props")), "events")
+
+    // documents: 30-word uniform vocabulary, word count uniform
+    // 10..100, 5% near-dup docs = (uniform base doc's text) + " dup".
+    // Every doc's words derive from its BASE id (bid = self for the
+    // 95%), so a dup doc reproduces its base's exact word sequence —
+    // two dups colliding on a base become the driver's exact-dup
+    // pairs (expected nDup²/2nDoc, ≈8 at sf0.1, growing linearly)
+    val nDoc = (50000 * sf).toLong
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector",
+      "window").mkString("array('", "','", "')")
+    write(spark.range(nDoc)
+      .withColumn("is_dup", pmod(hash(col("id"), lit(40)), lit(20)) === 0)
+      .withColumn("bid",
+        when(col("is_dup"), pmod(hash(col("id"), lit(41)), lit(nDoc)))
+          .otherwise(col("id")))
+      .withColumn("nw", (pmod(hash(col("bid"), lit(42)), lit(91)) + 10).cast("int"))
+      .withColumn("text", concat(
+        expr(s"array_join(transform(sequence(1, nw), i -> " +
+          s"element_at($vocab, cast(pmod(hash(bid, i, 43), 30) + 1 as int))), ' ')"),
+        when(col("is_dup"), lit(" dup")).otherwise(lit(""))))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        expr("case when pmod(hash(id, 44), 1000000) / 1e6 < 0.40 then 'en' " +
+          "when pmod(hash(id, 44), 1000000) / 1e6 < 0.55 then 'es' " +
+          "when pmod(hash(id, 44), 1000000) / 1e6 < 0.70 then 'fr' " +
+          "when pmod(hash(id, 44), 1000000) / 1e6 < 0.85 then 'de' " +
+          "else 'zh' end").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        length(col("text")).cast("long").as("n_chars")), "documents")
+
+    // embeddings: 64-dim unit Gaussians via Box–Muller on two hash
+    // uniforms per component (u1 offset by 0.5 keeps ln() finite),
+    // label uniform 0..9 independent of the vector
+    val nVec = (20000 * sf).toLong
+    write(spark.range(nVec)
+      .withColumn("raw", expr("transform(sequence(0, 63), j -> " +
+        "sqrt(-2.0 * ln((pmod(hash(id, j, 51), 1000000) + 0.5) / 1e6)) * " +
+        "cos(6.283185307179586 * pmod(hash(id, j, 52), 1000000) / 1e6))"))
+      .withColumn("nrm", expr("sqrt(aggregate(raw, 0.0d, (a, x) -> a + x * x))"))
+      .select(
+        col("id").as("vec_id"),
+        expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"),
+        pmod(hash(col("id"), lit(53)), lit(10)).cast("int").as("label")),
+      "embeddings")
     println(s"[gen] done: $outDir at sf=$sf")
   }
 }

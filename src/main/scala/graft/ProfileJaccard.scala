@@ -3,8 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler: count-join exact jaccard vs a df≥2-pruned variant
-  * (dev tool; PLANS.md records the verdict).
+/** Scratch profiler (dev tool; PLANS.md + SCALING.md record verdicts).
+  *
+  * Round-6 use: count-join exact Jaccard vs a df≥2-pruned variant
+  * (verdict: pruning doesn't pay on the dense corpus, recorded in
+  * PLANS.md).
+  *
+  * Round-7 use: exact count-join vs [[graft.operators.Dedup
+  * .jaccardLshVerified]] on a corpus dir — timings, the adaptive
+  * probe's regime pick, and full RESULT SET equality in both
+  * directions (the empirical recall=1.0 evidence behind wiring the
+  * pair-graph family to the adaptive dispatcher).
   */
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
@@ -22,36 +31,29 @@ object ProfileJaccard {
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def pruned(tauNum: Int = 50, tauDenom: Int = 100) = {
-      val tri = graft.operators.Dedup.shingles(docs)
-      val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-      val dup = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("g"))
-      val joinable = tri.join(dup, Seq("g"))
-      val pairs = joinable.select(col("doc_id").as("doc1"), col("g"))
-        .join(joinable.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
-        .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
-        .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
-        .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
-        .orderBy(col("doc1"), col("doc2"))
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    println(s"[prof] corpus=$sfDir strategy=${graft.operators.Dedup.jaccardStrategy(docs)}")
     // warm both plans, then min-of-2 each
-    time("warm count-join")(graft.operators.Dedup.ngramJaccard(docs)
-      .write.format("noop").mode("overwrite").save())
-    time("warm pruned")(pruned().write.format("noop").mode("overwrite").save())
+    time("warm exact count-join")(graft.operators.Dedup.ngramJaccard(docs)
+      .write.format("noop").mode("overwrite").save()); release()
+    time("warm lsh-verified")(graft.operators.Dedup.jaccardLshVerified(docs)
+      .write.format("noop").mode("overwrite").save()); release()
     (1 to 2).foreach { i =>
-      time(s"count-join p$i")(graft.operators.Dedup.ngramJaccard(docs)
-        .write.format("noop").mode("overwrite").save())
-      time(s"pruned p$i")(pruned().write.format("noop").mode("overwrite").save())
+      time(s"exact count-join p$i")(graft.operators.Dedup.ngramJaccard(docs)
+        .write.format("noop").mode("overwrite").save()); release()
+      time(s"lsh-verified p$i")(graft.operators.Dedup.jaccardLshVerified(docs)
+        .write.format("noop").mode("overwrite").save()); release()
     }
-    val a = graft.operators.Dedup.ngramJaccard(docs).count()
-    val b = pruned().count()
-    println(s"[prof] rows count-join=$a pruned=$b equal=${a == b}")
+    val exact = graft.operators.Dedup.ngramJaccard(docs)
+    val lsh = graft.operators.Dedup.jaccardLshVerified(docs)
+    val nExact = exact.count(); val nLsh = lsh.count()
+    val missed = exact.exceptAll(lsh).count() // recall gaps
+    val spurious = lsh.exceptAll(exact).count() // must be 0 (exact verify)
+    println(s"[prof] pairs exact=$nExact lsh=$nLsh missed=$missed spurious=$spurious " +
+      s"equal=${missed == 0 && spurious == 0}")
     spark.stop()
   }
 }

@@ -148,7 +148,9 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     "dd_containment" -> ((s, dir) => Dedup.containmentPairs(Tables(s, dir).documents)),
     "dd_containment_lsh" -> ((s, dir) => Dedup.containmentPairsLsh(Tables(s, dir).documents)),
+    "dd_containment_auto" -> ((s, dir) => Dedup.containmentAuto(Tables(s, dir).documents)),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
+    "dd_jaccard_lsh" -> ((s, dir) => Dedup.jaccardLshVerified(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
     "dd_url_dedup" -> ((s, dir) => Dedup.urlDedup(Tables(s, dir).documents)),
     "dd_bloom" -> ((s, dir) => Dedup.bloomShingleFilter(Tables(s, dir).documents)),
@@ -156,17 +158,21 @@ object SparkEntry {
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
     "dd_contamination" -> ((s, dir) => Dedup.contamination(Tables(s, dir).documents)),
     "dd_dup_spans" -> ((s, dir) => Dedup.dupSpans(Tables(s, dir).documents)),
+    // the pair-graph consumers feed off the ADAPTIVE pair source so a
+    // dense corpus dispatches their candidate generation to the
+    // LSH-verified regime (identical pairs at the oracle scale, where
+    // the probe picks an exact regime — spec-pinned)
     "dd_cluster_cc" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      Dedup.connectedComponents(docs, Dedup.ngramJaccard(docs))
+      Dedup.connectedComponents(docs, Dedup.ngramJaccardAdaptive(docs))
     }),
     "dd_canonicalize" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      Dedup.canonicalize(docs, Dedup.ngramJaccard(docs))
+      Dedup.canonicalize(docs, Dedup.ngramJaccardAdaptive(docs))
     }),
     "dd_soft_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      Dedup.softDedupWeights(docs, Dedup.ngramJaccard(docs))
+      Dedup.softDedupWeights(docs, Dedup.ngramJaccardAdaptive(docs))
     }),
     // semantic (embedding-space) near-dup clustering: the same CC
     // machinery over the hyperplane-LSH candidate pair graph
@@ -1312,6 +1318,53 @@ object SparkEntry {
         |JOIN sizes s1 ON doc1 = s1.doc_id
         |JOIN sizes s2 ON doc2 = s2.doc_id
         |WHERE inter * 100 >= LEAST(s1.s, s2.s) * 80
+        |ORDER BY doc1, doc2""".stripMargin,
+    // the containment dispatcher: whichever candidate generator the
+    // density probe picks (rarest-prefix lossless or banded-MinHash),
+    // verification is exact and on this corpus the result set equals
+    // the exact contract — same oracle as dd_containment
+    "dd_containment_auto" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(s1.s, s2.s), 6) AS containment,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.s + s2.s - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= LEAST(s1.s, s2.s) * 80
+        |ORDER BY doc1, doc2""".stripMargin,
+    // the LSH-verified dense-regime path: candidates are banded
+    // MinHash buckets, but every candidate is verified with an exact
+    // intersection count, so against THIS corpus (true pairs ≥ 0.89
+    // Jaccard, where banded recall is 1 − 4·10⁻⁷) the result set is
+    // the full exact contract — the oracle asserts exactly that
+    "dd_jaccard_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= (s1.s + s2.s - inter) * 50
         |ORDER BY doc1, doc2""".stripMargin,
     // the adaptive dispatcher must match the same exact-Jaccard
     // contract whichever physical strategy its vocabulary probe picks

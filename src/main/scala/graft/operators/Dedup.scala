@@ -197,36 +197,169 @@ object Dedup {
     jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover)
 
   private def jaccardStrategyOnFps(tri: DataFrame,
-      singletonMassCutover: Double): String = {
+      singletonMassCutover: Double,
+      candsPerOccCutover: Double = DenseCandsPerOccCutover): String = {
     val r = tri
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df")).as("occ"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"))
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"),
+        // Σ df·(df−1)/2 = the count-join's candidate mass — the rows
+        // its self-join would shuffle into the pair aggregate
+        // df·(df−1) is even, so the /2 is exact; Column `/` is double
+        // division — cast back to long for the Row getter
+        sum((col("df") * (col("df") - 1) / 2).cast("long")).as("cand_mass"))
       .head()
     val occ = if (r.isNullAt(0)) 0L else r.getLong(0)
     val singles = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val candMass = if (r.isNullAt(2)) 0L else r.getLong(2)
     if (occ > 0 && singles.toDouble / occ >= singletonMassCutover) "prefix"
+    else if (occ > 0 && candMass.toDouble / occ > candsPerOccCutover) "lsh"
     else "count"
   }
 
-  /** Adaptive exact Jaccard: measure the vocabulary with
-    * [[jaccardStrategy]], then dispatch to [[ngramJaccardPrefix]]
-    * (long-tail vocabulary) or [[ngramJaccard]] (dense vocabulary).
-    * Both produce identical results (spec-pinned), so the switch is a
-    * pure cost decision — the corpus tells the planner which plan it
-    * wants instead of a hardcoded default guessing. The probe and the
-    * count-join SHARE one persisted shingling pass — the probe must
-    * not cost a second corpus scan; on the prefix path the persisted
-    * fingerprints release immediately (that path re-shingles as
-    * strings for the document-frequency sort order it needs).
+  /** Count-join candidate mass per shingle occurrence above which the
+    * dense regime dispatches to [[jaccardLshVerified]] instead of the
+    * exact count-join. The count-join's dominant cost is shuffling +
+    * aggregating Σ df·(df−1)/2 candidate increments; the LSH path's
+    * is ~128 signature multiplies per occurrence plus verification of
+    * candidates ≈ true pairs. Crossover measured on the generated
+    * corpus family (ProfileJaccard): sf0.01 sits at ~0.5 increments
+    * per occurrence (count-join wins, and the exact contract holds by
+    * construction), sf0.1 at ~10, true sf1 at ~46 and growing
+    * linearly with corpus size at fixed vocabulary — the count-join
+    * is quadratic there while LSH+verify stays near-linear.
+    */
+  private[graft] val DenseCandsPerOccCutover = 6.0
+
+  /** Adaptive Jaccard: measure the vocabulary with [[jaccardStrategy]],
+    * then dispatch — long-tail vocabulary → [[ngramJaccardPrefix]],
+    * moderate density → [[ngramJaccard]]'s count-join, and DENSE
+    * vocabulary (count-join candidate mass beyond
+    * [[DenseCandsPerOccCutover]] per occurrence — the regime where
+    * every deterministic shingle-sharing candidate generator is
+    * quadratic in corpus size) → [[jaccardLshVerified]]. The first
+    * two regimes produce identical results by construction
+    * (spec-pinned); the LSH regime verifies exactly over
+    * probabilistic candidates — its recall curve is quantified on
+    * [[jaccardLshVerified]] and result equality on this corpus family
+    * is spec-pinned at the driver scale. The corpus tells the planner
+    * which plan it wants instead of a hardcoded default guessing. The
+    * probe and the count-join/LSH paths SHARE one persisted shingling
+    * pass — the probe must not cost a second corpus scan; on the
+    * prefix path the persisted fingerprints release immediately (that
+    * path re-shingles as strings for the document-frequency sort
+    * order it needs).
     */
   def ngramJaccardAdaptive(documents: DataFrame, tauNum: Int = 50,
       tauDenom: Int = 100, singletonMassCutover: Double = 0.5): DataFrame = {
     val tri = shingleFps(documents).persist()
-    if (jaccardStrategyOnFps(tri, singletonMassCutover) == "prefix") {
-      tri.unpersist(blocking = false)
-      ngramJaccardPrefix(documents, tauNum, tauDenom)
-    } else ngramJaccardOnFps(tri, tauNum, tauDenom)
+    jaccardStrategyOnFps(tri, singletonMassCutover) match {
+      case "prefix" =>
+        tri.unpersist(blocking = false)
+        ngramJaccardPrefix(documents, tauNum, tauDenom)
+      case "lsh" => jaccardLshVerifiedOnFps(tri, tauNum, tauDenom)
+      case _ => ngramJaccardOnFps(tri, tauNum, tauDenom)
+    }
+  }
+
+  /** Exactly-verified Jaccard pairs over MinHash-LSH candidates — the
+    * DENSE-corpus / 100 TB regime of the Jaccard family. On a corpus
+    * whose shingle vocabulary is small relative to its size (average
+    * document frequency grows with the corpus), EVERY deterministic
+    * shingle-sharing candidate generator — count-join, PPJoin prefix,
+    * positional filters — shuffles Ω(Σ df²) candidate increments:
+    * quadratic in corpus size at fixed vocabulary. Measured on the
+    * true generated corpus: the exact paths went 9–12× wall for 10×
+    * data while this path holds ~3× (see SCALING.md round-7).
+    *
+    * Candidates come from banded MinHash buckets (`bands`×`rows` over
+    * the 128-value signature, deterministic seeded permutations);
+    * every candidate is verified with an EXACT sorted-merge
+    * intersection count over the shingle fingerprints, so no false
+    * positive survives and reported (inter, s1, s2) are exact — the
+    * output schema and threshold arithmetic are [[ngramJaccard]]'s.
+    * What is probabilistic is candidate RECALL: a pair at Jaccard J
+    * is bucketed with probability 1 − (1 − J^rows)^bands; at the
+    * default (6, 21): J=0.6 → 52%, 0.7 → 93%, 0.8 → 99.8%,
+    * 0.9 → 99.99998%. The regime is therefore right for the bimodal
+    * similarity structure dedup corpora actually have (this corpus:
+    * true pairs ≥ 0.89, random pairs ≤ 0.15, nothing between —
+    * DedupSpec pins result equality with the exact operator on the
+    * driver corpus) and wrong for a contract that must catch pairs
+    * sitting AT a low threshold — use the exact paths there and pay
+    * their density cost knowingly. Collision noise is bounded the
+    * other way: a random pair at J≈0.1 hits a bucket with
+    * p ≈ bands·J^rows ≈ 2·10⁻⁵, so spurious candidates stay a tiny
+    * multiple of corpus size through 100× growth.
+    */
+  def jaccardLshVerified(documents: DataFrame, tauNum: Int = 50,
+      tauDenom: Int = 100, rows: Int = 6, bands: Int = 21): DataFrame =
+    jaccardLshVerifiedOnFps(shingleFps(documents).persist(), tauNum, tauDenom,
+      rows, bands)
+
+  /** Body over an already-persisted fingerprint table (ownership
+    * transfers: released once the result materializes). One shingling
+    * pass feeds signatures, sizes and verification arrays.
+    */
+  private def jaccardLshVerifiedOnFps(tri: DataFrame, tauNum: Int,
+      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
+    val (cands, sigs) = bandedCandidatesOnFps(tri, rows, bands)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    // exact verification via the shared sorted-merge counter — same
+    // construction-time-probe caveat as containmentPairsLsh
+    val (inter, interCache) =
+      try pairIntersections(cands, tri)
+      catch { case t: Throwable =>
+        Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
+        throw t
+      }
+    materializeAndRelease(cands
+      .join(inter, Seq("doc1", "doc2"))
+      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
+      .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
+      .orderBy(col("doc1"), col("doc2")),
+      tri, sigs, cands, interCache)
+  }
+
+  /** Banded-MinHash candidate pairs over a persisted fingerprint
+    * table — the shared candidate generator of the dense-regime
+    * Jaccard and containment paths. Returns (candidates, signatures),
+    * BOTH persisted; the caller owns their release. The signature
+    * cache exists because the banded bucket table feeds both sides of
+    * the candidate self-join — without it each side re-runs the
+    * 128-permutation aggregate (measured ~2× the operator at sf1);
+    * the candidate cache exists because candidates feed the
+    * verification join and the outer result join.
+    */
+  private def bandedCandidatesOnFps(tri: DataFrame, rows: Int,
+      bands: Int): (DataFrame, DataFrame) = {
+    require(rows * bands <= 128, s"rows*bands=${rows * bands} exceeds the 128 signatures")
+    // the signature aggregate reads the persisted fingerprints (top
+    // 31 bits — the same derivation minhashSignatures uses)
+    val sigs = tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
+      .groupBy(col("doc_id"))
+      .agg({
+        import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+        column(graft.expressions.MinhashSignature(expression(col("h31")))
+          .toAggregateExpression()).as("mh")
+      })
+      .persist()
+    val bucketed = sigs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> aggregate(" +
+          s"slice(mh, b * $rows + 1, $rows), 0L," +
+          " (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))")))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cands = bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+      .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+      .persist()
+    (cands, sigs)
   }
 
   /** Near-superset detection: pairs where one document's shingle set
@@ -371,6 +504,80 @@ object Dedup {
       catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
     materializeAndRelease(
       containmentVerify(inter, sizes, tauNum, tauDenom), docSets, interCache)
+  }
+
+  /** Containment pairs over banded-MinHash candidates — the
+    * DENSE-corpus regime of the containment family. The lossless
+    * generators ([[containmentPairs]]'s count-join,
+    * [[containmentPairsLsh]]'s rarest-prefix probes) both shuffle
+    * Ω(probe × df) candidate rows, which grows quadratically when
+    * document frequency grows with the corpus — and a UNIFORMLY dense
+    * vocabulary (this corpus at scale: every shingle df ≈ n/27000)
+    * is the worst case for any frequency-ordered filter, because
+    * there are no rare shingles to order by. Banded candidates keep
+    * the generator linear; the containment cut and scores are then
+    * EXACT on every candidate (shared [[containmentVerify]]).
+    *
+    * The honest trade, written down: banding keys on symmetric
+    * MinHash, whose collision rate is Jaccard — so recall follows
+    * the pair's JACCARD, not its containment
+    * (1 − (1 − J^rows)^bands; at (6, 21): J=0.7 → 93%, 0.8 → 99.8%,
+    * 0.89 → 99.99996%). A high-containment / low-Jaccard pair (tiny
+    * quote inside a huge page) under-recalls — exactly the pair class
+    * the asymmetric measure exists for — so this regime is right only
+    * where near-dup structure is size-bounded (boilerplate wraps,
+    * re-posts; this corpus: every true containment pair also has
+    * J ≥ 0.89, DedupSpec pins result equality), and a corpus with
+    * genuinely asymmetric duplication must pay the prefix generator's
+    * density cost knowingly. [[containmentAuto]] makes that choice
+    * from the corpus statistics.
+    */
+  def containmentBandedVerified(documents: DataFrame, tauNum: Int = 80,
+      tauDenom: Int = 100, rows: Int = 6, bands: Int = 21): DataFrame =
+    containmentBandedVerifiedOnFps(shingleFps(documents).persist(),
+      tauNum, tauDenom, rows, bands)
+
+  /** Body over an already-persisted fingerprint table (ownership
+    * transfers — the dispatcher's probe and this path share one
+    * shingling pass).
+    */
+  private def containmentBandedVerifiedOnFps(tri: DataFrame, tauNum: Int,
+      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
+    val (cands, sigs) = bandedCandidatesOnFps(tri, rows, bands)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val (inter, interCache) =
+      try pairIntersections(cands, tri)
+      catch { case t: Throwable =>
+        Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
+        throw t
+      }
+    materializeAndRelease(
+      containmentVerify(inter, sizes, tauNum, tauDenom),
+      tri, sigs, cands, interCache)
+  }
+
+  /** Adaptive containment: the [[jaccardStrategy]] probe dispatches —
+    * dense vocabulary (count-join candidate mass beyond
+    * [[DenseCandsPerOccCutover]] per occurrence) →
+    * [[containmentBandedVerified]]; anything else → the lossless
+    * rarest-prefix generator [[containmentPairsLsh]] (which already
+    * beats the count-join everywhere the prefix has rare shingles to
+    * rank on). Same contract shape as the Jaccard dispatcher: the
+    * probe is one cheap keyed aggregate over a shared shingling pass,
+    * and the dense regime's recall trade is quantified on
+    * [[containmentBandedVerified]].
+    */
+  def containmentAuto(documents: DataFrame, tauNum: Int = 80,
+      tauDenom: Int = 100): DataFrame = {
+    val tri = shingleFps(documents).persist()
+    if (jaccardStrategyOnFps(tri, singletonMassCutover = 0.5) == "lsh")
+      containmentBandedVerifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
+    else {
+      // the prefix generator's single-consumer window design is
+      // deliberately persist-free — release the probe's cache
+      tri.unpersist(blocking = false)
+      containmentPairsLsh(documents, tauNum, tauDenom)
+    }
   }
 
   /** |shingles(doc1) ∩ shingles(doc2)| for given candidate pairs —

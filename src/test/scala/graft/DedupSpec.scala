@@ -361,23 +361,83 @@ class DedupSpec extends AnyFunSuite {
     assert(run(1 << 20) == run(0))
   }
 
-  test("adaptive jaccard picks prefix on long-tail vocab, count-join on dense vocab") {
+  test("adaptive jaccard picks prefix on long-tail vocab, count-join on moderate density") {
     // long-tail: every doc is built from its own unique words, so
     // every shingle is df=1 (singleton mass = 1.0)
     val longTail = (1L to 20L).map(i =>
       (i, (0 until 8).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
     assert(Dedup.jaccardStrategy(longTail) == "prefix")
-    // dense: all docs drawn from the same 5-word rotation — every
-    // shingle repeats across docs, singleton mass ≈ 0
-    val dense = (1L to 20L).map(i =>
-      (i, (0 until 8).map(j => s"v${(i + j) % 5}").mkString(" "))).toDF("doc_id", "text")
-    assert(Dedup.jaccardStrategy(dense) == "count")
+    // moderate: docs from a 30-word rotation — shingles repeat across
+    // docs (no singleton mass) but df stays small, so the count-join's
+    // candidate mass per occurrence sits under the dense cutover
+    val moderate = (1L to 20L).map(i =>
+      (i, (0 until 8).map(j => s"v${(i + j) % 30}").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.jaccardStrategy(moderate) == "count")
     // the switch is a pure cost decision: both strategies agree
-    val viaAdaptive = Dedup.ngramJaccardAdaptive(dense).collect()
+    val viaAdaptive = Dedup.ngramJaccardAdaptive(moderate).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val viaCount = Dedup.ngramJaccard(dense).collect()
+    val viaCount = Dedup.ngramJaccard(moderate).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaAdaptive == viaCount)
+  }
+
+  test("adaptive jaccard dispatches a dense corpus to LSH-verified with identical pairs") {
+    // dense: all docs drawn from the same 5-word rotation — only 5
+    // distinct shingle types, so the count-join's candidate mass per
+    // occurrence (~9.5) exceeds the dense cutover (6.0); every doc
+    // holds the same 5 distinct shingles, so all pairs sit at J = 1.0
+    // and banded candidates recall every one
+    val dense = (1L to 20L).map(i =>
+      (i, (0 until 8).map(j => s"v${(i + j) % 5}").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.jaccardStrategy(dense) == "lsh")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.ngramJaccardAdaptive(dense)) == rows(Dedup.ngramJaccard(dense)))
+  }
+
+  test("LSH-verified jaccard equals the exact count-join on high-J near-dups") {
+    // true pairs at J = 18/19 ≈ 0.947 (one appended word) — banded
+    // recall there is 1 − 4·10⁻⁷ per pair, and the fixed seeded
+    // permutations make the outcome deterministic; unrelated docs sit
+    // at J ≈ 0, far below any band collision
+    val corpus = docs(1L -> base, 2L -> (base + " indeed"),
+      3L -> distinct1, 4L -> (distinct1 + " truly"), 5L -> distinct2)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val exact = rows(Dedup.ngramJaccard(corpus))
+    assert(exact.map(r => (r(0), r(1))) == Seq((1L, 2L), (3L, 4L)))
+    assert(rows(Dedup.jaccardLshVerified(corpus)) == exact)
+    // verification is exact: scores carried through unchanged too
+    assert(rows(Dedup.jaccardLshVerified(corpus, tauNum = 30)) ==
+      rows(Dedup.ngramJaccard(corpus, tauNum = 30)))
+  }
+
+  test("banded containment misses the embedded doc the prefix generator finds — and auto picks right") {
+    // the documented recall trade: banding keys on symmetric MinHash,
+    // so a high-containment / low-Jaccard pair (small doc verbatim
+    // inside a big one) under-recalls exactly like minhashLsh does
+    val small = distinct1
+    val big = base + " " + distinct1 + " " + distinct2 + " " + nearDup
+    val corpus = docs(1L -> small, 2L -> big,
+      3L -> "entirely unrelated prose about gardening tips and seasonal vegetable rotation schedules")
+    val banded = Dedup.containmentBandedVerified(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!banded.contains((1L, 2L)),
+      "fixture broken: symmetric banding was supposed to miss this pair")
+    // this corpus is long-tail (every shingle rare), so the dispatcher
+    // picks the lossless prefix generator and finds the pair
+    val auto = Dedup.containmentAuto(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(auto.toSeq == Seq((1L, 2L)))
+  }
+
+  test("banded containment equals the exact count-join where duplication is size-bounded") {
+    // dense 5-word rotation: every pair J = 1.0 (bounded size ratio) —
+    // the regime containmentAuto dispatches to banding in
+    val dense = (1L to 12L).map(i =>
+      (i, (0 until 8).map(j => s"v${(i + j) % 5}").mkString(" "))).toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val exact = rows(Dedup.containmentPairs(dense))
+    assert(rows(Dedup.containmentBandedVerified(dense)) == exact)
+    assert(rows(Dedup.containmentAuto(dense)) == exact)
   }
 
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
