@@ -362,33 +362,76 @@ object Relational {
     * semantics in DuckDB) are hash-checked by the oracle; in-query
     * booleans prove the GK sketch lands within 5% of exact.
     */
-  def q20ApproxPercentile(lineitem: DataFrame): DataFrame = {
+  def q20ApproxPercentile(lineitem: DataFrame, buckets: Int = 4096): DataFrame = {
+    val (result, hist) = q20ApproxPercentilePlan(lineitem, buckets)
+    Caching.materializeAndRelease(result, hist)
+  }
+
+  /** The un-materialized plan plus its histogram cache — split out
+    * (package-private) so PlanPinSpec can assert the two-level window
+    * shape before the checkpoint truncates the lineage.
+    */
+  private[graft] def q20ApproxPercentilePlan(lineitem: DataFrame,
+      buckets: Int = 4096): (DataFrame, DataFrame) = {
     // Exact discrete percentiles from a VALUE HISTOGRAM, not Spark's
     // percentile_disc aggregate (which buffers every group member —
     // a non-starter at scale, and 4× slower here): one map-side-
-    // combined (flag, value) count, a per-flag cumulative window over
-    // the distinct values (bounded by value cardinality, not row
-    // count), then the smallest value whose cumulative count reaches
-    // p·n — integer arithmetic only (cum·2 ≥ n ⟺ cume_dist ≥ 0.5;
-    // cum·20 ≥ 19·n ⟺ ≥ 0.95), so the pick is engine-exact and
-    // matches DuckDB's PERCENTILE_DISC definition symbolically.
+    // combined (flag, value) count, a TWO-LEVEL distributed prefix
+    // sum over the distinct values, then the smallest value whose
+    // cumulative count reaches p·n — integer arithmetic only
+    // (cum·2 ≥ n ⟺ cume_dist ≥ 0.5; cum·20 ≥ 19·n ⟺ ≥ 0.95), so the
+    // pick is engine-exact and matches DuckDB's PERCENTILE_DISC
+    // definition symbolically.
+    //
+    // Why two-level: a near-continuous value column makes the
+    // histogram ~row-count-sized, and a cumulative window partitioned
+    // only by the 3-value flag runs ONE task per flag over all its
+    // distinct values — the whole corpus sorted by three tasks at
+    // 100 TB (the round-7 generated-sf1 audit caught this shape at
+    // 3.2× for 10× data). Instead: bucket each value by its position
+    // in the per-flag [min, max] range (monotone in value, so bucket
+    // order IS value order), cumulate the ~3·4096 per-bucket totals
+    // in a tiny window, and run the within-bucket prefix windows
+    // partitioned by (flag, bucket) — thousands of parallel
+    // value-cardinality/B-sized sorts instead of three corpus-sized
+    // ones. cum = bucket offset + within-bucket prefix, exactly.
     val hist = lineitem.groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"))))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      .persist() // feeds the range probe, bucket totals and the final cut
+    // per-flag value range + total: a tiny broadcast aggregate
+    val rng = broadcast(hist.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"),
+        sum(col("c")).as("n")))
+    val bucketed = hist.join(rng, Seq("l_returnflag"))
+      .withColumn("bkt",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((col("l_extendedprice") - col("mn"))
+              / ((col("mx") - col("mn")) / lit(buckets.toDouble))).cast("int"))))
+    // level 1: per-bucket totals (≤ flags·B rows) → exclusive offsets
+    val offsets = bucketed.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("off", sum(col("bc")).over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("bkt"))) - col("bc"))
+      .select(col("l_returnflag"), col("bkt"), col("off"))
+    // level 2: within-bucket prefix, parallel across (flag, bucket)
+    val cum = bucketed.join(offsets, Seq("l_returnflag", "bkt"))
+      .withColumn("cum", col("off")
+        + sum(col("c")).over(Window.partitionBy(col("l_returnflag"), col("bkt"))
+          .orderBy(col("l_extendedprice"))))
     val exact = cum.groupBy(col("l_returnflag"))
       .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
         min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
     val sketches = lineitem.groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
-    exact.join(sketches, Seq("l_returnflag"))
+    (exact.join(sketches, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50"), col("p95"),
         (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),
         (abs(col("p95_approx") - col("p95")) <= col("p95") * lit(0.05)).as("p95_ok"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag")),
+      hist)
   }
 
   /** Skew-resilient two-phase aggregation: explicit salting splits any

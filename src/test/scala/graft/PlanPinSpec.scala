@@ -91,6 +91,39 @@ class PlanPinSpec extends AnyFunSuite {
     }
   }
 
+  test("q20's exact-percentile windows are never partitioned by the flag alone") {
+    // the round-7 generated-sf1 catch: a cumulative window partitioned
+    // only by the 3-value returnflag runs ONE task per flag over every
+    // distinct price — three corpus-sized sorts at 100 TB. The
+    // two-level prefix sum keeps the histogram-sized window partitioned
+    // by (flag, bucket); the only single-column window left is the
+    // bucket-offset cumulation over the ≤ flags·4096-row totals, whose
+    // input is an aggregate of bucket ids, not prices.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => Seq(w)
+    }.flatten
+    val (df, hist) = graft.operators.Relational.q20ApproxPercentilePlan(
+      graft.sources.Tables(spark, TestSpark.sfDir).lineitem)
+    val ws = windows(df.queryExecution.executedPlan)
+    hist.unpersist(blocking = false)
+    assert(ws.nonEmpty, "expected window nodes in the q20 plan")
+    // the value-ordered cumulation must carry ≥2 partition keys
+    // (flag + bucket); the only window allowed a single partition key
+    // is the bucket-offset cumulation, which orders by the bucket id
+    // over the ≤ flags·buckets-row totals — never by the price
+    val overValues = ws.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "l_extendedprice")))
+    assert(overValues.nonEmpty, "expected the value-ordered cumulative window")
+    overValues.foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"value-ordered window must include the bucket in its partition keys:\n$w")
+    }
+  }
+
   test("txt_bigram_surprisal explodes the corpus exactly once (cached bigram frame)") {
     // the round-6 weak plan: un-persisted subtrees paid THREE corpus
     // explodes (scoring join, model build, vocabulary). The fix pins
