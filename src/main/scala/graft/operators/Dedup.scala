@@ -1223,15 +1223,52 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs ≥ tau via multi-table
-    * random-hyperplane LSH (8 tables × 12 bits); exact cosine verified
-    * only within bucket collisions, duplicate hits across tables
-    * collapsed by a keyed aggregate. At tau=0.95 (≈18° apart) a true
-    * pair collides in ≥1 table with p ≈ 0.93, while random pairs
-    * almost never do — the scale path for `dd_embed_neardup`, never
+    * random-hyperplane LSH; exact cosine verified only within bucket
+    * collisions, duplicate hits across tables collapsed by a keyed
+    * aggregate — the scale path for `dd_embed_neardup`, never
     * materializes n² pairs.
+    *
+    * Table geometry scales with the corpus ([[embedLshParams]]): a
+    * FIXED bucket count means expected bucket occupancy n/2^bits
+    * grows linearly with the corpus and in-bucket candidate pairs
+    * grow quadratically — the round-7 sf10 audit measured exactly
+    * that (8×12 bits: 1.1 s at 20 k vectors, 16.7 s at 200 k,
+    * 15.4× for 10× data). Corpora up to 48 k vectors keep the
+    * original 8 tables × 12 bits (every oracled scale is here, so
+    * the plane-literal SQL oracles are untouched); beyond, bits
+    * grow with log₂(n) to hold expected occupancy ~3 and tables
+    * double to 16 to hold recall (recall@0.95 = 1−(1−0.8976^bits)^T:
+    * 8×12 → 0.92, 16×17 → 0.94, 16×18 → 0.92 — derivation in the
+    * docstring of [[graft.functions.VectorOps.lshTableKeys]]).
+    * Explicit nTables/bitsPerTable arguments override (specs, the
+    * streaming twin's frozen geometry). The corpus count comes from
+    * one construction-time `count()` — the q24 eager-detection
+    * precedent, documented there.
     */
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.95,
-      nTables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
+      nTables: Int = -1, bitsPerTable: Int = -1): DataFrame = {
+    val (autoT, autoB) =
+      if (nTables > 0 && bitsPerTable > 0) (nTables, bitsPerTable)
+      else embedLshParams(embeddings.count())
+    embedNearDupFixed(embeddings, tau, autoT, autoB)
+  }
+
+  /** Corpus-scaled LSH geometry: (tables, bitsPerTable). ≤ 48 k
+    * vectors (12·2^12) → the original 8×12; beyond → 16 tables and
+    * ceil(log₂(n/3)) bits capped at 18 (512-plane budget). The bits
+    * formula holds expected bucket occupancy n/2^bits ≈ 3, so
+    * expected candidate pairs stay ≈ T·3n/2 — linear — even on the
+    * precision worst case (isotropic vectors, where every random pair
+    * collides per table with 0.5^bits); 16 tables keep recall@0.95 ≥
+    * 91.6% at the deepest tier (1−(1−0.8976^18)^16).
+    */
+  private[graft] def embedLshParams(n: Long): (Int, Int) =
+    if (n <= (12L << 12)) (8, 12)
+    else (16, math.min(18, math.max(13,
+      math.ceil(math.log(n / 3.0) / math.log(2.0)).toInt)))
+
+  private def embedNearDupFixed(embeddings: DataFrame, tau: Double,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
     // the minhashLsh shape: persist vectors once, compute bucket keys
     // once, haul only (id, bucket) through the self-join, and join
     // the vectors back per deduplicated candidate pair — neither

@@ -440,6 +440,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(Dedup.containmentAuto(dense)) == exact)
   }
 
+  test("embed LSH geometry scales bits with the corpus, fixed below 48k") {
+    // ≤ 12·2^12 vectors: the original 8×12 — every oracled scale
+    // (sf0.01 = 500, sf0.1 = 2 000, generated sf1 = 20 000) sits here,
+    // so the plane-literal oracles never move
+    assert(Dedup.embedLshParams(500) == (8, 12))
+    assert(Dedup.embedLshParams(20000) == (8, 12))
+    assert(Dedup.embedLshParams(12L << 12) == ((8, 12)))
+    // beyond: expected bucket occupancy n/2^bits stays ~3, so
+    // worst-case (isotropic) candidates stay linear in n (the sf10
+    // audit measured the fixed-bucket shape at 15.4× for 10× data)
+    assert(Dedup.embedLshParams((12L << 12) + 1) == ((16, 15)))
+    assert(Dedup.embedLshParams(200000) == ((16, 17)))
+    val (t, b) = Dedup.embedLshParams(100000000L)
+    assert((t, b) == ((16, 18))) // capped by the 512-plane budget
+    assert(t * b <= 512)
+  }
+
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
     // eval doc 1 is wholly contained in train doc 10 (tail appended);
     // train doc 11 shares nothing
