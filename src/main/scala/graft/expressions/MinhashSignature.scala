@@ -126,6 +126,9 @@ object MinhashSignature {
       (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
     (pairs.map(_._1), pairs.map(_._2))
   }
-  private val PermA: Array[Long] = permA.toArray
-  private val PermB: Array[Long] = permB.toArray
+  // array views shared with the fused per-row twin (MinhashTextSignature)
+  private[expressions] val permAArr: Array[Long] = permA.toArray
+  private[expressions] val permBArr: Array[Long] = permB.toArray
+  private val PermA: Array[Long] = permAArr
+  private val PermB: Array[Long] = permBArr
 }

@@ -346,12 +346,12 @@ object Dedup {
           .toAggregateExpression()).as("mh")
       })
       .persist()
-    val bucketed = sigs
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> aggregate(" +
-          s"slice(mh, b * $rows + 1, $rows), 0L," +
-          " (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))")))
-      .toDF("doc_id", "band_idx", "band_hash")
+    val bucketed = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      sigs.select(col("doc_id"), posexplode(column(
+        graft.expressions.BandHashes(expression(col("mh")), rows, bands))))
+        .toDF("doc_id", "band_idx", "band_hash")
+    }
     val cands = bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
@@ -728,17 +728,34 @@ object Dedup {
     column(graft.expressions.RollingFingerprint(expression(c)))
   }
 
-  /** Per-doc 128-perm MinHash signature via explode + ONE custom
-    * fused aggregate ([[graft.expressions.MinhashSignature]]): a
-    * single `long[128]` min buffer per group, updated in one loop per
-    * shingle — map-side partial mins do the work, the only shuffle
-    * keys on doc_id. This is the 100 TB shape — no interpreted array
-    * lambdas, no n² anything, and ~128× fewer per-row agg-buffer
-    * writes than the 128-min-column formulation
-    * ([[minhashSignaturesDeclarative]], kept as the spec's parity
-    * oracle).
+  /** Per-doc 128-perm MinHash signature as ONE per-row codegen'd
+    * expression ([[graft.expressions.MinhashTextSignature]]): text →
+    * signature with no explode, no aggregate and NO SHUFFLE — a
+    * signature is a per-document value and `min` is
+    * duplicate-insensitive, so nothing about the computation needs to
+    * leave the row. Bit-identical to the previous explode + fused
+    * MinhashSignature aggregate ([[minhashSignaturesAgg]], kept as
+    * the spec's parity twin along with the declarative 128-min-column
+    * [[minhashSignaturesDeclarative]]); short docs yield NULL from
+    * the expression and are filtered to reproduce the aggregate's
+    * row set. This is the 100 TB shape — the signature table
+    * computes inside the parquet scan stage.
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents
+      .select(col("doc_id"),
+        column(graft.expressions.MinhashTextSignature(
+          expression(col("text")))).as("mh"))
+      .filter(col("mh").isNotNull)
+  }
+
+  /** The explode + fused-aggregate twin of [[minhashSignatures]] —
+    * bit-identical results (spec-checked); kept as a parity oracle
+    * and as the shape the fps-table paths still use (they need the
+    * exploded fingerprints anyway).
+    */
+  private[graft] def minhashSignaturesAgg(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     // fused shingling; the 31-bit base hash is the fingerprint's top
     // half — the same value shingleHash31 derives (spec-checked twin)
@@ -777,13 +794,15 @@ object Dedup {
     val sigs = minhashSignatures(documents).persist()
     // band hash = the same 31-bit-prime polynomial fold the shingle
     // hash uses, over the band's 8 signature values — SQL-replicable,
-    // unlike hash(slice(...)); 16 interpreted 8-element folds per doc
-    // is noise next to the signature aggregate
-    val bucketed = sigs
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 15), b -> aggregate(slice(mh, b * 8 + 1, 8), 0L," +
-          " (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))")))
-      .toDF("doc_id", "band_idx", "band_hash")
+    // unlike hash(slice(...)); codegen'd ([[BandHashes]] — the
+    // interpreted transform+aggregate fold twin measured material at
+    // corpus scale, not noise)
+    val bucketed = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      sigs.select(col("doc_id"), posexplode(column(
+        graft.expressions.BandHashes(expression(col("mh")), 8, 16))))
+        .toDF("doc_id", "band_idx", "band_hash")
+    }
     val pairs = bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))

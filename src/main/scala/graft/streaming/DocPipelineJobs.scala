@@ -164,42 +164,24 @@ object DocPipelineJobs {
     */
   def minhashGateStream(stream: DataFrame, knownSigs: DataFrame,
       minEst: Double = 0.2): DataFrame = {
-    val spark = stream.sparkSession
-    import spark.implicits._
-    val permA = graft.expressions.MinhashSignature.permA
-    val permB = graft.expressions.MinhashSignature.permB
-    val prime = graft.expressions.MinhashSignature.Prime
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    // per-arrival signature via the same fused per-row expression the
+    // batch signature table uses (MinhashTextSignature — stateless,
+    // codegen'd, no typed flatMap deserialization); short docs NULL
+    // out and are filtered, identical to their absence from the
+    // batch signature table
     val sigd = stream
-      .select(col("doc_id").cast("long"), col("text").cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val fps = graft.expressions.ShingleFingerprints
-          .compute(if (text == null) "" else text).toLongArray()
-        if (fps.isEmpty) None
-        else {
-          val mh = Array.fill(permA.length)(Long.MaxValue)
-          fps.foreach { fp =>
-            val h = fp >>> 32
-            var i = 0
-            while (i < mh.length) {
-              val v = Math.floorMod(permA(i) * h + permB(i), prime)
-              if (v < mh(i)) mh(i) = v
-              i += 1
-            }
-          }
-          Some((id, mh))
-        }
-      }
-      .toDF("doc_id", "mh")
-    val bandFold = (arr: String) =>
-      s"transform(sequence(0, 15), b -> aggregate(slice($arr, b * 8 + 1, 8), 0L," +
-        s" (acc, x) -> pmod(acc * 1000003 + x, 2147483647)))"
-    val sBanded = sigd.select(col("doc_id"), col("mh"),
-      posexplode(expr(bandFold("mh")))).toDF("doc_id", "mh", "band_idx", "band_hash")
-    val kBanded = broadcast(knownSigs
-      .select(col("doc_id").as("known_id"), col("mh").as("known_mh"),
-        posexplode(expr(bandFold("mh"))))
-      .toDF("known_id", "known_mh", "band_idx", "band_hash"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        column(graft.expressions.MinhashTextSignature(
+          expression(col("text").cast("string")))).as("mh"))
+      .filter(col("mh").isNotNull)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("mh"), posexplode(column(
+        graft.expressions.BandHashes(expression(col("mh")), 8, 16))))
+        .toDF("doc_id", "mh", "band_idx", "band_hash")
+    val sBanded = banded(sigd)
+    val kBanded = broadcast(banded(knownSigs)
+      .withColumnsRenamed(Map("doc_id" -> "known_id", "mh" -> "known_mh")))
     val est = {
       import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
       column(graft.expressions.ArrayMatchCount(
