@@ -162,7 +162,7 @@ object Sampling {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(batchSize > 0, "batchSize must be positive")
     val toks = documents.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TextOps.wordCount("text").as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
     toks
       .withColumn("rk", row_number().over(
@@ -245,7 +245,7 @@ object Sampling {
     */
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 50): DataFrame =
     documents
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", TextOps.wordCount("text"))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -264,7 +264,7 @@ object Sampling {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", TextOps.wordCount("text"))
       .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer div, not `/` (Column./ on longs is double division)
       .withColumn("bin_id", expr(s"cum_prev div $budget"))
@@ -353,7 +353,7 @@ object Sampling {
     documents
       .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
         TextOps.qualityScore.as("score"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
+        TextOps.wordCount("text").as("n_words"))
       .withColumn("cum_tokens", sum(col("n_words")).over(w))
       .withColumn("keep",
         when(col("cum_tokens") <= perShard, 1L).otherwise(0L))

@@ -17,14 +17,34 @@ object TextOps {
   private def markerCount(marker: String): Column =
     expr(s"(length(text) - length(replace(text, ' $marker ', ''))) div ${marker.length + 2}")
 
+  /** The per-row counting statistics struct — ONE fused scan
+    * ([[graft.expressions.TextScanStats]]) feeding every count below;
+    * Catalyst subexpression elimination collapses repeated fields to
+    * a single evaluation per row.
+    */
+  private[graft] def textStats(textCol: String): Column = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    column(graft.expressions.TextScanStats(expression(col(textCol))))
+  }
+
   /** Whitespace word count of a text column — shared by quality and
     * the cleaning pipeline so the definition can't diverge.
+    * Value-identical to `size(split(text, ' '))` (the spec's twin).
     */
-  private def wordCount(textCol: String): Column =
-    size(split(col(textCol), " ")).cast("long")
+  private[graft] def wordCount(textCol: String): Column =
+    textStats(textCol).getField("n_words")
 
-  /** Stopword occurrences of a text column (single shared list). */
-  private def stopCount(textCol: String): Column =
+  /** Stopword occurrences of a text column (single shared list).
+    * Value-identical to the interpreted
+    * `size(filter(split(text, ' '), w -> w in ('the', 'a')))` twin.
+    */
+  private[graft] def stopCount(textCol: String): Column =
+    textStats(textCol).getField("n_stop")
+
+  // the declarative twins, kept as the spec's parity oracles
+  private[graft] def wordCountDeclarative(textCol: String): Column =
+    size(split(col(textCol), " ")).cast("long")
+  private[graft] def stopCountDeclarative(textCol: String): Column =
     expr(s"size(filter(split($textCol, ' '), w -> w in ('the', 'a')))").cast("long")
 
   /** The quality score as ONE Column over `text` — shared by
@@ -43,8 +63,10 @@ object TextOps {
     documents.select(
         col("doc_id"),
         wordCount("text").as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-          .cast("long").as("n_bpe_tokens"))
+        // value-identical to size(regexp_extract_all(text,
+        // '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) — the fused scan counts the
+        // same maximal runs without materializing matches (spec twin)
+        textStats("text").getField("n_bpe").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length / word-shape / stopword-ratio features
@@ -92,8 +114,9 @@ object TextOps {
     val nStop = stopCount("text")
     val x1 = least(lit(1.0), nWords / 100.0)
     val x2 = nStop.cast("double") / nWords
-    val x3 = (length(col("text"))
-      - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+    // digit count via the fused scan — value-identical to
+    // length(text) - length(regexp_replace(text, '[0-9]', ''))
+    val x3 = textStats("text").getField("n_digits").cast("double") /
       length(col("text"))
     val x4 = least(lit(1.0),
       (length(col("text")) - nWords + 1).cast("double") / nWords / 10.0)

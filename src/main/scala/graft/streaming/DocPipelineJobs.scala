@@ -291,7 +291,7 @@ object DocPipelineJobs {
     stream
       .select((col("doc_id") % nShards).cast("long").as("shard"),
         col("doc_id").cast("long").as("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
+        graft.operators.TextOps.wordCount("text").as("n_words"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(

@@ -22,6 +22,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(punct.getLong(2) == 5) // hello , world ! 42
   }
 
+  test("fused text-scan stats equal the declarative split/filter/regex twins") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(97531)
+    val alphabet = "abc XYZ 019 ,.!€😃é  " // incl. multi-byte, non-BMP, double spaces
+    val randomTexts = (1L to 40L).map(i =>
+      i -> Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edge = Seq(41L -> "", 42L -> " ", 43L -> "the", 44L -> "a a the b the",
+      45L -> "  leading and trailing  ", 46L -> "42abc7x", 47L -> "😃😃ab😃")
+    val df = (randomTexts ++ edge).toDF("doc_id", "text")
+    val both = df.select(
+      TextOps.textStats("text").as("s"),
+      TextOps.wordCountDeclarative("text").as("dw"),
+      TextOps.stopCountDeclarative("text").as("ds"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("db"),
+      (length(col("text"))
+        - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("dd"))
+      .collect()
+    both.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getLong(0) == r.getLong(1), s"n_words vs split: $r")
+      assert(s.getLong(1) == r.getLong(2), s"n_stop vs filter: $r")
+      assert(s.getLong(2) == r.getLong(3), s"n_bpe vs regex: $r")
+      assert(s.getLong(3) == r.getLong(4), s"n_digits vs replace: $r")
+    }
+  }
+
   test("quality: stopword ratio and score are exact") {
     val out = TextOps.quality(docs((1L, "the cat sat on the mat", "en"))
       .select("doc_id", "text")).collect().head
