@@ -493,6 +493,35 @@ object TextOps {
     * oracle).
     */
   def repetitionStats(documents: DataFrame, maxDupBigramPct: Int = 20): DataFrame = {
+    // every statistic is per-document, so ONE fused row-local scan
+    // ([[graft.expressions.RepetitionStats]]) replaces two corpus
+    // explodes and four aggregation exchanges — zero shuffles before
+    // the presentation sort; the declarative twin below is the spec's
+    // parity oracle. NULL struct = fewer than two words, the rows the
+    // twin's inner join drops.
+    val st = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      column(graft.expressions.RepetitionStats(expression(col("text"))))
+    }
+    documents.select(col("doc_id"), st.as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.n_distinct_words").as("n_distinct_words"),
+        col("st.top_word_n").as("top_word_n"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct_bigrams").as("n_distinct_bigrams"))
+      .withColumn("dup_bigram_pct",
+        expr("(n_bigrams - n_distinct_bigrams) * 100 div n_bigrams"))
+      .withColumn("is_repetitive",
+        when(col("dup_bigram_pct") >= maxDupBigramPct, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The explode + aggregate twin of [[repetitionStats]] — kept as
+    * the spec's parity oracle.
+    */
+  private[graft] def repetitionStatsDeclarative(documents: DataFrame,
+      maxDupBigramPct: Int = 20): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
@@ -674,10 +703,26 @@ object TextOps {
     (scored, bg, stats)
   }
 
-  /** Per-doc adjacent token pairs — a narrow map (sequence +
-    * transform inside the row), no shuffle until the model join.
+  /** Per-doc adjacent token pairs — a narrow map, no shuffle until
+    * the model join. Pairing is `arrays_zip(slice(ws, 1, n-1),
+    * slice(ws, 2, n-1))` — codegen'd builtins producing the exact
+    * rows of the interpreted `transform(sequence(1, n-1), i ->
+    * struct(ws[i], ws[i+1]))` lambda formulation (higher-order
+    * functions never enter whole-stage codegen; spec-pinned twin).
     */
   private[graft] def bigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        expr("slice(ws, 1, size(ws) - 1)").as("w1"),
+        expr("slice(ws, 2, size(ws) - 1)").as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The interpreted lambda twin of [[bigrams]], kept as the spec's
+    * parity oracle.
+    */
+  private[graft] def bigramsDeclarative(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)

@@ -49,6 +49,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused repetition stats equal the explode+aggregate twin") {
+    val rnd = new scala.util.Random(8642)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "a", "")
+    val randoms = (1L to 30L).map(i =>
+      i -> Seq.fill(2 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val edge = Seq(31L -> "solo", 32L -> "", 33L -> "x x x x",
+      34L -> "a  b", 35L -> " ")
+    val df = (randoms ++ edge).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (0 until r.length).map(r.get).toSeq).toSeq
+    assert(rows(TextOps.repetitionStats(df)) ==
+      rows(TextOps.repetitionStatsDeclarative(df)))
+    // single-word and empty docs are absent from both
+    val ids = TextOps.repetitionStats(df).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(31L) && !ids.contains(32L))
+    assert(ids.contains(34L) && ids.contains(35L)) // empty tokens still words
+  }
+
+  test("zip-slice bigrams equal the interpreted transform-lambda twin") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "lone"), (4L, ""),
+      (5L, "a  b")).toDF("doc_id", "text") // incl. empty token from double space
+    val zs = TextOps.bigrams(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val tr = TextOps.bigramsDeclarative(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(zs == tr && zs.nonEmpty)
+    assert(!zs.exists(_._1 == 3L)) // single-word doc emits nothing
+  }
+
   test("quality: stopword ratio and score are exact") {
     val out = TextOps.quality(docs((1L, "the cat sat on the mat", "en"))
       .select("doc_id", "text")).collect().head
