@@ -1215,30 +1215,30 @@ object Dedup {
           .reduce(_ + _).as("sim"))
   }
 
-  /** SimHash hamming near-dup pairs (≤ maxDist) via the pigeonhole
-    * band trick: split 64 bits into 4 chunks of 16; any pair within
-    * hamming 3 shares ≥1 exact chunk, so candidates come from 4
-    * chunk-keyed buckets, verified with bit_count(xor).
+  /** SimHash hamming near-dup pairs (≤ maxDist) through the shared
+    * adaptive Hamming pairer ([[Multimodal.phashPairsAuto]]): a
+    * bucket-occupancy probe picks 4×16-bit banding (4 probe rows/doc,
+    * wins when signatures spread) or 2×32-bit multi-index hashing
+    * (flat probe cost, wins when they cluster). Both are
+    * pigeonhole-exact at maxDist ≤ 3, so the dispatch is a pure cost
+    * decision and the brute-force oracle is unchanged.
+    *
+    * The round-7 sf10 audit forced this: the old fixed 4×16 chunk
+    * join plus a candidate-wide `distinct()` shuffled 2.7e9 candidate
+    * rows on the 500 k-doc generated corpus (max 16-bit bucket:
+    * 16 374 docs — a 30-word vocabulary clusters signatures), 59 s
+    * wall where the MIH arm pays 66 probe rows/doc into 2³²-value
+    * buckets and its dedup is an inline filter — no aggregate ever
+    * sees candidates.
     */
   def simhashNearDup(documents: DataFrame, maxDist: Int = 3): DataFrame = {
-    // 4 chunks of 16 bits pigeonhole-guarantee a shared chunk only up
-    // to hamming 3 — a larger threshold would silently lose pairs
-    require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
-    val sigs = simhashSignatures(documents).persist()
-    val chunked = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
-        "transform(sequence(0, 3), c -> (sim >> (c * 16)) & 65535)")))
-      .toDF("doc_id", "sim", "chunk_idx", "chunk")
-    materializeAndRelease(chunked.select(col("doc_id").as("doc1"), col("sim").as("sim1"),
-        col("chunk_idx"), col("chunk"))
-      .join(chunked.select(col("doc_id").as("doc2"), col("sim").as("sim2"),
-        col("chunk_idx"), col("chunk")), Seq("chunk_idx", "chunk"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"),
-        expr("bit_count(sim1 ^ sim2)").cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
-      .orderBy(col("doc1"), col("doc2")),
-      sigs)
+    require(maxDist <= 3, "pigeonhole pairing only guarantees recall for maxDist <= 3")
+    Multimodal.phashPairsAuto(
+        simhashSignatures(documents).select(col("doc_id"), col("sim").as("phash")),
+        maxDist)
+      .select(col("doc_a").as("doc1"), col("doc_b").as("doc2"),
+        col("dist").as("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** Embedding-cosine near-dup pairs ≥ tau via multi-table
