@@ -1236,9 +1236,12 @@ object Dedup {
     Multimodal.phashPairsAuto(
         simhashSignatures(documents).select(col("doc_id"), col("sim").as("phash")),
         maxDist)
+      // narrow rename only: the pairers sort by (doc_a, doc_b) before
+      // the checkpoint and the materialized partitions keep that order
+      // (the mm_phash_pairs oracle row proves it end-to-end), so a
+      // second corpus-pair-sized sort here would be pure overhead
       .select(col("doc_a").as("doc1"), col("doc_b").as("doc2"),
         col("dist").as("hamming"))
-      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** Embedding-cosine near-dup pairs ≥ tau via multi-table

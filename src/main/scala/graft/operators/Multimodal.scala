@@ -973,12 +973,27 @@ object Multimodal {
     * occupancy, so correlated signatures (near-identical crawls,
     * templated thumbnails) grow it super-linearly; MIH pays a flat
     * 66 probe rows/doc through the shuffle but its 2³²-value keys
-    * keep buckets ~singleton. One keyed aggregate over the 4-rows-
-    * per-doc band table — a fraction of either generator's join.
+    * keep buckets ~singleton.
+    *
+    * The probe runs on a Bernoulli SAMPLE of the hash table so its
+    * keyed aggregate never becomes a full corpus pass of its own (at
+    * 100 TB the 4-rows-per-doc band table is 4n rows through a
+    * shuffle — real money for a yes/no answer). With sample rate f,
+    * in-bucket pairs scale f² and rows scale f, so the unbiased
+    * comparisons-per-doc estimator is cand_s / (f · docs_s). The
+    * estimator's bias direction is safe by construction: small
+    * buckets (the banded regime) rarely keep ≥2 sampled docs, so
+    * sampling UNDERestimates their candidate mass and keeps banding —
+    * it can only flip corpora whose buckets are genuinely heavy,
+    * which is exactly the MIH regime. An empty or sub-singleton
+    * sample defaults to banding (the tiny-corpus best arm).
     */
   def phashStrategy(hashes: DataFrame,
-      candPerDocCutover: Double = MihCandPerDocCutover): String = {
-    val r = hashes
+      candPerDocCutover: Double = MihCandPerDocCutover,
+      probeSampleFraction: Double = 0.1): String = {
+    require(probeSampleFraction > 0 && probeSampleFraction <= 1.0,
+      s"probe sample fraction must be in (0, 1], got $probeSampleFraction")
+    val r = hashes.sample(withReplacement = false, probeSampleFraction, seed = 7L)
       .select(explode(sequence(lit(0), lit(3))).as("band"), col("phash"))
       .select(col("band"), expr("shiftright(phash, band * 16) & 65535").as("key"))
       .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
@@ -986,7 +1001,9 @@ object Multimodal {
       .head()
     val cand = if (r.isNullAt(0)) 0L else r.getLong(0)
     val docs = (if (r.isNullAt(1)) 0L else r.getLong(1)) / 4
-    if (docs > 0 && cand.toDouble / docs > candPerDocCutover) "mih" else "banded"
+    if (docs > 0 &&
+        cand.toDouble / (probeSampleFraction * docs) > candPerDocCutover) "mih"
+    else "banded"
   }
 
   /** Adaptive Hamming pairing: probe the band-bucket occupancy with
