@@ -1364,11 +1364,33 @@ object Dedup {
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= minDocs)
           .select(col("g"))
+    // Covered-token count per doc WITHOUT materializing covered
+    // positions: |∪ᵢ [posᵢ, posᵢ+2]| over a doc's sorted distinct dup
+    // positions is 3 + Σ min(3, gap) — the interval-union identity,
+    // value-equal to the oracle's DISTINCT-position count. The old
+    // explode(pos..pos+2) → global distinct() shuffled 3 gram-instance
+    // rows per dup gram (330 M at generated sf10, where a 30-word
+    // vocabulary makes EVERY gram duplicated); collect_set(pos)
+    // collapses map-side to one row per doc (a doc's grams are
+    // co-located from the per-row explode, and AQE broadcasts the
+    // dup-gram set when it is small, preserving that locality), so the
+    // doc aggregate shuffles doc-count rows carrying ≤ doc-length ints.
+    // Per-group memory is one int per token of the doc — the same
+    // order as the doc's text itself. collect_list, not collect_set:
+    // positions are distinct per doc by construction (one positional
+    // gram per index), so set dedup would buy nothing. The trade is
+    // the bigram-surprisal/q20 one — the object-hash aggregate costs
+    // ~0.8 s at sf1 over the old codegen'd distinct, bought back 4×
+    // at sf10 and unboundedly at 100 TB where the distinct's shuffle
+    // is gram-instance-sized.
     val covered = grams.join(dup, Seq("g"))
-      .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("p"))
-      .distinct()
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_tokens"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        "CAST(3 AS BIGINT) + aggregate(" +
+          "zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1)," +
+          " (a, b) -> least(3, b - a))," +
+          " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("n_dup_tokens"))
     materializeAndRelease(
       base.select(col("doc_id"), col("n").as("n_tokens"))
         .join(covered, Seq("doc_id"), "left")
