@@ -608,6 +608,50 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (1L, 0L, 0L))
   }
 
+  test("dup spans interval-union edges: every gap class and repeated grams") {
+    // the coverage pass computes |∪[pos, pos+2]| as 3 + Σ min(3, gap)
+    // over sorted dup positions — pin each gap regime against the
+    // hand-counted union
+    val d = docs(
+      // L dup positions {1, 3}: gap 2 → 3 + 2 = 5 covered (all 5)
+      (1L, "d1 d2 d3 d4 d5"),
+      // M shares "d1 d2 d3" + "d3 d4 d5" but NOT "d2 d3 d4";
+      // dup positions {1, 5}: gap 4 → 3 + 3 = 6 of 7
+      (2L, "d3 d4 d5 qq d1 d2 d3"),
+      // J dup positions {1, 4}: gap 3 (adjacent intervals) → 6 of 6
+      (3L, "c1 c2 c3 c2 c3 c4"),
+      // K shares both of J's grams at {1, 5}: gap 4 → 6 of 8
+      (4L, "c1 c2 c3 zz c2 c3 c4 yy"),
+      // H carries the SAME shared gram twice ({1, 5}: gap 4 → 6 of 7)
+      (5L, "u v w x u v w"),
+      (6L, "u v w"))
+    val got = Dedup.dupSpans(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (5L, 5L, 100L))
+    assert(got(2L) == (7L, 6L, 85L))
+    assert(got(3L) == (6L, 6L, 100L))
+    assert(got(4L) == (8L, 6L, 75L))
+    assert(got(5L) == (7L, 6L, 85L))
+    assert(got(6L) == (3L, 3L, 100L))
+  }
+
+  test("dup spans minDocs=3 keeps only grams shared by three docs") {
+    // "e1 e2 e3" is in three docs; "f1 f2 f3" in two → only the
+    // first qualifies at minDocs=3 (the count_distinct branch feeds
+    // the same interval-union coverage pass)
+    val d = docs(
+      (1L, "e1 e2 e3 f1 f2 f3"),
+      (2L, "e1 e2 e3 zz"),
+      (3L, "qq e1 e2 e3"),
+      (4L, "f1 f2 f3 ww"))
+    val got = Dedup.dupSpans(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (6L, 3L, 50L)) // only tokens 1-3
+    assert(got(2L) == (4L, 3L, 75L))
+    assert(got(3L) == (4L, 3L, 75L))
+    assert(got(4L) == (4L, 0L, 0L)) // pair-shared gram doesn't qualify
+  }
+
   test("text expressions are registered as SQL functions by the extension") {
     val r = spark.sql(
       """SELECT graft_fingerprint('abc') AS fp,
