@@ -100,20 +100,26 @@ object Bench {
     if (flagged.nonEmpty)
       System.err.println(s"[bench] spread >${spreadLimit}x — re-measuring: " +
         flagged.mkString(", "))
-    val extras: Map[String, Seq[Double]] = flagged.map { name =>
-      name -> (1 to 2).flatMap { _ =>
+    // (extra samples, extra-pass failure count): a failed re-measure
+    // must be visible in the artifact, not only on stderr — a flagged
+    // row whose extras ALL failed still publishes the possibly-lucky
+    // min, and the reader needs to see that it was never reproduced
+    val extras: Map[String, (Seq[Double], Int)] = flagged.map { name =>
+      var exFails = 0
+      val samples = (1 to 2).flatMap { _ =>
         val q0 = System.nanoTime()
         val ok =
           try { suite(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench:extra] $name: ${e.getMessage}"); false }
+            System.err.println(s"[bench:extra] $name: ${e.getMessage}"); exFails += 1; false }
         val sec = (System.nanoTime() - q0) / 1e9
         releaseBlocks()
         if (ok) Some(sec) else None
       }
+      name -> (samples, exFails)
     }.toMap
     val samples = samples0.map { case (n, ts) =>
-      n -> (ts ++ extras.getOrElse(n, Seq.empty))
+      n -> (ts ++ extras.get(n).map(_._1).getOrElse(Seq.empty))
     }
     val stats = samples.map { case (n, ts) =>
       n -> (ts.min, ts.max, ts.sum / ts.size)
@@ -126,7 +132,10 @@ object Bench {
     // re-measured outlier rows carry their extra-sample count
     val fullQs = names.map { n =>
       val (mn, mx, mean) = stats(n)
-      val extraTag = extras.get(n).map(e => s""","remeasured":${e.size}""").getOrElse("")
+      val extraTag = extras.get(n).map { case (e, exFails) =>
+        s""","remeasured":${e.size}""" +
+          (if (exFails > 0) s""","remeasure_failed":$exFails""" else "")
+      }.getOrElse("")
       s"""${JsonUtil.str(n)}:{"n":${samples(n).size},"min":${r(mn)},"max":${r(mx)},"mean":${r(mean)}$extraTag}"""
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r(total)},"unit":"sec","passes":$passes,""" +

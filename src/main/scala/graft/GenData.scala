@@ -186,7 +186,14 @@ object GenData {
     // Every doc's words derive from its BASE id (bid = self for the
     // 95%), so a dup doc reproduces its base's exact word sequence —
     // two dups colliding on a base become the driver's exact-dup
-    // pairs (expected nDup²/2nDoc, ≈8 at sf0.1, growing linearly)
+    // pairs (expected nDup²/2nDoc, ≈8 at sf0.1, growing linearly).
+    // The base is drawn from the NON-dup ids: a dup base's own text
+    // carries a different word sequence (it derives from ITS base),
+    // so a dup-of-a-dup would share no shingles with anything —
+    // ~0.25% of docs near-dups of nothing, silently shrinking the
+    // modeled pair count. The draw walks forward from a uniform
+    // start to the first non-dup id (≤8 probes; all-dup windows have
+    // probability 0.05^8 ≈ 4e-11 and fall back to the raw draw).
     val nDoc = (50000 * sf).toLong
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "fast", "filter", "group", "hash", "join", "key", "line",
@@ -195,8 +202,11 @@ object GenData {
       "window").mkString("array('", "','", "')")
     write(spark.range(nDoc)
       .withColumn("is_dup", pmod(hash(col("id"), lit(40)), lit(20)) === 0)
+      .withColumn("bid0", pmod(hash(col("id"), lit(41)), lit(nDoc)))
       .withColumn("bid",
-        when(col("is_dup"), pmod(hash(col("id"), lit(41)), lit(nDoc)))
+        when(col("is_dup"), expr(
+          s"coalesce(pmod(bid0 + filter(sequence(0, 7), " +
+            s"k -> pmod(hash(pmod(bid0 + k, ${nDoc}L), 40), 20) != 0)[0], ${nDoc}L), bid0)"))
           .otherwise(col("id")))
       .withColumn("nw", (pmod(hash(col("bid"), lit(42)), lit(91)) + 10).cast("int"))
       .withColumn("text", concat(

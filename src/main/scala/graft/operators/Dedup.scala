@@ -303,7 +303,12 @@ object Dedup {
     */
   private def jaccardLshVerifiedOnFps(tri: DataFrame, tauNum: Int,
       tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
-    val (cands, sigs) = bandedCandidatesOnFps(tri, rows, bands)
+    // a require() in the candidate generator (rows*bands > 128) fires
+    // before any job but AFTER the caller persisted tri — release the
+    // registration on that path too
+    val (cands, sigs) =
+      try bandedCandidatesOnFps(tri, rows, bands)
+      catch { case t: Throwable => tri.unpersist(blocking = false); throw t }
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     // exact verification via the shared sorted-merge counter — same
     // construction-time-probe caveat as containmentPairsLsh
@@ -313,8 +318,11 @@ object Dedup {
         Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
         throw t
       }
-    materializeAndRelease(cands
-      .join(inter, Seq("doc1", "doc2"))
+    // inter carries exactly one row per candidate pair (inner joins
+    // against the full doc universe; oversized pairs re-enter via the
+    // fallback union), so joining cands back would be an identity
+    // join shuffling the candidate set once more for nothing
+    materializeAndRelease(inter
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
       .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
@@ -543,7 +551,10 @@ object Dedup {
     */
   private def containmentBandedVerifiedOnFps(tri: DataFrame, tauNum: Int,
       tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
-    val (cands, sigs) = bandedCandidatesOnFps(tri, rows, bands)
+    // same construction-time require() release path as the Jaccard twin
+    val (cands, sigs) =
+      try bandedCandidatesOnFps(tri, rows, bands)
+      catch { case t: Throwable => tri.unpersist(blocking = false); throw t }
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val (inter, interCache) =
       try pairIntersections(cands, tri)
@@ -1269,6 +1280,11 @@ object Dedup {
     */
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.95,
       nTables: Int = -1, bitsPerTable: Int = -1): DataFrame = {
+    // the override is all-or-nothing: half-specified geometry would
+    // silently auto-pick BOTH values, which is exactly the surprise a
+    // caller pinning the documented 8×12 would not expect — fail loud
+    require((nTables > 0) == (bitsPerTable > 0),
+      s"pass both nTables and bitsPerTable or neither (got $nTables, $bitsPerTable)")
     val (autoT, autoB) =
       if (nTables > 0 && bitsPerTable > 0) (nTables, bitsPerTable)
       else embedLshParams(embeddings.count())

@@ -1019,6 +1019,11 @@ object Multimodal {
     */
   def phashPairsAuto(hashes: DataFrame, maxDist: Int = 3,
       candPerDocCutover: Double = MihCandPerDocCutover): DataFrame = {
+    // validate BEFORE the persist: the arms' own require() would fire
+    // after the probe job populated the cache, leaking it (the
+    // materializeAndRelease finally is never reached on that path)
+    require(maxDist >= 0 && maxDist <= 3,
+      s"pigeonhole pairing guarantees recall only for 0 <= maxDist <= 3, got $maxDist")
     val h = hashes.persist()
     // the probe job runs at construction time; release the cache on
     // its failure (the epilogue's finally is never reached)
