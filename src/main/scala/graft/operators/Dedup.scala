@@ -302,7 +302,32 @@ object Dedup {
     * pass feeds signatures, sizes and verification arrays.
     */
   private def jaccardLshVerifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
+      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame =
+    // inter carries exactly one row per candidate pair (inner joins
+    // against the full doc universe; oversized pairs re-enter via the
+    // fallback union), so joining cands back would be an identity
+    // join shuffling the candidate set once more for nothing
+    bandedVerifiedOnFps(tri, rows, bands) { (inter, sizes) =>
+      inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+        .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
+        .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
+  /** The shared skeleton of the banded-MinHash verified paths: one
+    * place owns the cache protocol (candidate generation over the
+    * caller-persisted fingerprint table, exact sorted-merge
+    * intersection counts, release of every cache on success OR on a
+    * construction-time failure — the generator's require() and
+    * pairIntersections' probe job both fire before
+    * materializeAndRelease's finally exists to clean up). `verify`
+    * turns (inter, sizes) into the final pair frame — the only part
+    * the Jaccard and containment twins differ in.
+    */
+  private def bandedVerifiedOnFps(tri: DataFrame, rows: Int, bands: Int)(
+      verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // a require() in the candidate generator (rows*bands > 128) fires
     // before any job but AFTER the caller persisted tri — release the
     // registration on that path too
@@ -318,17 +343,7 @@ object Dedup {
         Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
         throw t
       }
-    // inter carries exactly one row per candidate pair (inner joins
-    // against the full doc universe; oversized pairs re-enter via the
-    // fallback union), so joining cands back would be an identity
-    // join shuffling the candidate set once more for nothing
-    materializeAndRelease(inter
-      .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
-      .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
-      .filter(col("inter") * tauDenom >= (col("s1") + col("s2") - col("inter")) * tauNum)
-      .select(col("doc1"), col("doc2"), col("inter"), col("s1"), col("s2"))
-      .orderBy(col("doc1"), col("doc2")),
-      tri, sigs, cands, interCache)
+    materializeAndRelease(verify(inter, sizes), tri, sigs, cands, interCache)
   }
 
   /** Banded-MinHash candidate pairs over a persisted fingerprint
@@ -550,22 +565,9 @@ object Dedup {
     * shingling pass).
     */
   private def containmentBandedVerifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame = {
-    // same construction-time require() release path as the Jaccard twin
-    val (cands, sigs) =
-      try bandedCandidatesOnFps(tri, rows, bands)
-      catch { case t: Throwable => tri.unpersist(blocking = false); throw t }
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val (inter, interCache) =
-      try pairIntersections(cands, tri)
-      catch { case t: Throwable =>
-        Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
-        throw t
-      }
-    materializeAndRelease(
-      containmentVerify(inter, sizes, tauNum, tauDenom),
-      tri, sigs, cands, interCache)
-  }
+      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame =
+    bandedVerifiedOnFps(tri, rows, bands)(
+      containmentVerify(_, _, tauNum, tauDenom))
 
   /** Adaptive containment: the [[jaccardStrategy]] probe dispatches —
     * dense vocabulary (count-join candidate mass beyond
