@@ -158,6 +158,21 @@ class PlanPinSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-spans coverage never re-shuffles gram instances") {
+    // the round-7 rework: coverage is a per-doc aggregate over
+    // collect_list(pos) + the interval-union expression — the old
+    // explode(pos..pos+2) → global distinct shuffled 3 rows per dup
+    // gram instance (330 M at generated sf10). Pin the shape: the
+    // plan's exchanges are the dup-gram aggregate, the doc-keyed
+    // coverage aggregate and the presentation sort — a re-added
+    // distinct (or a lost broadcast of the dup-gram set) adds one
+    val docs = graft.sources.Tables(spark, TestSpark.sfDir).documents
+    val df = graft.operators.Dedup.dupSpans(docs)
+    assert(shuffleCount(df) <= 3,
+      s"dup_spans: expected <=3 shuffle exchanges, got ${shuffleCount(df)}:\n" +
+        df.queryExecution.sparkPlan.toString)
+  }
+
   test("the extension's strategy and pushdown rule are registered in the session") {
     val injected = spark.sessionState.planner.strategies.map(_.getClass.getName)
     assert(injected.exists(_.contains("graft")),
