@@ -204,9 +204,12 @@ object GenData {
       .withColumn("is_dup", pmod(hash(col("id"), lit(40)), lit(20)) === 0)
       .withColumn("bid0", pmod(hash(col("id"), lit(41)), lit(nDoc)))
       .withColumn("bid",
+        // get(), not [0]: under ANSI (Spark 4 default) indexing an
+        // empty array THROWS, so the all-dup-window fallback would
+        // crash the job instead of coalescing to the raw draw
         when(col("is_dup"), expr(
-          s"coalesce(pmod(bid0 + filter(sequence(0, 7), " +
-            s"k -> pmod(hash(pmod(bid0 + k, ${nDoc}L), 40), 20) != 0)[0], ${nDoc}L), bid0)"))
+          s"coalesce(pmod(bid0 + get(filter(sequence(0, 7), " +
+            s"k -> pmod(hash(pmod(bid0 + k, ${nDoc}L), 40), 20) != 0), 0), ${nDoc}L), bid0)"))
           .otherwise(col("id")))
       .withColumn("nw", (pmod(hash(col("bid"), lit(42)), lit(91)) + 10).cast("int"))
       .withColumn("text", concat(

@@ -1251,8 +1251,9 @@ object Dedup {
         maxDist)
       // narrow rename only: the pairers sort by (doc_a, doc_b) before
       // the checkpoint and the materialized partitions keep that order
-      // (the mm_phash_pairs oracle row proves it end-to-end), so a
-      // second corpus-pair-sized sort here would be pure overhead
+      // (the mm_phash_pairs_auto oracle row — which runs this same
+      // orderBy → checkpoint → dump chain — proves it end-to-end), so
+      // a second corpus-pair-sized sort here would be pure overhead
       .select(col("doc_a").as("doc1"), col("doc_b").as("doc2"),
         col("dist").as("hamming"))
   }
@@ -1353,6 +1354,18 @@ object Dedup {
     * (a cross-doc collision would need ~2³¹ distinct grams).
     */
   def dupSpans(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val (result, grams) = dupSpansPlan(documents, minDocs)
+    materializeAndRelease(result, grams)
+  }
+
+  /** The un-materialized plan behind [[dupSpans]] plus the persisted
+    * gram frame the caller must release — exists so PlanPinSpec can
+    * assert the exchange budget on the REAL plan (the public
+    * operator's checkpoint collapses it to a LogicalRDD scan, where
+    * any shuffle count is vacuously zero).
+    */
+  private[graft] def dupSpansPlan(documents: DataFrame,
+      minDocs: Int = 2): (DataFrame, DataFrame) = {
     val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")).cast("long"))
     // pos is 1-based; Spark arrays index 0-based, so gram i spans
@@ -1409,12 +1422,11 @@ object Dedup {
           "zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1)," +
           " (a, b) -> least(3, b - a))," +
           " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("n_dup_tokens"))
-    materializeAndRelease(
-      base.select(col("doc_id"), col("n").as("n_tokens"))
-        .join(covered, Seq("doc_id"), "left")
-        .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
-        .withColumn("dup_pct", expr("n_dup_tokens * 100 div n_tokens"))
-        .orderBy(col("doc_id")),
+    (base.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_pct", expr("n_dup_tokens * 100 div n_tokens"))
+      .orderBy(col("doc_id")),
       grams)
   }
 }

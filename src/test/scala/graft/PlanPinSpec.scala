@@ -166,11 +166,17 @@ class PlanPinSpec extends AnyFunSuite {
     // plan's exchanges are the dup-gram aggregate, the doc-keyed
     // coverage aggregate and the presentation sort — a re-added
     // distinct (or a lost broadcast of the dup-gram set) adds one
+    // dupSpansPlan, NOT dupSpans: the public operator checkpoints, and
+    // a post-checkpoint plan is a LogicalRDD scan whose shuffle count
+    // is vacuously zero — the pin must read the real plan
     val docs = graft.sources.Tables(spark, TestSpark.sfDir).documents
-    val df = graft.operators.Dedup.dupSpans(docs)
-    assert(shuffleCount(df) <= 3,
-      s"dup_spans: expected <=3 shuffle exchanges, got ${shuffleCount(df)}:\n" +
-        df.queryExecution.sparkPlan.toString)
+    val (df, grams) = graft.operators.Dedup.dupSpansPlan(docs)
+    try {
+      val n = shuffleCount(df)
+      assert(n > 0 && n <= 3,
+        s"dup_spans: expected 1..3 shuffle exchanges, got $n:\n" +
+          df.queryExecution.sparkPlan.toString)
+    } finally grams.unpersist(blocking = false)
   }
 
   test("the extension's strategy and pushdown rule are registered in the session") {
