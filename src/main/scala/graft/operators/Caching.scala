@@ -23,11 +23,22 @@ private[graft] object Caching {
     * recomputing — the right (cheaper) trade for single-node runs.
     */
   def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
-    try {
-      val sc = result.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) // honor the conf even if nobody called setCheckpointDir
-        sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
-      if (sc.getCheckpointDir.isDefined) result.checkpoint()
-      else result.localCheckpoint()
-    } finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
+    try materialize(result)
+    finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
+
+  /** Eager checkpoint alone — for operators that materialize a SMALL
+    * intermediate (a signature table) so several plan subtrees can
+    * read it without recomputing the front-end, WITHOUT a
+    * persist()/unpersist() lifecycle to manage: unlike persist, a
+    * checkpointed frame registers nothing in the CacheManager — its
+    * blocks are freed by the ContextCleaner once the caller drops the
+    * frame. Same durability gate as [[materializeAndRelease]].
+    */
+  def materialize(result: DataFrame): DataFrame = {
+    val sc = result.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) // honor the conf even if nobody called setCheckpointDir
+      sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.isDefined) result.checkpoint()
+    else result.localCheckpoint()
+  }
 }

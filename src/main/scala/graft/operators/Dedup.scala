@@ -28,6 +28,8 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** See [[Caching.materializeAndRelease]] — shared with TextOps. */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
     Caching.materializeAndRelease(result, cached: _*)
@@ -193,27 +195,81 @@ object Dedup {
     * a fraction of either join's cost.
     */
   def jaccardStrategy(documents: DataFrame,
-      singletonMassCutover: Double = 0.5): String =
-    jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover)
+      singletonMassCutover: Double = 0.5,
+      probeSampleFraction: Double = 0.1): String =
+    jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover,
+      probeSampleFraction = probeSampleFraction)
 
+  /** Sampled occurrences below which the strategy probe re-runs on
+    * the FULL fingerprint table: at a 10% rate this re-probes corpora
+    * under ~20 k shingle occurrences (a few hundred documents), where
+    * the full aggregate costs nothing and the tiny-fixture regime
+    * pins must stay exact. Above it the sampled estimators carry.
+    */
+  private[graft] val MinProbeSampledOcc = 2000L
+
+  /** The strategy statistics over a SAMPLE of the shingle VOCABULARY
+    * (round-8: the [[Multimodal.phashStrategy]] sampling idea ported
+    * to the text side, where the probe table — one row per shingle
+    * OCCURRENCE — is far larger than the 4-rows-per-doc band table
+    * that motivated it; at 100 TB the probe's groupBy(h) was a full
+    * corpus shuffle for a yes/no answer, now 10× smaller).
+    *
+    * The sample unit is the SHINGLE, not the occurrence: a hash cut
+    * on the fingerprint (xxhash64(h) mod 10 = 0) keeps ~10% of the
+    * vocabulary but EVERY occurrence of each kept shingle, so the
+    * per-shingle df — which all three statistics are functions of —
+    * is exact within the sample. (Occurrence-level Bernoulli sampling
+    * was measured flipping small corpora to the prefix path: a df=2
+    * shingle samples to df=1 with probability 2f(1−f) ≈ 18%, grossly
+    * inflating singleton mass.) Every statistic is a per-shingle sum,
+    * so the sampled sums are unbiased at rate f, and the two decision
+    * quantities are RATIOS of them — the f cancels, no correction
+    * factor at all. The residual risk is variance from heavy
+    * shingles: missing one underestimates candidate mass, which errs
+    * toward the exact paths — the safe direction. The filter is a
+    * deterministic predicate below the aggregation, so the probe's
+    * map side drops 90% of rows before they shuffle. A sparse sample
+    * (occ_s < [[MinProbeSampledOcc]]) falls back to the exact full
+    * aggregate, so tiny corpora and spec fixtures dispatch exactly as
+    * before.
+    *
+    * Candidate mass accumulates in DOUBLE from the first multiply:
+    * df·(df−1) as a long overflows past df ≈ 3·10⁹ — one ubiquitous
+    * shingle at 100 TB would flip the sum negative and mis-dispatch
+    * the dense corpus to the quadratic count-join. The statistic
+    * feeds a threshold, so double's 2⁵³ precision loss is harmless;
+    * its sign-correctness is not.
+    */
   private def jaccardStrategyOnFps(tri: DataFrame,
       singletonMassCutover: Double,
-      candsPerOccCutover: Double = DenseCandsPerOccCutover): String = {
-    val r = tri
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df")).as("occ"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"),
-        // Σ df·(df−1)/2 = the count-join's candidate mass — the rows
-        // its self-join would shuffle into the pair aggregate
-        // df·(df−1) is even, so the /2 is exact; Column `/` is double
-        // division — cast back to long for the Row getter
-        sum((col("df") * (col("df") - 1) / 2).cast("long")).as("cand_mass"))
-      .head()
-    val occ = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val singles = if (r.isNullAt(1)) 0L else r.getLong(1)
-    val candMass = if (r.isNullAt(2)) 0L else r.getLong(2)
+      candsPerOccCutover: Double = DenseCandsPerOccCutover,
+      probeSampleFraction: Double = 0.1): String = {
+    require(probeSampleFraction > 0 && probeSampleFraction <= 1.0,
+      s"probe sample fraction must be in (0, 1], got $probeSampleFraction")
+    val sampleDenom = math.round(1.0 / probeSampleFraction)
+    def stats(t: DataFrame): (Long, Long, Double) = {
+      val r = t
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("occ"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons"),
+          sum(col("df").cast("double") * (col("df") - 1).cast("double") / 2)
+            .as("cand_mass"))
+        .head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    }
+    val (occ, singles, candMass) = {
+      val (occS, singlesS, candS) =
+        stats(if (sampleDenom > 1)
+          tri.filter(pmod(xxhash64(col("h")), lit(sampleDenom)) === 0)
+        else tri)
+      if (sampleDenom > 1 && occS < MinProbeSampledOcc) stats(tri)
+      else (occS, singlesS, candS)
+    }
     if (occ > 0 && singles.toDouble / occ >= singletonMassCutover) "prefix"
-    else if (occ > 0 && candMass.toDouble / occ > candsPerOccCutover) "lsh"
+    else if (occ > 0 && candMass / occ > candsPerOccCutover) "lsh"
     else "count"
   }
 
@@ -249,15 +305,41 @@ object Dedup {
     * prefix path the persisted fingerprints release immediately (that
     * path re-shingles as strings for the document-frequency sort
     * order it needs).
+    *
+    * The dense→LSH dispatch trades exact recall for scalability, and
+    * a dispatcher must never make that trade SILENTLY: on a dense
+    * corpus whose true pairs sit near τ (where banding's recall curve
+    * is weak — J=0.5 → 28%, 0.6 → 52% at (6, 21)) a caller reading
+    * "adaptive" as "exact, just faster" would lose pairs with no
+    * signal. So the LSH arm (a) logs a warning naming the regime, the
+    * recall curve and the exact alternatives, and (b) can be vetoed
+    * outright with `allowProbabilistic = false`, which falls back to
+    * the exact count-join — quadratic on dense corpora, but that cost
+    * is then the caller's informed choice. Downstream dedup DECISIONS
+    * ([[canonicalize]], [[softDedupWeights]], `dd_cluster_cc`) built
+    * on this operator inherit whichever contract was picked here.
     */
   def ngramJaccardAdaptive(documents: DataFrame, tauNum: Int = 50,
-      tauDenom: Int = 100, singletonMassCutover: Double = 0.5): DataFrame = {
+      tauDenom: Int = 100, singletonMassCutover: Double = 0.5,
+      allowProbabilistic: Boolean = true): DataFrame = {
     val tri = shingleFps(documents).persist()
     jaccardStrategyOnFps(tri, singletonMassCutover) match {
       case "prefix" =>
         tri.unpersist(blocking = false)
         ngramJaccardPrefix(documents, tauNum, tauDenom)
-      case "lsh" => jaccardLshVerifiedOnFps(tri, tauNum, tauDenom)
+      case "lsh" if allowProbabilistic =>
+        log.warn("ngramJaccardAdaptive: dense-vocabulary corpus — dispatching to " +
+          "banded-MinHash candidates with EXACT verification (jaccardLshVerified). " +
+          "Candidate recall follows 1-(1-J^6)^21 (J=0.5 -> 28%, 0.6 -> 52%, " +
+          "0.7 -> 93%, 0.8 -> 99.8%): pairs sitting near a low threshold can be " +
+          "missed. Pass allowProbabilistic=false (or call ngramJaccard / " +
+          "ngramJaccardPrefix) for the exact contract and its quadratic dense-corpus cost.")
+        jaccardLshVerifiedOnFps(tri, tauNum, tauDenom)
+      case "lsh" =>
+        log.warn("ngramJaccardAdaptive: dense-vocabulary corpus but " +
+          "allowProbabilistic=false — taking the exact count-join, whose candidate " +
+          "shuffle is Θ(Σ df²) (quadratic in corpus size at fixed vocabulary).")
+        ngramJaccardOnFps(tri, tauNum, tauDenom)
       case _ => ngramJaccardOnFps(tri, tauNum, tauDenom)
     }
   }
@@ -462,6 +544,20 @@ object Dedup {
     * shingle fingerprints or doc ids; nothing is broadcast or
     * collected, and the candidate set — not n² — pays the exact
     * verification.
+    *
+    * ⚠ Despite the name, this is NOT the at-scale entry point for
+    * dense corpora: "Lsh" here means the candidate-pruning *shape*
+    * (probe-vs-index), and the generator is deliberately LOSSLESS —
+    * which makes it Θ(Σ df²) when the vocabulary is dense (no rare
+    * shingles to rank by; measured 19.6× wall for 10× data at
+    * generated sf1, the worst row in the suite). Reach for
+    * [[containmentAuto]] as the at-scale entry point: it measures the
+    * corpus and only pays this generator's density cost where rare
+    * shingles exist, dispatching dense corpora to banded candidates
+    * with exact verification. Use this operator directly when the
+    * lossless contract is the point (verification baselines,
+    * asymmetric-duplication corpora where banding's Jaccard-shaped
+    * recall is unacceptable).
     */
   def containmentPairsLsh(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100): DataFrame = {
@@ -579,13 +675,38 @@ object Dedup {
     * probe is one cheap keyed aggregate over a shared shingling pass,
     * and the dense regime's recall trade is quantified on
     * [[containmentBandedVerified]].
+    *
+    * The dense regime's trade is sharper here than in the Jaccard
+    * dispatcher, because symmetric MinHash banding under-recalls
+    * exactly the high-containment / low-Jaccard embedded-document
+    * pairs this operator exists for (a dense corpus can still embed
+    * small docs in large ones — density does not imply size-bounded
+    * duplication). So the banded arm is never engaged silently: it
+    * logs a warning naming the recall asymmetry, and
+    * `allowProbabilistic = false` vetoes it in favor of the lossless
+    * rarest-prefix generator — Θ(Σ df²) on a dense vocabulary (19.6×
+    * wall for 10× data measured at sf1), but every embedded-doc pair
+    * is then guaranteed found.
     */
   def containmentAuto(documents: DataFrame, tauNum: Int = 80,
-      tauDenom: Int = 100): DataFrame = {
+      tauDenom: Int = 100, allowProbabilistic: Boolean = true): DataFrame = {
     val tri = shingleFps(documents).persist()
-    if (jaccardStrategyOnFps(tri, singletonMassCutover = 0.5) == "lsh")
+    val dense = jaccardStrategyOnFps(tri, singletonMassCutover = 0.5) == "lsh"
+    if (dense && allowProbabilistic) {
+      log.warn("containmentAuto: dense-vocabulary corpus — dispatching to " +
+        "banded-MinHash candidates with EXACT verification. Banding keys on " +
+        "symmetric MinHash, so candidate recall follows the pair's JACCARD, not " +
+        "its containment: a small document embedded in a much larger one " +
+        "(high C, low J) can be missed — the pair class this operator exists " +
+        "for. If the corpus may contain genuinely asymmetric duplication, pass " +
+        "allowProbabilistic=false (or call containmentPairsLsh directly) for " +
+        "the lossless rarest-prefix generator and its quadratic dense-corpus cost.")
       containmentBandedVerifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
-    else {
+    } else {
+      if (dense)
+        log.warn("containmentAuto: dense-vocabulary corpus but " +
+          "allowProbabilistic=false — taking the lossless rarest-prefix " +
+          "generator, whose probe-side shuffle is Θ(Σ df²) on a dense vocabulary.")
       // the prefix generator's single-consumer window design is
       // deliberately persist-free — release the probe's cache
       tri.unpersist(blocking = false)
@@ -1178,16 +1299,6 @@ object Dedup {
           .otherwise(0L).as("is_canonical"))
       .orderBy(col("doc_id"))
 
-  /** 64-bit SimHash per doc: majority vote of each hash bit across the
-    * doc's words (term frequency = weight). Explode + ONE custom fused
-    * aggregate ([[graft.expressions.SimhashSignature]]): a single
-    * `long[64]` bit-vote buffer per group (map-side combined by
-    * vector addition), packed to the signature at eval — the same
-    * one-shuffle shape as any grouped aggregation, at one buffer
-    * update per word instead of 64 conditional-sum columns
-    * ([[simhashSignaturesDeclarative]], kept as the spec's parity
-    * oracle).
-    */
   /** SimHash's per-token hash: the rolling fingerprint of the token
     * with a fixed 2-char salt prefix. A bare short token leaves the
     * fold far below either prime (a 1-char word sets ≤ 21 low bits
@@ -1200,7 +1311,30 @@ object Dedup {
   private def saltedTokenHash(w: Column): Column =
     tokenHash62(concat(lit("xq"), w))
 
+  /** Per-doc 64-bit SimHash as ONE per-row codegen'd expression
+    * ([[graft.expressions.SimhashTextSignature]]): text → signature
+    * with no word explode, no aggregate and NO SHUFFLE — a signature
+    * is a per-document value, so nothing about the computation needs
+    * to leave the row (the [[minhashSignatures]] move, round 8).
+    * Bit-identical to the explode + fused [[simhashSignaturesAgg]]
+    * aggregate (spec-checked), which stays as the parity twin along
+    * with the declarative 64-conditional-sum
+    * [[simhashSignaturesDeclarative]]. NULL text yields no row,
+    * mirroring the aggregate's empty-group absence.
+    */
   def simhashSignatures(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    documents
+      .select(col("doc_id"),
+        column(graft.expressions.SimhashTextSignature(
+          expression(col("text")))).as("sim"))
+      .filter(col("sim").isNotNull)
+  }
+
+  /** The explode + fused-aggregate twin of [[simhashSignatures]] —
+    * bit-identical results (spec-checked); kept as a parity oracle.
+    */
+  private[graft] def simhashSignaturesAgg(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -1249,11 +1383,9 @@ object Dedup {
     Multimodal.phashPairsAuto(
         simhashSignatures(documents).select(col("doc_id"), col("sim").as("phash")),
         maxDist)
-      // narrow rename only: the pairers sort by (doc_a, doc_b) before
-      // the checkpoint and the materialized partitions keep that order
-      // (the mm_phash_pairs_auto oracle row — which runs this same
-      // orderBy → checkpoint → dump chain — proves it end-to-end), so
-      // a second corpus-pair-sized sort here would be pure overhead
+      // narrow rename only: the pairers end in their own
+      // (doc_a, doc_b) orderBy, so a second corpus-pair-sized sort
+      // here would be pure overhead
       .select(col("doc_a").as("doc1"), col("doc_b").as("doc2"),
         col("dist").as("hamming"))
   }
@@ -1288,10 +1420,24 @@ object Dedup {
     // caller pinning the documented 8×12 would not expect — fail loud
     require((nTables > 0) == (bitsPerTable > 0),
       s"pass both nTables and bitsPerTable or neither (got $nTables, $bitsPerTable)")
+    // the auto geometry count runs on the INPUT frame, not the
+    // persisted vector frame: on a file-backed corpus Catalyst prunes
+    // every column out of a count() (footer row counts — metadata
+    // cost), where counting through the persisted double-array frame
+    // was measured forcing an eager full decode + cache-write pass
+    // that serialized ~1 s ahead of the main job at sf1. The trade:
+    // an EXPENSIVE computed lineage (an embedding model, a decode)
+    // does run twice on the auto path — a caller holding one of those
+    // should persist upstream or pass the geometry explicitly (the
+    // nTables/bitsPerTable override exists for exactly that).
     val (autoT, autoB) =
       if (nTables > 0 && bitsPerTable > 0) (nTables, bitsPerTable)
       else embedLshParams(embeddings.count())
-    embedNearDupFixed(embeddings, tau, autoT, autoB)
+    embedNearDupOnSig(
+      embeddings
+        .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("vd"))
+        .persist(),
+      tau, autoT, autoB)
   }
 
   /** Corpus-scaled LSH geometry: (tables, bitsPerTable). ≤ 48 k
@@ -1308,15 +1454,15 @@ object Dedup {
     else (16, math.min(18, math.max(13,
       math.ceil(math.log(n / 3.0) / math.log(2.0)).toInt)))
 
-  private def embedNearDupFixed(embeddings: DataFrame, tau: Double,
+  /** The body over an ALREADY-PERSISTED `(vec_id, vd)` frame —
+    * ownership transfers: released once the result materializes.
+    * The minhashLsh shape: vectors cached once, bucket keys computed
+    * once, only (id, bucket) hauled through the self-join, vectors
+    * joined back per deduplicated candidate pair — neither nTables
+    * vector copies in cache nor per-side signature recompute.
+    */
+  private def embedNearDupOnSig(sig: DataFrame, tau: Double,
       nTables: Int, bitsPerTable: Int): DataFrame = {
-    // the minhashLsh shape: persist vectors once, compute bucket keys
-    // once, haul only (id, bucket) through the self-join, and join
-    // the vectors back per deduplicated candidate pair — neither
-    // nTables vector copies in cache nor per-side signature recompute
-    val sig = embeddings
-      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("vd"))
-      .persist()
     val bucketed = sig
       .select(col("vec_id"), explode(
         VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)).as("bucket"))

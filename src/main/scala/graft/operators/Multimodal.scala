@@ -1012,27 +1012,31 @@ object Multimodal {
     * [[phashPairsMih]] (multi-index — flat probe cost, wins as
     * signature clustering compounds). Both are pigeonhole-exact at
     * maxDist ≤ 3 and produce identical pairs (same brute-force
-    * oracle), so the switch is a pure cost decision. The hash table
-    * feeds the probe AND the chosen generator's two join sides, so it
-    * is persisted for the call (it may sit on an expensive decode
-    * lineage) and released via the shared checkpoint epilogue.
+    * oracle), so the switch is a pure cost decision.
+    *
+    * Epilogue (round 8 — the r7 audit measured the old persist +
+    * probe + result-checkpoint protocol costing the auto path
+    * 1.35–1.75× its best forced arm): the hash TABLE is eagerly
+    * checkpointed once — it is structurally tiny (doc_id + one long =
+    * 16 bytes/row, whatever the front-end cost), so the front-end
+    * (decode or signature scan) runs exactly ONCE, and the probe plus
+    * both sides of the chosen arm's self-join read the materialized
+    * table instead of recomputing it. No persist() registration means
+    * no unpersist epilogue and no result checkpoint: the returned
+    * frame is a lazy plan over the checkpointed table, whose blocks
+    * the ContextCleaner frees once unreferenced. The forced arms pay
+    * the front-end once per join side, so the auto path is CHEAPER
+    * than its own best arm wherever the front-end costs more than
+    * one 16-byte-row materialization (measured: see SCALING.md).
     */
   def phashPairsAuto(hashes: DataFrame, maxDist: Int = 3,
       candPerDocCutover: Double = MihCandPerDocCutover): DataFrame = {
-    // validate BEFORE the persist: the arms' own require() would fire
-    // after the probe job populated the cache, leaking it (the
-    // materializeAndRelease finally is never reached on that path)
+    // validate BEFORE the checkpoint job, which runs at construction
     require(maxDist >= 0 && maxDist <= 3,
       s"pigeonhole pairing guarantees recall only for 0 <= maxDist <= 3, got $maxDist")
-    val h = hashes.persist()
-    // the probe job runs at construction time; release the cache on
-    // its failure (the epilogue's finally is never reached)
-    val strat =
-      try phashStrategy(h, candPerDocCutover)
-      catch { case t: Throwable => h.unpersist(blocking = false); throw t }
-    graft.operators.Caching.materializeAndRelease(
-      if (strat == "mih") phashPairsMih(h, maxDist) else phashPairs(h, maxDist),
-      h)
+    val h = graft.operators.Caching.materialize(hashes)
+    if (phashStrategy(h, candPerDocCutover) == "mih") phashPairsMih(h, maxDist)
+    else phashPairs(h, maxDist)
   }
 
   /** The rows-only `mm_meta` query: binary length + typed metadata,

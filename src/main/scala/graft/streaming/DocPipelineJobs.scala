@@ -243,6 +243,52 @@ object DocPipelineJobs {
       .select(col("vec_id"), col("known_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Live benchmark-contamination gate: the ingest-time twin of
+    * `Dedup.contamination` — "does this arriving training document
+    * contain an eval document's content?". Asymmetric shingle
+    * containment, |shingles(train) ∩ shingles(eval)| / |shingles(eval)|
+    * ≥ τ, so a train doc that embeds a whole eval doc flags at 1.0
+    * regardless of its own length.
+    *
+    * Stateless by construction: each arrival's distinct shingle
+    * fingerprints compute in the same per-row codegen'd scan the
+    * batch operator's fused shingling uses
+    * ([[graft.expressions.ShingleFingerprints]] — sorted ascending by
+    * contract), the eval docs ride a broadcast STATIC table of
+    * per-doc fingerprint arrays (eval sets are small by nature — the
+    * same broadcast bet the batch operator makes), and the exact
+    * intersection per (arrival, eval) pair is the shared sorted-merge
+    * counter [[graft.expressions.SortedIntersectCount]] evaluated
+    * inside the broadcast nested-loop join — no streaming aggregate,
+    * no state store, ingest-speed micro-batches. The batch operator's
+    * explode + count-join computes the same |A ∩ B| over the same
+    * fingerprints, so live flags equal batch rows exactly
+    * (StreamBatchParitySpec). Arrivals too short to shingle emit
+    * nothing, like their absence from the batch shingle table; eval
+    * docs too short to shingle are dropped from the index (the batch
+    * inner join can never emit them).
+    */
+  def contaminationGateStream(stream: DataFrame, evalDocs: DataFrame,
+      tauNum: Int = 50, tauDenom: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    def fps(c: org.apache.spark.sql.Column) =
+      column(graft.expressions.ShingleFingerprints(expression(c)))
+    val evalArr = broadcast(evalDocs
+      .select(col("doc_id").cast("long").as("eval_id"),
+        fps(col("text").cast("string")).as("ehs"))
+      .filter(size(col("ehs")) > 0) // s_eval = 0 must never pass the cut
+      .withColumn("s_eval", size(col("ehs")).cast("long")))
+    stream
+      .select(col("doc_id").cast("long").as("train_id"),
+        fps(col("text").cast("string")).as("ths"))
+      .filter(size(col("ths")) > 0)
+      .crossJoin(evalArr) // broadcast NLJ over the tiny eval index
+      .withColumn("inter", column(graft.expressions.SortedIntersectCount(
+        expression(col("ths")), expression(col("ehs")))).cast("long"))
+      .filter(col("inter") * tauDenom >= col("s_eval") * tauNum)
+      .select(col("eval_id"), col("train_id"), col("inter"), col("s_eval"))
+  }
+
   /** Live whitening against FROZEN stats: the batch fit
     * (`Similarity.whitenStats`) broadcasts into a stream-static join
     * and the shared apply core emits z — live values equal the batch

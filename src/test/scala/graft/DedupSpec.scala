@@ -542,11 +542,32 @@ class DedupSpec extends AnyFunSuite {
     val docsDf = (1L to 20L).map(i =>
       (i, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
       .toDF("doc_id", "text")
-    val fused = Dedup.simhashSignatures(docsDf).collect()
+    val fused = Dedup.simhashSignaturesAgg(docsDf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val declarative = Dedup.simhashSignaturesDeclarative(docsDf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fused == declarative)
+  }
+
+  test("per-row simhash expression equals the explode+aggregate twin, incl. split edge cases") {
+    val rnd = new scala.util.Random(8642)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val random = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // split(text, ' ') limit -1 semantics the per-row scan must
+    // reproduce: empty string -> one empty token; consecutive spaces
+    // -> empty tokens between; trailing space -> trailing empty
+    // token; non-ASCII incl. an astral (surrogate-pair) code point
+    val edges = Seq(
+      (100L, ""), (101L, " "), (102L, "a  b"), (103L, "a b "),
+      (104L, " a"), (105L, "über café"), (106L, "x😀y z"),
+      (107L, "single"))
+    val docsDf = (random ++ edges).toDF("doc_id", "text")
+    val perRow = Dedup.simhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashSignaturesAgg(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == agg)
   }
 
   test("minhash signatures are 128 wide and deterministic across plans") {

@@ -244,4 +244,44 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(batch.size >= 15, s"fixture degenerate: only ${batch.size} planted flags")
     assert(live.forall(_._1 < 20000L), "a novel random vector flagged")
   }
+
+  test("contamination gate twin: live flags over the driver's documents equal the batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nEval = 20L
+    val documents = graft.sources.Tables(spark, TestSpark.sfDir).documents
+    val docRows = documents.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val evalRows = docRows.filter(_._1 < nEval)
+    // arrivals: the real train side of the corpus PLUS planted
+    // contaminated docs that embed a whole eval doc inside unrelated
+    // text (C = 1.0 at any train length — the pair class the
+    // asymmetric measure exists for, guaranteed non-degenerate even
+    // if the corpus itself has no cross-split near-dups)
+    val planted = evalRows.take(8).map { case (id, text) =>
+      (90000L + id, s"unrelated preamble words here $text and an unrelated tail")
+    }
+    val arrivals = docRows.filter(_._1 >= nEval) ++ planted
+    val evalDf = evalRows.toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .contaminationGateStream(in.toDF().toDF("doc_id", "text"), evalDf)
+      .writeStream.format("memory").queryName("par_contam_gate")
+      .outputMode("append").start()
+    val live = try {
+      arrivals.grouped(math.max(1, arrivals.size / 4)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      spark.table("par_contam_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    } finally q.stop()
+    val batch = graft.operators.Dedup
+      .contamination((evalRows ++ arrivals).toDF("doc_id", "text"), nEval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(live == batch, "live gate and batch operator disagree on the same corpus")
+    assert(batch.size >= 8, s"fixture degenerate: only ${batch.size} flags")
+    assert(planted.map(_._1).toSet.subsetOf(batch.map(_._2)),
+      "a planted embedded-eval doc failed to flag")
+  }
 }
