@@ -26,6 +26,27 @@ private[graft] object Caching {
     try materialize(result)
     finally cached.foreach(_.unpersist(blocking = false)) // even if the job fails
 
+  /** The shared small-input floor (round 8): several operators buy
+    * their at-scale shuffle shape with a flat probe/persist/checkpoint
+    * epilogue worth ~0.4–0.7 s regardless of input size — the right
+    * trade from sf1 up (bought back ≥5× there), pure overhead on the
+    * driver-scale corpora below it. Operators gate that machinery on
+    * [[smallInput]] and take the direct un-cached plan below the
+    * floor, where recomputing a cheap lineage outright is faster than
+    * materializing it. Results are identical on both sides of the
+    * floor by construction (same oracle).
+    */
+  val SmallDocCorpusRows = 100000L
+
+  /** True when `df` holds at most `floor` rows, decided by a bounded
+    * limit probe: LocalLimit early-stops each partition at floor + 1
+    * rows, so the probe never becomes a full count of a large input
+    * (the `embedLshParams` metadata-count precedent, generalized to
+    * computed lineages where count() would run the whole plan).
+    */
+  def smallInput(df: DataFrame, floor: Long = SmallDocCorpusRows): Boolean =
+    df.limit(floor.toInt + 1).count() <= floor
+
   /** Eager checkpoint alone — for operators that materialize a SMALL
     * intermediate (a signature table) so several plan subtrees can
     * read it without recomputing the front-end, WITHOUT a

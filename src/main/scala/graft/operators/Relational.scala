@@ -362,9 +362,43 @@ object Relational {
     * semantics in DuckDB) are hash-checked by the oracle; in-query
     * booleans prove the GK sketch lands within 5% of exact.
     */
-  def q20ApproxPercentile(lineitem: DataFrame, buckets: Int = 4096): DataFrame = {
-    val (result, hist) = q20ApproxPercentilePlan(lineitem, buckets)
-    Caching.materializeAndRelease(result, hist)
+  def q20ApproxPercentile(lineitem: DataFrame, buckets: Int = 4096): DataFrame =
+    // small-input floor (round 8): the two-level prefix sum exists so
+    // three flag-partitioned tasks never sort a 100 TB histogram —
+    // below ~1M input rows the histogram persist + bucket machinery
+    // + checkpoint cost more than the three small single-task sorts
+    // they parallelize (~0.35 s flat at sf0.1, measured), so the
+    // single-level window runs there; cum arithmetic and results are
+    // identical by construction (bucket offset + within-bucket prefix
+    // = the global prefix), same oracle either side.
+    if (Caching.smallInput(lineitem, 1L << 20)) q20SingleLevel(lineitem)
+    else {
+      val (result, hist) = q20ApproxPercentilePlan(lineitem, buckets)
+      Caching.materializeAndRelease(result, hist)
+    }
+
+  /** The small-input shape: one flag-partitioned cumulative window
+    * over the value histogram (both window functions share a single
+    * exchange + sort). Value-equal to the two-level plan.
+    */
+  private def q20SingleLevel(lineitem: DataFrame): DataFrame = {
+    val hist = lineitem.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+    val wf = Window.partitionBy(col("l_returnflag"))
+    val cum = hist
+      .withColumn("n", sum(col("c")).over(wf))
+      .withColumn("cum", sum(col("c")).over(wf.orderBy(col("l_extendedprice"))))
+    val exact = cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
+    val sketches = lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+    exact.join(sketches, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p95"),
+        (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),
+        (abs(col("p95_approx") - col("p95")) <= col("p95") * lit(0.05)).as("p95_ok"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** The un-materialized plan plus its histogram cache — split out

@@ -671,19 +671,29 @@ object TextOps {
     * sums (associative ⇒ partitioning-independent), rounded to 6
     * decimals to absorb log₂ ulp differences across engines.
     */
-  def bigramSurprisal(documents: DataFrame): DataFrame = {
-    val (scored, bg, stats) = bigramSurprisalPlan(documents)
-    Caching.materializeAndRelease(scored, bg, stats)
-  }
+  def bigramSurprisal(documents: DataFrame): DataFrame =
+    // small-corpus floor (round 8): below it the persist + checkpoint
+    // epilogue costs more than the ≤3 corpus re-explodes it avoids
+    // (~0.45 s flat at sf0.1, measured) — take the direct un-cached
+    // plan there; identical results either side (same oracle)
+    if (Caching.smallInput(documents)) {
+      val (scored, _, _) = bigramSurprisalPlan(documents, cache = false)
+      scored
+    } else {
+      val (scored, bg, stats) = bigramSurprisalPlan(documents)
+      Caching.materializeAndRelease(scored, bg, stats)
+    }
 
   /** The un-materialized scoring plan plus its two caches — split out
     * (package-private) so PlanPinSpec can assert the one-corpus-
     * explode shape before the checkpoint truncates the lineage.
+    * `cache = false` skips both persists (the small-corpus path —
+    * the returned cache slots are then just the un-persisted frames).
     */
   private[graft] def bigramSurprisalPlan(
-      documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val bg = bigrams(documents).persist()
-    val stats = bigramStats(bg).persist()
+      documents: DataFrame, cache: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    val bg = if (cache) bigrams(documents).persist() else bigrams(documents)
+    val stats = if (cache) bigramStats(bg).persist() else bigramStats(bg)
     val model = stats.join(
       stats.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), Seq("w1"))
     val vocab = stats.select(col("w1").as("w"))

@@ -139,6 +139,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(tb.contains("hashpartitioning(shard"))
   }
 
+  test("q20's single-level small-input shape equals the two-level plan value-for-value") {
+    // the small-input floor dispatches the driver-scale corpus to the
+    // single-level window; this pins that both shapes compute the
+    // same percentiles on the same input, so the floor can never
+    // change results — only plans
+    val li = graft.sources.Tables(spark, TestSpark.sfDir).lineitem
+    val small = graft.operators.Relational.q20ApproxPercentile(li).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val (twoLevel, hist) = graft.operators.Relational.q20ApproxPercentilePlan(li)
+    val big =
+      try twoLevel.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      finally hist.unpersist(blocking = false)
+    assert(small == big, "single-level and two-level q20 shapes disagree")
+  }
+
   test("q19's distinct-count branches plan without Expand") {
     // one distinct column per aggregate keeps the single-distinct
     // rewrite (partial-on-(group, value)); a multi-distinct Expand
