@@ -41,6 +41,26 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        // AQE coalesces partitions down but NEVER splits them up, so
+        // the INITIAL shuffle partition count is the ceiling on
+        // post-shuffle parallelism-per-byte — and a count sized to
+        // cores alone stops fitting in the execution pool once the
+        // data outgrows it (measured at generated sf100: a 600 M-row
+        // sort-merge join on 32 partitions = ~19 M rows per in-task
+        // sort × 32 concurrent tasks exhausted a 100 GiB heap's
+        // execution pool — UnsafeExternalSorter could not acquire its
+        // next page with every neighbor holding theirs). Shuffles
+        // therefore START wide (32× the configured floor) and AQE
+        // coalesces down to the advisory size — at small scale the
+        // runtime plan is the same ~cores-sized one as before
+        // (parallelismFirst keeps it at the floor), at large scale
+        // each reducer sort stays bounded. The floor itself remains
+        // `spark.sql.shuffle.partitions` for the few non-AQE
+        // surfaces (RDD-level zipWithIndex fallbacks, streaming
+        // state stores) where a 32×-wide shuffle would be pure
+        // overhead per micro-batch.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          math.min(shufflePartitions * 32, 8192).toString)
     b
   }
 
