@@ -50,17 +50,35 @@ object GraftSession {
         // sort × 32 concurrent tasks exhausted a 100 GiB heap's
         // execution pool — UnsafeExternalSorter could not acquire its
         // next page with every neighbor holding theirs). Shuffles
-        // therefore START wide (32× the configured floor) and AQE
-        // coalesces down to the advisory size — at small scale the
-        // runtime plan is the same ~cores-sized one as before
-        // (parallelismFirst keeps it at the floor), at large scale
-        // each reducer sort stays bounded. The floor itself remains
+        // therefore START wide (32× the configured floor, never below
+        // the floor itself if someone configures a floor above 8192)
+        // and AQE coalesces down, so at small scale the runtime plan
+        // is ~cores-sized and at large scale each reducer sort stays
+        // bounded. The floor itself remains
         // `spark.sql.shuffle.partitions` for the few non-AQE
         // surfaces (RDD-level zipWithIndex fallbacks, streaming
         // state stores) where a 32×-wide shuffle would be pure
         // overhead per micro-batch.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          math.min(shufflePartitions * 32, 8192).toString)
+          math.max(shufflePartitions, math.min(shufflePartitions * 32, 8192)).toString)
+        // The wide start is only safe because coalescing reaches EVERY
+        // shuffle, including those inside persisted subtrees: by
+        // default Spark pins a cached plan's output partitioning so
+        // the cache stays reusable by partitioning-aware consumers,
+        // which disables AQE partition coalescing across the whole
+        // cached plan — every shuffle under a .persist() then runs at
+        // the full initial width. That was the round-8 regression
+        // (dd_containment_lsh/auto, dd_jaccard_lsh 2–4× at sf0.1:
+        // their banded/prefix candidate subtrees are persisted, so
+        // their shuffles ran 1024-wide on kilobytes; causally isolated
+        // by ProfileAqe — initial=1024 alone 4.5/4.7/2.5 s, with this
+        // conf 1.2/1.3/1.0 s, matching the initial=32 arm). graft
+        // never relies on a cached frame's physical partitioning (all
+        // consumers re-shuffle on their own keys), so the trade is
+        // pure win: cached subtrees get the same start-wide,
+        // coalesce-to-size shape as everything else at sf100, and
+        // small inputs coalesce back to ~cores.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     b
   }
 
