@@ -49,11 +49,22 @@ object Bench {
 
     /** Free every block left in the store: dead localCheckpoints from
       * the dedup/ANN family. Outside the timed region by design.
+      *
+      * Also nudge the JVM so the ContextCleaner actually runs: shuffle
+      * files are deleted only after their ShuffleDependency is GC'd,
+      * and a bench loop allocates little on the driver heap, so
+      * without an explicit GC no collection happens for the whole run
+      * and every query's shuffle files pile up on disk until it fills
+      * (the round-8 sf100 run died of exactly this — `No space left on
+      * device` inside a spill after ~45 min of accumulated shuffles).
+      * The GC is outside the timed region; the cleaner thread deletes
+      * the files asynchronously while the next query runs.
       */
     def releaseBlocks(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
 
     // Untimed warm-up pass: compiles every plan's codegen and warms the

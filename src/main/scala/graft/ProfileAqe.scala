@@ -45,7 +45,9 @@ object ProfileAqe {
       val s = (System.nanoTime() - t0) / 1e9
       acc((arm, q)) = s :: acc((arm, q))
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: async block cleanup from this query must not bleed
+      // into the next timed measurement
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       println(f"[aqe] pass $p $arm%-22s $q%-22s $s%7.2f s")
     }
     println("[aqe] === min per (arm, query) ===")

@@ -149,6 +149,7 @@ object SparkEntry {
     "dd_containment" -> ((s, dir) => Dedup.containmentPairs(Tables(s, dir).documents)),
     "dd_containment_lsh" -> ((s, dir) => Dedup.containmentPairsLsh(Tables(s, dir).documents)),
     "dd_containment_auto" -> ((s, dir) => Dedup.containmentAuto(Tables(s, dir).documents)),
+    "dd_containment_strat" -> ((s, dir) => Dedup.containmentStratified(Tables(s, dir).documents)),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
     "dd_jaccard_lsh" -> ((s, dir) => Dedup.jaccardLshVerified(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
@@ -1324,6 +1325,31 @@ object SparkEntry {
     // verification is exact and on this corpus the result set equals
     // the exact contract — same oracle as dd_containment
     "dd_containment_auto" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(s1.s, s2.s), 6) AS containment,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.s + s2.s - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= LEAST(s1.s, s2.s) * 80
+        |ORDER BY doc1, doc2""".stripMargin,
+    // the size-stratified banded generator: per size-class-gap arms
+    // band for the gap-adjusted Jaccard threshold, every candidate
+    // exactly verified — on this corpus (true containment pairs all
+    // within gap ≤ 5 and J ≥ 0.89, where the gap-0 arm's recall is
+    // 1 − 10⁻¹⁶) the result set equals the full exact contract
+    "dd_containment_strat" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),

@@ -42,12 +42,15 @@ object VectorOps {
     */
   private val planes: IndexedSeq[Seq[Double]] = {
     val rnd = new scala.util.Random(20240801L)
-    // 512 planes: the sequential draws mean the first 128 are
-    // bit-identical to the original 128-plane family, so every
-    // configuration with nTables·bits ≤ 128 (all the oracled
-    // small-corpus tiers) is unchanged; the extension exists for the
-    // corpus-scaled dense tiers (e.g. 16 tables × 18 bits)
-    IndexedSeq.fill(512)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+    // 1024 planes: the sequential draws mean the first 128 are
+    // bit-identical to the original 128-plane family (so every
+    // oracled small-corpus tier is unchanged) and the first 512 to
+    // the round-7 extension; the second extension exists for the
+    // recall-held deep tiers of the corpus-scaled geometry (e.g.
+    // 35 tables × 25 bits at 10⁸ vectors — plane evaluation is a
+    // narrow map, ~65k FLOPs/vector at the full budget, nothing next
+    // to the candidate shuffle the extra bits prevent)
+    IndexedSeq.fill(1024)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
   // one shared matrix instance so repeated lshTableKeys calls build
@@ -67,7 +70,7 @@ object VectorOps {
     * so one `explode` + equi-join covers all tables at once. A pair
     * within angle θ collides in ≥1 table with probability
     * 1 − (1 − (1 − θ/π)^bits)^nTables — tables buy recall, bits buy
-    * precision. Requires nTables·bitsPerTable ≤ 512. The plane family
+    * precision. Requires nTables·bitsPerTable ≤ 1024. The plane family
     * is 64-dim: vectors of any other length get a NULL key array, so
     * a downstream `explode` drops them from candidate generation
     * instead of silently colliding every vector into one bucket
@@ -75,7 +78,7 @@ object VectorOps {
     * each `when` to 0 and collapse all signatures to t<<32).
     */
   def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
-    require(nTables * bitsPerTable <= 512, "not enough hyperplanes")
+    require(nTables * bitsPerTable <= 1024, "not enough hyperplanes")
     // the table index lives at bit 32 — wider signatures would alias it
     require(bitsPerTable <= 32, "signature must fit below the table-index bits")
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}

@@ -89,6 +89,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The stored hash index a crawl maintains — [[incrementalDedup]]'s
+    * index derivation as a standalone (same shared cleanScored
+    * prefix), for callers that persist the index across runs and for
+    * the streaming twin
+    * ([[graft.streaming.DocPipelineJobs.incrementalGateStream]]),
+    * which anti-joins a live feed against exactly this table.
+    */
+  def incrementalIndex(documents: DataFrame, minWords: Int = 5,
+      maxStopRatio: Double = 0.5): DataFrame =
+    graft.operators.TextOps.cleanScored(documents, minWords, maxStopRatio)
+      .select(col("h")).distinct()
+
   /** Exact dedup: hash-groupBy on md5 of the text. Emitting every
     * group (not just dups) doubles as an md5-parity check against the
     * oracle; the key is uniform so the shuffle cannot skew.
@@ -409,12 +421,23 @@ object Dedup {
     * the Jaccard and containment twins differ in.
     */
   private def bandedVerifiedOnFps(tri: DataFrame, rows: Int, bands: Int)(
+      verify: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    candVerifiedOnFps(tri, bandedCandidatesOnFps(_, rows, bands))(verify)
+
+  /** The generator-agnostic body of the verified paths: `candGen`
+    * yields (candidates, signatures) — both persisted, ownership
+    * transferring here — over the caller-persisted fingerprint table.
+    * Shared by the fixed-geometry banded generator and the
+    * size-stratified containment generator.
+    */
+  private def candVerifiedOnFps(tri: DataFrame,
+      candGen: DataFrame => (DataFrame, DataFrame))(
       verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // a require() in the candidate generator (rows*bands > 128) fires
     // before any job but AFTER the caller persisted tri — release the
     // registration on that path too
     val (cands, sigs) =
-      try bandedCandidatesOnFps(tri, rows, bands)
+      try candGen(tri)
       catch { case t: Throwable => tri.unpersist(blocking = false); throw t }
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     // exact verification via the shared sorted-merge counter — same
@@ -665,28 +688,250 @@ object Dedup {
     bandedVerifiedOnFps(tri, rows, bands)(
       containmentVerify(_, _, tauNum, tauDenom))
 
+  /** Per-doc candidate budget for the stratified generator: the knob
+    * that bounds expected BACKGROUND collisions (random-pair band
+    * matches) to a linear-in-corpus total. An arm whose background
+    * cost cannot be pushed under this budget at any geometry is
+    * dropped (and logged) rather than silently emitting a quadratic
+    * candidate set.
+    */
+  private[graft] val StratifiedCandBudgetPerDoc = 64L
+
+  /** One size-gap arm of the stratified containment generator:
+    * covers pairs whose size classes are `g` apart, with `b` bands of
+    * `r` MinHash rows each. `jStar` is the worst-case Jaccard a
+    * τ-containment pair at this gap can have; `recall` the
+    * provisioned candidate recall at exactly that worst case
+    * (1 − (1 − jStar^r)^b) — pairs above the worst case recall
+    * better.
+    */
+  private[graft] final case class StratArm(g: Int, r: Int, b: Int,
+      jStar: Double, recall: Double)
+
+  /** Geometry of the stratified arms, pure driver-side arithmetic —
+    * split out so the spec can pin the selection rules without
+    * running a corpus.
+    *
+    *  - `jStar(g) = τ / (1 + 2^(g+1) − τ)`: with |A| ≥ 2^i and
+    *    |B| < 2^(j+1), C(A,B) ≥ τ forces
+    *    J = |A∩B| / (|A|+|B|−|A∩B|) ≥ τ·|A| / (|A| + |B| − τ·|A|)
+    *    ≥ τ / (1 + 2^(g+1) − τ) — the containment threshold becomes
+    *    a PER-GAP Jaccard threshold, which symmetric banding can
+    *    target (the LSH-Ensemble construction: Zhu, Nargesian,
+    *    Pu & Miller, "LSH Ensemble: Internet-Scale Domain Search",
+    *    VLDB 2016 — there over an indexed corpus of domains, here as
+    *    a self-join with one arm per size-class gap).
+    *  - recall-first pick: the LARGEST r (≤ 6) whose 95%-recall band
+    *    count ⌈ln 20 / jStar^r⌉ fits both the band budget and the
+    *    128-value signature (r·b ≤ 128) — max background suppression
+    *    subject to full recall at the arm's worst case.
+    *  - background guard: expected background candidates
+    *    pairsAtGap·b·jBg^r must fit the corpus budget; if not, r
+    *    rises (b capped, recall at jStar degrades — returned, so the
+    *    caller logs it); if even r = 6 cannot fit, the arm is
+    *    dropped (None) — on a corpus whose background similarity
+    *    approaches jStar(g), τ-containment pairs at that gap are
+    *    statistically indistinguishable from noise at the signature
+    *    level, and no sub-quadratic generator can provision them.
+    */
+  private[graft] def stratifiedArms(tau: Double, maxGap: Int, bandBudget: Int,
+      jBg: Double, pairsAtGap: Int => Double,
+      candBudget: Double): Seq[Either[Int, StratArm]] =
+    (0 to maxGap).map { g =>
+      val jStar = tau / (1 + math.pow(2.0, g + 1) - tau)
+      def bFor(r: Int): Double = math.ceil(3.0 / math.pow(jStar, r))
+      def cap(r: Int): Int = math.min(bandBudget, 128 / r)
+      def bg(r: Int, b: Int): Double = pairsAtGap(g) * b * math.pow(jBg, r)
+      var r = (1 to 6).filter(r => bFor(r) <= cap(r)).lastOption.getOrElse(1)
+      var b = math.min(bFor(r), cap(r).toDouble).toInt
+      while (bg(r, b) > candBudget && r < 6) {
+        r += 1; b = math.min(bFor(r), cap(r).toDouble).toInt
+      }
+      if (bg(r, b) > candBudget) Left(g)
+      else Right(StratArm(g, r, b, jStar,
+        1 - math.pow(1 - math.pow(jStar, r), b)))
+    }
+
+  /** Size-stratified banded candidates for CONTAINMENT — the dense-
+    * regime generator whose recall is containment-shaped, not
+    * Jaccard-shaped. Returns (candidates, signatures), both
+    * persisted; caller owns their release (the
+    * [[candVerifiedOnFps]] protocol).
+    *
+    * The fixed symmetric banding ((6, 21) at τ_J ≈ 0.8) provably
+    * misses the embedded-document pairs containment exists for: a
+    * small doc inside one 2^3× larger has J ≤ 1/8, and
+    * 1 − (1 − J^6)^21 ≈ 4·10⁻⁵ there. Stratifying by size class
+    * c = ⌊log₂ s⌋ fixes the normalization: per class gap g, an arm
+    * bands the SAME 128-value MinHash signatures with its own
+    * (r, b) chosen for the gap-adjusted worst-case Jaccard (see
+    * [[stratifiedArms]]). Each doc emits every arm's bands twice —
+    * once betting it is the smaller side of a gap-g pair, once the
+    * larger — and candidates are bucket collisions of a small-role
+    * row with a large-role row on (classᵢ, classⱼ, band, hash).
+    *
+    * Scale shape: emission is O(n · Σ b_g) rows of fixed width —
+    * linear, 12-way unionized reads of one persisted signature
+    * aggregate; the bucket join keys on (class pair, band, hash), so
+    * collisions beyond true pairs are governed by the measured
+    * background similarity, which the arm selection bounds to
+    * [[StratifiedCandBudgetPerDoc]]·n expected rows. Two bounded
+    * driver-side probes at construction (the class histogram — ≤ 64
+    * rows — and one (count, approx vocab) aggregate over the
+    * fingerprints) parameterize the geometry; both read the
+    * caller-persisted table, same precedent as [[jaccardStrategy]].
+    *
+    * Honest limits, logged at construction: pairs more than `maxGap`
+    * classes apart are not provisioned (the lossless
+    * [[containmentPairsLsh]] remains the exact path), and an arm the
+    * background guard drops or degrades says so with its provisioned
+    * recall.
+    */
+  private def stratifiedCandidatesOnFps(tri: DataFrame, tauNum: Int,
+      tauDenom: Int, maxGap: Int, bandBudget: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    require(maxGap >= 0 && bandBudget >= 1 && bandBudget <= 128,
+      s"maxGap=$maxGap, bandBudget=$bandBudget out of range")
+    val sigs = tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
+      .groupBy(col("doc_id"))
+      .agg(column(graft.expressions.MinhashSignature(expression(col("h31")))
+          .toAggregateExpression()).as("mh"),
+        count(lit(1)).as("s"))
+      .withColumn("cls", floor(log2(col("s"))).cast("int"))
+      .persist()
+    try {
+      // bounded probes: class histogram (≤ 64 rows — materializes the
+      // signature cache all 2(G+1) emission branches re-read) and the
+      // corpus background-similarity estimate
+      val hist = sigs.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val (occ, vocab) = {
+        val r = tri.agg(count(lit(1)).as("occ"),
+          approx_count_distinct(col("h")).as("v")).head()
+        (r.getLong(0), math.max(r.getLong(1), 1L))
+      }
+      val nDocs = hist.values.sum
+      val maxCls = if (hist.isEmpty) 0 else hist.keys.max
+      val sBar = if (nDocs == 0) 0.0 else occ.toDouble / nDocs
+      // E|A∩B| of a random pair ≈ s̄²/V; jBg = E∩ / (2s̄ − E∩)
+      val eInter = math.min(sBar * sBar / vocab, sBar)
+      val jBg = math.max(1e-12,
+        math.min(0.999, eInter / math.max(2 * sBar - eInter, 1e-9)))
+      def pairsAtGap(g: Int): Double =
+        if (g == 0) hist.values.map(n => n.toDouble * (n - 1) / 2).sum
+        else hist.map { case (c, n) =>
+          n.toDouble * hist.getOrElse(c + g, 0L).toDouble }.sum
+      val tau = tauNum.toDouble / tauDenom
+      val picked = stratifiedArms(tau, maxGap, bandBudget, jBg, pairsAtGap,
+        StratifiedCandBudgetPerDoc.toDouble * math.max(nDocs, 1L))
+      val dropped = picked.collect { case Left(g) => g }
+      val arms = picked.collect { case Right(a) => a }
+      if (dropped.nonEmpty)
+        log.warn(s"containmentStratified: background similarity ≈ $jBg makes " +
+          s"τ-containment pairs at size-class gaps {${dropped.mkString(",")}} " +
+          "indistinguishable from noise within the candidate budget — those " +
+          "arms are DROPPED. containmentPairsLsh remains the lossless path.")
+      arms.filter(_.recall < 0.9).foreach(a =>
+        log.warn(f"containmentStratified: gap-${a.g} arm degraded to " +
+          f"(r=${a.r}, b=${a.b}) by the background guard — provisioned " +
+          f"worst-case candidate recall ${a.recall}%.3f at J* = ${a.jStar}%.4f."))
+      log.info(arms.map(a =>
+        f"g=${a.g}:(r=${a.r},b=${a.b},recall=${a.recall}%.3f)")
+        .mkString("containmentStratified arms: ", " ", ""))
+      def emit(arm: StratArm, asSmall: Boolean): Option[DataFrame] = {
+        val base =
+          if (asSmall) sigs.filter(col("cls") + arm.g <= maxCls)
+            .select(col("doc_id"), col("cls").as("ci"),
+              (col("cls") + arm.g).as("cj"), col("mh"))
+          else sigs.filter(col("cls") >= arm.g)
+            .select(col("doc_id"), (col("cls") - arm.g).as("ci"),
+              col("cls").as("cj"), col("mh"))
+        if (arm.g == 0 && !asSmall) None // identical to the small role
+        else Some(base.select(col("doc_id"), col("ci"), col("cj"),
+          posexplode(column(graft.expressions.BandHashes(
+            expression(col("mh")), arm.r, arm.b))))
+          .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
+      }
+      val cands = if (arms.isEmpty) {
+        // every arm dropped (a corpus whose background similarity
+        // swamps even gap 0): no sub-quadratic candidates exist —
+        // surface an empty candidate set, never a silent n² join
+        log.warn("containmentStratified: ALL arms dropped — emitting no " +
+          "candidates. Use containmentPairsLsh (lossless) or raise the budget.")
+        sigs.select(col("doc_id").as("doc1"), col("doc_id").as("doc2"))
+          .filter(lit(false)).persist()
+      } else {
+        val smallSide = arms.flatMap(emit(_, asSmall = true))
+          .reduceLeft(_ unionByName _)
+        // the gap-0 arm joins small-role against small-role (both
+        // orientations collapse below); gap>0 arms join small vs large
+        val largeSide = (arms.flatMap(emit(_, asSmall = false)) ++
+          arms.filter(_.g == 0).flatMap(emit(_, asSmall = true)))
+          .reduceLeft(_ unionByName _)
+        smallSide.toDF("doc_a", "ci", "cj", "band_idx", "band_hash")
+          .join(largeSide.toDF("doc_b", "ci", "cj", "band_idx", "band_hash"),
+            Seq("ci", "cj", "band_idx", "band_hash"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc1"),
+            greatest(col("doc_a"), col("doc_b")).as("doc2"))
+          .distinct()
+          .persist()
+      }
+      (cands, sigs)
+    } catch {
+      case t: Throwable => sigs.unpersist(blocking = false); throw t
+    }
+  }
+
+  /** Containment pairs over the size-stratified banded generator —
+    * the dense-corpus regime with containment-shaped recall. Exact
+    * verification and scoring are shared ([[containmentVerify]]), so
+    * rows that surface are always exact; what the stratification
+    * changes is WHICH pairs become candidates: recall now depends on
+    * the pair's size-class gap and the gap-adjusted threshold, not
+    * on its raw Jaccard — the embedded-document pairs the symmetric
+    * (6, 21) banding provably misses (spec-pinned) are provisioned
+    * at ≥ 95% per arm unless the corpus's measured background
+    * similarity forces a logged degradation.
+    */
+  def containmentStratified(documents: DataFrame, tauNum: Int = 80,
+      tauDenom: Int = 100, maxGap: Int = 5, bandBudget: Int = 64): DataFrame =
+    containmentStratifiedOnFps(shingleFps(documents).persist(),
+      tauNum, tauDenom, maxGap, bandBudget)
+
+  /** Body over an already-persisted fingerprint table (ownership
+    * transfers — [[containmentAuto]]'s probe and this path share one
+    * shingling pass).
+    */
+  private def containmentStratifiedOnFps(tri: DataFrame, tauNum: Int,
+      tauDenom: Int, maxGap: Int = 5, bandBudget: Int = 64): DataFrame =
+    candVerifiedOnFps(tri,
+      stratifiedCandidatesOnFps(_, tauNum, tauDenom, maxGap, bandBudget))(
+      containmentVerify(_, _, tauNum, tauDenom))
+
   /** Adaptive containment: the [[jaccardStrategy]] probe dispatches —
     * dense vocabulary (count-join candidate mass beyond
     * [[DenseCandsPerOccCutover]] per occurrence) →
-    * [[containmentBandedVerified]]; anything else → the lossless
-    * rarest-prefix generator [[containmentPairsLsh]] (which already
-    * beats the count-join everywhere the prefix has rare shingles to
-    * rank on). Same contract shape as the Jaccard dispatcher: the
-    * probe is one cheap keyed aggregate over a shared shingling pass,
-    * and the dense regime's recall trade is quantified on
-    * [[containmentBandedVerified]].
+    * [[containmentStratified]] (size-stratified banding, recall
+    * containment-shaped within the provisioned gap range); anything
+    * else → the lossless rarest-prefix generator
+    * [[containmentPairsLsh]] (which already beats the count-join
+    * everywhere the prefix has rare shingles to rank on). Same
+    * contract shape as the Jaccard dispatcher: the probe is one cheap
+    * keyed aggregate over a shared shingling pass.
     *
-    * The dense regime's trade is sharper here than in the Jaccard
-    * dispatcher, because symmetric MinHash banding under-recalls
-    * exactly the high-containment / low-Jaccard embedded-document
-    * pairs this operator exists for (a dense corpus can still embed
-    * small docs in large ones — density does not imply size-bounded
-    * duplication). So the banded arm is never engaged silently: it
-    * logs a warning naming the recall asymmetry, and
-    * `allowProbabilistic = false` vetoes it in favor of the lossless
-    * rarest-prefix generator — Θ(Σ df²) on a dense vocabulary (19.6×
-    * wall for 10× data measured at sf1), but every embedded-doc pair
-    * is then guaranteed found.
+    * The dense regime's residual trade (stated, never silent): the
+    * stratified generator provisions candidate recall PER size-class
+    * gap against the gap-adjusted threshold — the embedded-document
+    * pairs the earlier fixed symmetric banding provably missed are
+    * now covered up to its `maxGap` (64× size ratio by default) —
+    * but pairs beyond that gap, and gap arms the measured background
+    * similarity forces it to drop (each drop logged with the
+    * geometry), remain probabilistic holes. The warning names them,
+    * and `allowProbabilistic = false` still vetoes the whole regime
+    * in favor of the lossless rarest-prefix generator — Θ(Σ df²) on
+    * a dense vocabulary (19.6× wall for 10× data measured at sf1),
+    * but every embedded-doc pair is then guaranteed found.
     */
   def containmentAuto(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100, allowProbabilistic: Boolean = true): DataFrame = {
@@ -694,14 +939,15 @@ object Dedup {
     val dense = jaccardStrategyOnFps(tri, singletonMassCutover = 0.5) == "lsh"
     if (dense && allowProbabilistic) {
       log.warn("containmentAuto: dense-vocabulary corpus — dispatching to " +
-        "banded-MinHash candidates with EXACT verification. Banding keys on " +
-        "symmetric MinHash, so candidate recall follows the pair's JACCARD, not " +
-        "its containment: a small document embedded in a much larger one " +
-        "(high C, low J) can be missed — the pair class this operator exists " +
-        "for. If the corpus may contain genuinely asymmetric duplication, pass " +
+        "size-stratified banded candidates with EXACT verification " +
+        "(containmentStratified). Per size-class-gap arms band for the " +
+        "gap-adjusted Jaccard threshold, so candidate recall is " +
+        "containment-shaped within the provisioned gap range (default ≤ 5 " +
+        "classes, ≤ 64× size ratio); pairs beyond it, or at gaps the " +
+        "background guard drops (logged), can be missed. Pass " +
         "allowProbabilistic=false (or call containmentPairsLsh directly) for " +
         "the lossless rarest-prefix generator and its quadratic dense-corpus cost.")
-      containmentBandedVerifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
+      containmentStratifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
     } else {
       if (dense)
         log.warn("containmentAuto: dense-vocabulary corpus but " +
@@ -1441,18 +1687,38 @@ object Dedup {
   }
 
   /** Corpus-scaled LSH geometry: (tables, bitsPerTable). ≤ 48 k
-    * vectors (12·2^12) → the original 8×12; beyond → 16 tables and
-    * ceil(log₂(n/3)) bits capped at 18 (512-plane budget). The bits
-    * formula holds expected bucket occupancy n/2^bits ≈ 3, so
-    * expected candidate pairs stay ≈ T·3n/2 — linear — even on the
-    * precision worst case (isotropic vectors, where every random pair
-    * collides per table with 0.5^bits); 16 tables keep recall@0.95 ≥
-    * 91.6% at the deepest tier (1−(1−0.8976^18)^16).
+    * vectors (12·2^12) → the original 8×12; beyond, bits =
+    * ceil(log₂(n/3)) holds expected bucket occupancy n/2^bits ≈ 3 so
+    * candidate pairs stay ≈ T·3n/2 — LINEAR — even on the precision
+    * worst case (isotropic vectors, random per-table collision
+    * 0.5^bits), and the TABLE count is derived from the recall
+    * target: the smallest T with 1 − (1 − p^bits)^T ≥ 92% at the
+    * τ = 0.95 design point (p = 1 − acos(0.95)/π ≈ 0.899), floored
+    * at the long-standing 16 so no mid-tier loses recall vs the
+    * shipped geometry. This REPLACES the round-7 hard bits cap at
+    * 18: fixed tables forced the cap (more bits alone shed recall),
+    * and the cap quietly recreated at sf100 the fixed-bucket
+    * occupancy cliff it was built to fix at sf10 — 5 M vectors on
+    * 2^18 buckets is occupancy 19, ~730 M candidate rows, and a
+    * verification join that filled the bench disk (measured, round
+    * 10; SCALING.md). Now sf10 keeps its committed (16, 18) —
+    * the recall formula reproduces it exactly — while sf100 gets
+    * (23, 21) at occupancy 2.4 and 10⁸ vectors (35, 25) at
+    * occupancy 3, both inside the 1024-plane budget.
     */
   private[graft] def embedLshParams(n: Long): (Int, Int) =
     if (n <= (12L << 12)) (8, 12)
-    else (16, math.min(18, math.max(13,
-      math.ceil(math.log(n / 3.0) / math.log(2.0)).toInt)))
+    else {
+      val pBit = 1.0 - math.acos(0.95) / math.Pi
+      def tablesFor(bits: Int): Int = math.max(16, math.ceil(
+        math.log(0.08) / math.log1p(-math.pow(pBit, bits))).toInt)
+      val want = math.max(13, math.ceil(math.log(n / 3.0) / math.log(2.0)).toInt)
+      // deepest occupancy-targeted bits whose recall-holding table
+      // count still fits the plane budget (binds only past ~10⁸)
+      val bits = (13 to want).reverse
+        .find(b => tablesFor(b) * b <= 1024).getOrElse(13)
+      (tablesFor(bits), bits)
+    }
 
   /** The body over an ALREADY-PERSISTED `(vec_id, vd)` frame —
     * ownership transfers: released once the result materializes.

@@ -119,7 +119,18 @@ object Sampling {
     * score aggregation, map-side combined. Decimal term sums make the
     * score independent of partial-agg order — and SQL-re-derivable.
     */
-  def dsirScore(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+  def dsirScore(documents: DataFrame, targetSource: String = "src0"): DataFrame =
+    dsirScoreOn(documents, dsirStats(documents, targetSource))
+      .orderBy(col("doc_id"))
+
+  /** The frozen DSIR model: per-word target/general term frequencies
+    * plus the smoothing scalars, one broadcastable table — what a
+    * batch run trains and the streaming twin
+    * ([[graft.streaming.DocPipelineJobs.dsirScoreStream]]) scores a
+    * live feed against. Vocabulary is sublinear in corpus size, so
+    * the broadcast holds at 100 TB.
+    */
+  def dsirStats(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
     val tfT = graft.operators.TextOps.unigramStats(
       documents.filter(col("source") === targetSource)).withColumnRenamed("tf", "tf_t")
     val tfG = graft.operators.TextOps.unigramStats(
@@ -130,10 +141,20 @@ object Sampling {
         coalesce(col("tf_g"), lit(0L)).as("tf_g"))
     val scal = vocab.agg(sum(col("tf_t")).as("n_t"), sum(col("tf_g")).as("n_g"),
       count(lit(1)).as("v"))
-    val stats = broadcast(vocab.crossJoin(broadcast(scal)))
+    vocab.crossJoin(broadcast(scal))
+  }
+
+  /** The scoring body over a FROZEN stats table — shared verbatim by
+    * the batch operator and the streaming twin so the two cannot
+    * drift. Words outside the stats vocabulary are unscored by
+    * contract (inner join): the batch corpus is the training corpus,
+    * so there the join never drops; a live feed can carry novel
+    * words, which simply do not contribute to the LLR.
+    */
+  private[graft] def dsirScoreOn(documents: DataFrame, stats: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
-      .join(stats, Seq("w")) // every corpus word is in the union vocab
+      .join(broadcast(stats), Seq("w"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum((log2(col("tf_t").cast("double") + 1.0)
@@ -145,8 +166,6 @@ object Sampling {
         round(col("llr").cast("double") / col("n_tokens").cast("double"), 6)
           .as("avg_llr_bits"),
         (col("llr") > 0).as("target_like"))
-      .orderBy(col("doc_id"))
-  }
 
   /** Sequence-length bucketing: group documents into fixed-width
     * token-length buckets and cut each bucket into training batches,

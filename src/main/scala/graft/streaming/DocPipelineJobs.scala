@@ -91,6 +91,53 @@ object DocPipelineJobs {
   def lrScoreStream(stream: DataFrame): DataFrame =
     TextOps.lrScored(stream)
 
+  /** Live incremental dedup against a STORED hash index: the
+    * streaming twin of `Dedup.incrementalDedup` — the daily-ingest
+    * shape run at ingest speed. Arriving documents pass the shared
+    * `TextOps.cleanScored` normalize/quality prefix (same code as the
+    * batch operator, so gates cannot drift), drop everything whose
+    * content hash the index already holds (a stream-static LEFT ANTI
+    * join — the index is a static parquet table maintained by
+    * accepted output, broadcast or shuffled by the planner as its
+    * size dictates), then dedup within the stream itself. The batch
+    * operator keeps the min-doc_id canonical per hash and counts its
+    * batch duplicates; a stream has no global order, so the live
+    * contract is FIRST-SEEN-survives with no dup count — the same
+    * divergence [[dedupCleanStream]] documents. With `dedupTtl =
+    * Some((tsCol, delay))` the within-stream state is
+    * watermark-bounded; with None it holds every new hash seen (only
+    * safe for bounded replays — production compacts survivors into
+    * the static index and restarts the stream, which is exactly the
+    * incremental-crawl cycle this operator models).
+    */
+  def incrementalGateStream(stream: DataFrame, storedIndex: DataFrame,
+      minWords: Int = 5, maxStopRatio: Double = 0.5,
+      dedupTtl: Option[(String, String)] = None): DataFrame = {
+    val fresh = TextOps.cleanScored(stream, minWords, maxStopRatio)
+      .join(storedIndex.select(col("h")).distinct(), Seq("h"), "left_anti")
+    val deduped = dedupTtl match {
+      case Some((tsCol, delay)) =>
+        fresh.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("h")
+      case None => fresh.dropDuplicates("h")
+    }
+    deduped.select(col("doc_id"), col("h"), col("n_words"))
+  }
+
+  /** Live DSIR importance scoring with a FROZEN trained model: the
+    * train-batch / score-stream pattern over
+    * `Sampling.dsirStats` — the target/general unigram LMs a batch
+    * run trained, broadcast into every micro-batch — with the scoring
+    * body SHARED with the batch operator (`Sampling.dsirScoreOn`), so
+    * live scores equal batch scores on the same model row for row.
+    * Out-of-vocabulary words are unscored by contract (they existed
+    * in neither LM). Per-doc aggregation keeps one open group per
+    * doc_id — run in update/complete mode over bounded replays, or
+    * watermark an ingest-time column upstream, the same caveat as
+    * [[scoreStream]].
+    */
+  def dsirScoreStream(stream: DataFrame, stats: DataFrame): DataFrame =
+    graft.operators.Sampling.dsirScoreOn(stream, stats)
+
   /** Live Bloom-filter membership per shard: the streaming twin of
     * `Dedup.bloomShingleFilter`'s verdict side. State per `source`
     * shard is ONE fixed mBits-bit array (O(m), never grows with the

@@ -452,9 +452,17 @@ class DedupSpec extends AnyFunSuite {
     // audit measured the fixed-bucket shape at 15.4× for 10× data)
     assert(Dedup.embedLshParams((12L << 12) + 1) == ((16, 15)))
     assert(Dedup.embedLshParams(200000) == ((16, 17)))
+    // sf10's committed geometry is reproduced exactly by the recall
+    // formula (the round-7 artifact stays comparable)...
+    assert(Dedup.embedLshParams(500000) == ((16, 18)))
+    // ...and the old hard 18-bit cap is GONE: at sf100 it meant
+    // occupancy 19 and a ~730 M-row candidate join (measured filling
+    // the bench disk, round 10) — tables now scale with bits to hold
+    // recall@0.95 ≥ 92% instead of capping bits to hold recall
+    assert(Dedup.embedLshParams(5000000L) == ((23, 21)))
     val (t, b) = Dedup.embedLshParams(100000000L)
-    assert((t, b) == ((16, 18))) // capped by the 512-plane budget
-    assert(t * b <= 512)
+    assert((t, b) == ((35, 25))) // occupancy ~3 even at 10⁸ vectors
+    assert(t * b <= 1024) // the plane budget binds only past here
   }
 
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
@@ -699,5 +707,63 @@ class DedupSpec extends AnyFunSuite {
         |  graft_dot(array(1.0D, 2.0D), array(1.0D)) AS d2
         |""".stripMargin).collect().head
     assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
+
+  test("stratified arm geometry: recall-first pick, background guard, honest drop") {
+    // pure driver arithmetic — the selection rules pinned without a corpus
+    val free = Dedup.stratifiedArms(0.8, 5, 64, jBg = 1e-9,
+      pairsAtGap = _ => 1.0, candBudget = 1e18)
+    // g=0: J* = 0.8/2.2 — r=3 would need 63 bands > 128/3, so (r=2, b=23)
+    val a0 = free(0).toOption.get
+    assert((a0.r, a0.b) == (2, 23) && a0.recall > 0.95)
+    // g=3: J* ≈ 0.049 — only r=1 fits at 95%: (1, 61)
+    val a3 = free(3).toOption.get
+    assert((a3.r, a3.b) == (1, 61) && a3.recall > 0.95)
+    // g=5: J* ≈ 0.0125 needs 241 bands — capped at the budget, recall
+    // honestly below 95% (the arm is provisioned, not promised)
+    val a5 = free(5).toOption.get
+    assert((a5.r, a5.b) == (1, 64) && a5.recall < 0.95)
+    // the background guard raises r (b capped) when expected noise
+    // collisions blow the candidate budget — recall at J* degrades
+    val guarded = Dedup.stratifiedArms(0.8, 0, 64, jBg = 0.01,
+      pairsAtGap = _ => 1e10, candBudget = 6.4e6)
+    val g0 = guarded(0).toOption.get
+    assert(g0.r == 3 && g0.b == 42 && g0.recall < a0.recall)
+    // an arm indistinguishable from background at ANY geometry is
+    // dropped (Left), never silently quadratic
+    val dropped = Dedup.stratifiedArms(0.8, 5, 64, jBg = 0.3,
+      pairsAtGap = _ => 1e12, candBudget = 6.4e6)
+    assert(dropped(5) == Left(5))
+  }
+
+  test("stratified containment finds the embedded doc symmetric banding misses on a DENSE corpus") {
+    // the round-8 carried gap, now structural: a dense-vocabulary
+    // corpus (the banded regime) with a planted high-containment /
+    // low-Jaccard pair — a 40-word doc embedded verbatim in an
+    // 11×-larger one (size-class gap 3, J ≈ 0.09, C = 1.0)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 14).map(i => s"w$i")
+    def randDoc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val small = randDoc(40)
+    val big = small + " " + randDoc(400)
+    val fillers = (3L to 1302L).map(i => i -> randDoc(40))
+    val corpus = docs((Seq(1L -> small, 2L -> big) ++ fillers): _*)
+    assert(Dedup.jaccardStrategy(corpus) == "lsh") // dense: the regime under test
+    val exact = Dedup.containmentPairs(corpus).collect().map(_.toSeq).toSeq
+    assert(exact.map(r => (r(0), r(1))).contains((1L, 2L)))
+    // the motivation, pinned: fixed symmetric (6, 21) banding misses
+    // the pair — its per-band collision rate is J^6 ≈ 4·10⁻⁷
+    val banded = Dedup.containmentBandedVerified(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!banded.contains((1L, 2L)),
+      "fixture broken: symmetric banding was supposed to miss this pair")
+    // the stratified generator provisions the gap-3 arm (r=1, b=61 at
+    // J* ≈ 0.049) and finds it; exact verification keeps every
+    // surfaced row identical to the exact contract
+    val strat = Dedup.containmentStratified(corpus).collect().map(_.toSeq).toSeq
+    assert(strat == exact)
+    // and the dispatcher's dense arm IS the stratified generator now
+    val auto = Dedup.containmentAuto(corpus).collect().map(_.toSeq).toSeq
+    assert(auto == exact)
   }
 }

@@ -284,4 +284,83 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(planted.map(_._1).toSet.subsetOf(batch.map(_._2)),
       "a planted embedded-eval doc failed to flag")
   }
+
+  test("incremental gate twin: survivors equal the batch crawl-over-crawl dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val splitId = 250L
+    val documents = graft.sources.Tables(spark, TestSpark.sfDir).documents
+    val docRows = documents.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // planted arrivals: one verbatim re-crawl of an indexed doc (must
+    // be killed by the stored index) and one in-batch duplicate pair
+    // (exactly one survivor) — the semantics stay non-degenerate even
+    // if the corpus has no natural cross-split exact dups
+    val recrawl = (90001L, docRows.head._2)
+    val dupA = (90002L, "a freshly crawled page with enough normal words to pass the quality gate")
+    val dupB = (90003L, dupA._2)
+    val arrivals = docRows.filter(_._1 >= splitId) ++ Seq(recrawl, dupA, dupB)
+    // the stored index, derived exactly as the batch operator derives
+    // it (shared cleanScored prefix over the previous crawl)
+    val indexDf = graft.operators.Dedup
+      .incrementalIndex(docRows.filter(_._1 < splitId).toDF("doc_id", "text"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .incrementalGateStream(in.toDF().toDF("doc_id", "text"), indexDf)
+      .writeStream.format("memory").queryName("par_incr_gate")
+      .outputMode("append").start()
+    val live = try {
+      arrivals.grouped(math.max(1, arrivals.size / 4)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      spark.table("par_incr_gate").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet // (h, n_words)
+    } finally q.stop()
+    val batch = graft.operators.Dedup
+      .incrementalDedup((docRows.filter(_._1 < splitId) ++ arrivals)
+        .toDF("doc_id", "text"), splitId)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    // survivors are compared by CONTENT (h, n_words): the batch keeps
+    // the min-doc_id canonical, the stream the first seen — the
+    // surviving content set is the contract both share
+    assert(live == batch, "live gate and batch dedup disagree on surviving content")
+    assert(live.size >= 2, s"fixture degenerate: only ${live.size} survivors")
+    val liveIds = spark.table("par_incr_gate").collect().map(_.getLong(0)).toSet
+    assert(!liveIds.contains(recrawl._1), "re-crawled indexed doc survived the gate")
+    assert(liveIds.intersect(Set(dupA._1, dupB._1)).size == 1,
+      "in-batch duplicate pair must leave exactly one survivor")
+  }
+
+  test("dsir twin: frozen-model live scores equal the batch operator row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val documents = graft.sources.Tables(spark, TestSpark.sfDir).documents
+    val docRows = documents.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // the frozen model: trained once by the batch fit, collected to a
+    // literal table so the stream scores against genuinely static data
+    val stats = graft.operators.Sampling.dsirStats(documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.toDF("w", "tf_t", "tf_g", "n_t", "n_g", "v")
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocPipelineJobs
+      .dsirScoreStream(in.toDF().toDF("doc_id", "text", "source"), stats)
+      .writeStream.format("memory").queryName("par_dsir")
+      .outputMode("complete").start()
+    val live = try {
+      docRows.grouped(math.max(1, docRows.size / 4)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      spark.table("par_dsir").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+    } finally q.stop()
+    val batch = graft.operators.Sampling.dsirScore(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(live == batch, "live DSIR scores diverge from the batch operator")
+    assert(batch.exists(_._5) && batch.exists(!_._5),
+      "fixture degenerate: all docs scored on one side of the LLR")
+  }
 }
