@@ -77,12 +77,19 @@ object VectorOps {
     * (DotProduct returns null on length mismatch, which would fold
     * each `when` to 0 and collapse all signatures to t<<32).
     */
-  def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int): Column = {
-    require(nTables * bitsPerTable <= 1024, "not enough hyperplanes")
+  def lshTableKeys(vd: Column, nTables: Int, bitsPerTable: Int,
+      planeOffset: Int = 0): Column = {
+    require(planeOffset >= 0 && planeOffset + nTables * bitsPerTable <= 1024,
+      "not enough hyperplanes")
     // the table index lives at bit 32 — wider signatures would alias it
     require(bitsPerTable <= 32, "signature must fit below the table-index bits")
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    // planeOffset selects an independent plane range — e.g. the
+    // verification sign-sketch draws from the TOP of the family so
+    // its bits never correlate with the bucket keys' planes (which
+    // fill from 0); a shared plane would bias the sketch's match
+    // count upward on exactly the pairs the buckets selected
     column(graft.expressions.LshSignatures(
-      expression(vd), planeMatrix, nTables, bitsPerTable))
+      expression(vd), planeMatrix.drop(planeOffset), nTables, bitsPerTable))
   }
 }

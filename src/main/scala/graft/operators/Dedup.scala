@@ -693,9 +693,17 @@ object Dedup {
     * matches) to a linear-in-corpus total. An arm whose background
     * cost cannot be pushed under this budget at any geometry is
     * dropped (and logged) rather than silently emitting a quadratic
-    * candidate set.
+    * candidate set. Kept TIGHT (4/doc) because every background
+    * candidate is not a 16-byte row but a full exact verification —
+    * two ~400-byte shingle arrays hauled through the intersection
+    * joins; a 64/doc budget at 5 M docs admitted ~2.5·10⁸ expected
+    * background pairs whose verification join wrote >45 GB of
+    * shuffle before the round-10 smoke was stopped. At 4/doc the
+    * guard lands the sf100 gap-0 arm on (r=3, b=42): worst-case
+    * recall at J*(0) degrades to 87% (logged) but this corpus's true
+    * pairs sit at J ≥ 0.89 where (3, 42) recall is ≈ 1 − 10⁻²².
     */
-  private[graft] val StratifiedCandBudgetPerDoc = 64L
+  private[graft] val StratifiedCandBudgetPerDoc = 4L
 
   /** One size-gap arm of the stratified containment generator:
     * covers pairs whose size classes are `g` apart, with `b` bands of
@@ -733,6 +741,16 @@ object Dedup {
     *    approaches jStar(g), τ-containment pairs at that gap are
     *    statistically indistinguishable from noise at the signature
     *    level, and no sub-quadratic generator can provision them.
+    *  - recall floor: an arm the guard degrades below
+    *    [[MinArmRecall]] at its own worst case is ALSO dropped — it
+    *    would pay its full emission (b bands × both roles × every
+    *    doc in its classes) to catch a single-digit percentage of
+    *    its pairs. The drop is the same honest statement as the
+    *    budget drop, and it keeps emission self-limiting on dense
+    *    corpora: at generated sf100 only the gap-0 arm survives
+    *    (42 rows/doc), where keeping every degraded arm emitted
+    *    ~680 rows/doc and wrote tens of GB of bucket-join shuffle
+    *    for arms that could not deliver (measured, round 10).
     */
   private[graft] def stratifiedArms(tau: Double, maxGap: Int, bandBudget: Int,
       jBg: Double, pairsAtGap: Int => Double,
@@ -747,10 +765,21 @@ object Dedup {
       while (bg(r, b) > candBudget && r < 6) {
         r += 1; b = math.min(bFor(r), cap(r).toDouble).toInt
       }
-      if (bg(r, b) > candBudget) Left(g)
-      else Right(StratArm(g, r, b, jStar,
-        1 - math.pow(1 - math.pow(jStar, r), b)))
+      val recall = 1 - math.pow(1 - math.pow(jStar, r), b)
+      if (bg(r, b) > candBudget || recall < MinArmRecall) Left(g)
+      else Right(StratArm(g, r, b, jStar, recall))
     }
+
+  /** Worst-case provisioned recall below which a stratified arm is
+    * dropped instead of emitted — see [[stratifiedArms]]. At 0.5: an
+    * arm that cannot catch at least HALF its worst-case pairs does
+    * not justify corpus-wide band emission (at generated sf100 the
+    * gap-1 arm lands at 48% after the background guard and would add
+    * ~24 GB of bucket-join shuffle — measured, round 10); corpora
+    * needing better asymmetric coverage take the lossless prefix
+    * generator knowingly.
+    */
+  private[graft] val MinArmRecall = 0.5
 
   /** Size-stratified banded candidates for CONTAINMENT — the dense-
     * regime generator whose recall is containment-shaped, not
@@ -825,7 +854,12 @@ object Dedup {
       val picked = stratifiedArms(tau, maxGap, bandBudget, jBg, pairsAtGap,
         StratifiedCandBudgetPerDoc.toDouble * math.max(nDocs, 1L))
       val dropped = picked.collect { case Left(g) => g }
+        .filter(g => pairsAtGap(g) > 0) // a gap with no class pair is a non-event
+      // likewise skip kept arms whose gap has NO occupied class pair:
+      // they would emit nothing (the eligibility filter below) but
+      // still log confusing geometry warnings
       val arms = picked.collect { case Right(a) => a }
+        .filter(a => pairsAtGap(a.g) > 0)
       if (dropped.nonEmpty)
         log.warn(s"containmentStratified: background similarity ≈ $jBg makes " +
           s"τ-containment pairs at size-class gaps {${dropped.mkString(",")}} " +
@@ -838,36 +872,48 @@ object Dedup {
       log.info(arms.map(a =>
         f"g=${a.g}:(r=${a.r},b=${a.b},recall=${a.recall}%.3f)")
         .mkString("containmentStratified arms: ", " ", ""))
+      val occupied = hist.keySet
       def emit(arm: StratArm, asSmall: Boolean): Option[DataFrame] = {
+        // emit a role only for classes whose PARTNER class actually
+        // holds documents: a gap-g small-role row from class c joins
+        // nothing unless class c+g is occupied, and emission is the
+        // generator's dominant cost (b bands × every doc in the
+        // class) — zero-partner roles emitted tens of GB for empty
+        // joins before this filter (measured, round 10)
+        val eligible =
+          (if (asSmall) occupied.filter(c => occupied.contains(c + arm.g))
+           else occupied.filter(c => occupied.contains(c - arm.g))).toSeq
         val base =
-          if (asSmall) sigs.filter(col("cls") + arm.g <= maxCls)
+          if (asSmall) sigs.filter(col("cls").isin(eligible: _*))
             .select(col("doc_id"), col("cls").as("ci"),
               (col("cls") + arm.g).as("cj"), col("mh"))
-          else sigs.filter(col("cls") >= arm.g)
+          else sigs.filter(col("cls").isin(eligible: _*))
             .select(col("doc_id"), (col("cls") - arm.g).as("ci"),
               col("cls").as("cj"), col("mh"))
-        if (arm.g == 0 && !asSmall) None // identical to the small role
+        if (eligible.isEmpty || (arm.g == 0 && !asSmall)) None
         else Some(base.select(col("doc_id"), col("ci"), col("cj"),
           posexplode(column(graft.expressions.BandHashes(
             expression(col("mh")), arm.r, arm.b))))
           .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
       }
-      val cands = if (arms.isEmpty) {
+      val smallSides = arms.flatMap(emit(_, asSmall = true))
+      // the gap-0 arm joins small-role against small-role (both
+      // orientations collapse below); gap>0 arms join small vs large
+      val largeSides = arms.flatMap(emit(_, asSmall = false)) ++
+        arms.filter(_.g == 0).flatMap(emit(_, asSmall = true))
+      val cands = if (smallSides.isEmpty || largeSides.isEmpty) {
         // every arm dropped (a corpus whose background similarity
-        // swamps even gap 0): no sub-quadratic candidates exist —
-        // surface an empty candidate set, never a silent n² join
-        log.warn("containmentStratified: ALL arms dropped — emitting no " +
-          "candidates. Use containmentPairsLsh (lossless) or raise the budget.")
+        // swamps even gap 0) or no occupied class pair: no
+        // sub-quadratic candidates exist — surface an empty candidate
+        // set, never a silent n² join
+        if (arms.isEmpty)
+          log.warn("containmentStratified: ALL arms dropped — emitting no " +
+            "candidates. Use containmentPairsLsh (lossless) or raise the budget.")
         sigs.select(col("doc_id").as("doc1"), col("doc_id").as("doc2"))
           .filter(lit(false)).persist()
       } else {
-        val smallSide = arms.flatMap(emit(_, asSmall = true))
-          .reduceLeft(_ unionByName _)
-        // the gap-0 arm joins small-role against small-role (both
-        // orientations collapse below); gap>0 arms join small vs large
-        val largeSide = (arms.flatMap(emit(_, asSmall = false)) ++
-          arms.filter(_.g == 0).flatMap(emit(_, asSmall = true)))
-          .reduceLeft(_ unionByName _)
+        val smallSide = smallSides.reduceLeft(_ unionByName _)
+        val largeSide = largeSides.reduceLeft(_ unionByName _)
         smallSide.toDF("doc_a", "ci", "cj", "band_idx", "band_hash")
           .join(largeSide.toDF("doc_b", "ci", "cj", "band_idx", "band_hash"),
             Seq("ci", "cj", "band_idx", "band_hash"))
@@ -1738,7 +1784,31 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
-    materializeAndRelease(pairs
+    // Sign-sketch pre-filter before any vector is hauled: at
+    // occupancy-targeted geometry the candidate set is ~T·occ/2
+    // BACKGROUND pairs per vector (random same-bucket collisions) —
+    // ~70 M pairs at generated sf100 — and joining two 520-byte
+    // double arrays into each wrote ~37 GB of shuffle (the round-10
+    // sf100 disk exhaustion). A 128-bit hyperplane sign sketch
+    // (4×32 bits from the TOP of the plane family — zero overlap
+    // with any bucket geometry ≤ 875 planes, so no selection bias)
+    // Hamming-rejects a random pair (E[mismatch] = 64, σ ≈ 5.7)
+    // at the τ cut (≤ [[sketchMismatchCut]] ≈ 29 at τ = 0.95) with
+    // certainty ~1 − 10⁻¹¹, while a true τ-pair passes with
+    // 1 − 3·10⁻⁶ (4.5σ margin); survivors ≈ true pairs alone pay
+    // the exact-cosine vector join. Fixed 4-term bit_count
+    // arithmetic — fully codegen'd, 48-byte pair rows.
+    val sk = sig.select(col("vec_id"),
+      VectorOps.lshTableKeys(col("vd"), 4, 32, planeOffset = 896).as("sk"))
+    val mismatch = (0 until 4).map(i =>
+        bit_count(col("sk1").getItem(i).bitwiseXOR(col("sk2").getItem(i))))
+      .reduce(_ + _)
+    val sketched = pairs
+      .join(sk.select(col("vec_id").as("id1"), col("sk").as("sk1")), Seq("id1"))
+      .join(sk.select(col("vec_id").as("id2"), col("sk").as("sk2")), Seq("id2"))
+      .filter(mismatch <= lit(sketchMismatchCut(tau)))
+      .select(col("id1"), col("id2"))
+    materializeAndRelease(sketched
       .join(sig.select(col("vec_id").as("id1"), col("vd").as("v1")), Seq("id1"))
       .join(sig.select(col("vec_id").as("id2"), col("vd").as("v2")), Seq("id2"))
       .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
@@ -1746,6 +1816,16 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id1"), col("id2")),
       sig, bucketed)
+  }
+
+  /** Max Hamming mismatches (of 128 sketch bits) a candidate pair may
+    * show and still reach exact verification: 128·p_τ + 4.5σ with
+    * p_τ = acos(τ)/π — the sign-collision rate of a pair at exactly
+    * the threshold. Driver-side arithmetic, pinned in DedupSpec.
+    */
+  private[graft] def sketchMismatchCut(tau: Double): Int = {
+    val p = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    math.ceil(128 * p + 4.5 * math.sqrt(128 * p * (1 - p))).toInt
   }
 
   /** Span-level duplication: for each document, how many of its tokens

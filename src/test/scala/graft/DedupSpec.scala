@@ -463,6 +463,12 @@ class DedupSpec extends AnyFunSuite {
     val (t, b) = Dedup.embedLshParams(100000000L)
     assert((t, b) == ((35, 25))) // occupancy ~3 even at 10⁸ vectors
     assert(t * b <= 1024) // the plane budget binds only past here
+    // the verification sketch cut: 128·acos(τ)/π + 4.5σ — τ = 0.95
+    // pairs show ≤ 29 of 128 mismatched sign bits (random pairs
+    // center at 64), and the cut relaxes as τ loosens
+    assert(Dedup.sketchMismatchCut(0.95) == 29)
+    assert(Dedup.sketchMismatchCut(1.0) == 0)
+    assert(Dedup.sketchMismatchCut(0.8) > Dedup.sketchMismatchCut(0.95))
   }
 
   test("contamination flags the train doc that embeds an eval doc, not unrelated docs") {
@@ -734,6 +740,14 @@ class DedupSpec extends AnyFunSuite {
     val dropped = Dedup.stratifiedArms(0.8, 5, 64, jBg = 0.3,
       pairsAtGap = _ => 1e12, candBudget = 6.4e6)
     assert(dropped(5) == Left(5))
+    // the recall floor: an arm the guard degrades below 30%
+    // worst-case recall is dropped too — full emission for a
+    // single-digit-percent arm is the round-10 disk lesson. This is
+    // the generated-sf100 gap-2 shape (measured jBg ≈ 9.3·10⁻⁴):
+    // the guard lands on (r=3, b=42) at 3.8% recall → Left
+    val floored = Dedup.stratifiedArms(0.8, 2, 64, jBg = 9.3e-4,
+      pairsAtGap = _ => 2e12, candBudget = 2e7)
+    assert(floored(2) == Left(2))
   }
 
   test("stratified containment finds the embedded doc symmetric banding misses on a DENSE corpus") {
