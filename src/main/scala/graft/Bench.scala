@@ -47,34 +47,86 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 
+    // GC cadence + quiesce — the round-10 lesson, both halves:
+    // shuffle files are deleted only after their ShuffleDependency is
+    // GC'd, and a bench loop allocates little on the driver heap, so
+    // without explicit GCs no collection happens for the whole run and
+    // shuffle files pile up on disk until it fills (the round-8 sf100
+    // death). Round 10 fixed that with a System.gc() after EVERY
+    // query — and regressed the whole suite ~14%: the ContextCleaner
+    // deletes the files asynchronously, i.e. INSIDE the next query's
+    // timed region, and a full GC can unload cold generated classes,
+    // so every row paid a flat tax (judge-reproduced idle: geomean
+    // 1.137×, 79/139 rows >1.10×). The fix keeps the disk safety and
+    // takes the cost out of the measurements: GC every N queries
+    // (default 16 — at sf0.1 shuffle residue across 16 queries is MBs;
+    // sf100 runs set SPARK_GRAFT_GC_EVERY=1) and then QUIESCE — poll
+    // the block-manager directories until the cleaner's deletion I/O
+    // has visibly stopped — before the next timed region starts.
+    // SPARK_GRAFT_GC_EVERY=1 + SPARK_GRAFT_GC_QUIESCE=false reproduces
+    // the round-10 arm exactly (the A/B in SCALING.md).
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "16").toInt
+    val gcQuiesce = sys.env.getOrElse("SPARK_GRAFT_GC_QUIESCE", "true").toBoolean
+    def blockFileCount(): Long = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val top = java.nio.file.Files.list(tmp)
+      try top.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("blockmgr-"))
+        .map { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.count() finally w.close()
+        }.sum
+      finally top.close()
+    }
+    def gcAndQuiesce(): Unit = {
+      System.gc()
+      if (gcQuiesce) {
+        // stable = two consecutive polls see the same file count (and
+        // no walk raced a concurrent delete) — the cleaner has drained
+        // what this GC enqueued; bounded so a stuck walk can't hang
+        // the bench. All of this runs OUTSIDE any timed region.
+        val deadline = System.nanoTime() + 3000000000L
+        var prev = -1L
+        var stable = false
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          val c = try blockFileCount()
+          catch { case _: java.io.UncheckedIOException | _: java.io.IOException => -2L }
+          if (c >= 0 && c == prev) stable = true else prev = c
+        }
+      }
+    }
+    var sinceGc = 0
     /** Free every block left in the store: dead localCheckpoints from
-      * the dedup/ANN family. Outside the timed region by design.
-      *
-      * Also nudge the JVM so the ContextCleaner actually runs: shuffle
-      * files are deleted only after their ShuffleDependency is GC'd,
-      * and a bench loop allocates little on the driver heap, so
-      * without an explicit GC no collection happens for the whole run
-      * and every query's shuffle files pile up on disk until it fills
-      * (the round-8 sf100 run died of exactly this — `No space left on
-      * device` inside a spill after ~45 min of accumulated shuffles).
-      * The GC is outside the timed region; the cleaner thread deletes
-      * the files asynchronously while the next query runs.
+      * the dedup/ANN family (deterministic, every query — the round-4
+      * drift lesson), plus the cadenced GC + quiesce above. Outside
+      * the timed region by design.
       */
-    def releaseBlocks(): Unit = {
+    def releaseBlocks(endOfPass: Boolean): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      System.gc()
+      sinceGc += 1
+      if (endOfPass || sinceGc >= gcEvery) {
+        gcAndQuiesce()
+        sinceGc = 0
+      }
     }
 
     // Untimed warm-up pass: compiles every plan's codegen and warms the
     // JIT; caches are dropped afterwards so the timed pass does all the
-    // real work again.
-    suite.foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench:warm] $name: ${e.getMessage}") }
-      releaseBlocks()
+    // real work again. At-scale runs (sf100: tens of seconds per query,
+    // where JIT noise is proportionally nil and a second full pass is
+    // an hour of wall clock) may skip it with SPARK_GRAFT_BENCH_WARM=false.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "true").toBoolean) {
+      suite.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench:warm] $name: ${e.getMessage}") }
+        releaseBlocks(false)
+      }
     }
+    releaseBlocks(true) // timed passes start on a quiesced JVM
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val timings = (1 to passes).map { p =>
@@ -87,9 +139,10 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - q0) / 1e9
-        releaseBlocks() // not timed: block-store hygiene between queries
+        releaseBlocks(false) // not timed: block-store hygiene between queries
         name -> sec
       }
+      releaseBlocks(true) // drain accumulated shuffles at the boundary
       System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       pass
     }
@@ -124,7 +177,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench:extra] $name: ${e.getMessage}"); exFails += 1; false }
         val sec = (System.nanoTime() - q0) / 1e9
-        releaseBlocks()
+        releaseBlocks(false)
         if (ok) Some(sec) else None
       }
       name -> (samples, exFails)

@@ -157,6 +157,11 @@ object SparkEntry {
     "dd_bloom" -> ((s, dir) => Dedup.bloomShingleFilter(Tables(s, dir).documents)),
     "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(Tables(s, dir).documents)),
     "dd_embed_neardup" -> ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings)),
+    // relaxed-τ twin whose driver oracle has ROWS on this corpus
+    // (τ = 0.95 yields 0 pairs at every oracled scale, so its
+    // hash-match is vacuous — this row is the one that can fail)
+    "dd_embed_neardup_t30" ->
+      ((s, dir) => Dedup.embedNearDup(Tables(s, dir).embeddings, tau = 0.3)),
     "dd_contamination" -> ((s, dir) => Dedup.contamination(Tables(s, dir).documents)),
     "dd_dup_spans" -> ((s, dir) => Dedup.dupSpans(Tables(s, dir).documents)),
     // the pair-graph consumers feed off the ADAPTIVE pair source so a
@@ -344,6 +349,68 @@ object SparkEntry {
     graft.functions.VectorOps.planeRows.take(n).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
       .mkString(", ")
+
+  /** The verification sign sketch's plane range [896, 1024) as DuckDB
+    * VALUES rows — spid re-based to 0 so the SQL packs bits exactly
+    * like `lshTableKeys(vd, 4, 32, planeOffset = 896)` does.
+    */
+  private def sketchPlaneValues: String =
+    graft.functions.VectorOps.planeRows.slice(896, 1024).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(", ")
+
+  /** Embedding near-dup oracle: buckets AND the 128-bit sign-sketch
+    * pre-filter both modeled bit-for-bit (same plane literals, same
+    * word packing, same Hamming cut as
+    * [[graft.operators.Dedup.sketchMismatchCut]]), so oracle equality
+    * is exact at every scale — the probabilistic filter is replicated,
+    * not assumed lossless (ADVICE r10). Emits the CTE chain ending in
+    * `fcand(id1, id2)` (sketch-surviving candidate pairs) plus the
+    * vector view `v`; callers append the verification SELECT.
+    */
+  private def embedCandCtes(tau: Double): String =
+    """v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+      |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
+      |sigs AS (
+      |  SELECT vec_id, (pid // 12)::BIGINT * 4294967296
+      |    + CAST(SUM(CASE WHEN list_dot_product(vd, p) > 0
+      |        THEN (1::BIGINT << (pid % 12)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v CROSS JOIN planes GROUP BY vec_id, pid // 12),
+      |cand AS (
+      |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
+      |  FROM sigs s1 JOIN sigs s2 ON s1.bucket = s2.bucket
+      |  WHERE s1.vec_id < s2.vec_id),
+      |skplanes AS (SELECT * FROM (VALUES <<SKPLANES>>) sp(spid, sp)),
+      |skw AS (
+      |  SELECT vec_id, spid // 32 AS g,
+      |    CAST(SUM(CASE WHEN list_dot_product(vd, sp) > 0
+      |        THEN (1::BIGINT << (spid % 32)) ELSE 0 END) AS BIGINT) AS w
+      |  FROM v CROSS JOIN skplanes GROUP BY vec_id, spid // 32),
+      |skl AS (SELECT vec_id, list(w ORDER BY g) AS ws FROM skw GROUP BY vec_id),
+      |fcand AS (
+      |  SELECT id1, id2 FROM cand
+      |  JOIN skl a ON a.vec_id = cand.id1
+      |  JOIN skl b ON b.vec_id = cand.id2
+      |  WHERE bit_count(xor(a.ws[1], b.ws[1])) + bit_count(xor(a.ws[2], b.ws[2]))
+      |    + bit_count(xor(a.ws[3], b.ws[3])) + bit_count(xor(a.ws[4], b.ws[4]))
+      |    <= <<SKCUT>>)""".stripMargin
+      .replace("<<PLANES>>", planeValues(96))
+      .replace("<<SKPLANES>>", sketchPlaneValues)
+      .replace("<<SKCUT>>", Dedup.sketchMismatchCut(tau).toString)
+
+  private def embedNearDupSql(tau: Double): String =
+    ("WITH " + embedCandCtes(tau) + "\n" +
+      """|SELECT id1, id2, ROUND(cos, 6) AS cos FROM (
+        |  SELECT id1, id2, list_dot_product(v1.vd, v2.vd) /
+        |    (sqrt(list_dot_product(v1.vd, v1.vd)) * sqrt(list_dot_product(v2.vd, v2.vd)))
+        |      AS cos
+        |  FROM fcand
+        |  JOIN v v1 ON fcand.id1 = v1.vec_id
+        |  JOIN v v2 ON fcand.id2 = v2.vec_id) t
+        |WHERE cos >= <<TAU>>
+        |ORDER BY id1, id2""".stripMargin)
+      .replace("<<TAU>>", tau.toString)
 
   /** The trained IVF coarse quantizer as DuckDB VALUES rows of
     * (cluster_id, 64-double list literal), and the trained PQ codebook
@@ -2331,52 +2398,26 @@ object SparkEntry {
         .replace("<<PERMS>>", minhashPermValues())
         .replace("<<HASH31:g>>", hash31Sql(charCodesSql("g")))
         .replace("<<HASH31:band>>", foldSql("mh[b * 8 + 1 : b * 8 + 8]", 2147483647L))),
-    "dd_embed_neardup" ->
-      ("""WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
-        |sigs AS (
-        |  SELECT vec_id, (pid // 12)::BIGINT * 4294967296
-        |    + CAST(SUM(CASE WHEN list_dot_product(vd, p) > 0
-        |        THEN (1::BIGINT << (pid % 12)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM v CROSS JOIN planes GROUP BY vec_id, pid // 12),
-        |cand AS (
-        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
-        |  FROM sigs s1 JOIN sigs s2 ON s1.bucket = s2.bucket
-        |  WHERE s1.vec_id < s2.vec_id)
-        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM (
-        |  SELECT id1, id2, list_dot_product(v1.vd, v2.vd) /
-        |    (sqrt(list_dot_product(v1.vd, v1.vd)) * sqrt(list_dot_product(v2.vd, v2.vd)))
-        |      AS cos
-        |  FROM cand
-        |  JOIN v v1 ON cand.id1 = v1.vec_id
-        |  JOIN v v2 ON cand.id2 = v2.vec_id) t
-        |WHERE cos >= 0.95
-        |ORDER BY id1, id2""".stripMargin
-        .replace("<<PLANES>>", planeValues(96))),
-    // same candidate derivation as dd_embed_neardup, then the
-    // recursive-CTE component labeling over ALL vec_ids
+    "dd_embed_neardup" -> embedNearDupSql(0.95),
+    // the non-vacuous twin: τ low enough that this corpus's closest
+    // bucket-collided pairs (max cosine ≈ 0.51 at sf0.01) actually
+    // survive — the candidate/sketch/verify pipeline gets a driver
+    // oracle row whose hash can FAIL, where the τ = 0.95 row passes
+    // on 0 = 0 rows (VERDICT r10 #5)
+    "dd_embed_neardup_t30" -> embedNearDupSql(0.3),
+    // same candidate derivation as dd_embed_neardup (buckets + the
+    // sketch pre-filter, both modeled), then the recursive-CTE
+    // component labeling over ALL vec_ids
     "dd_semantic_canon" ->
-      ("""WITH RECURSIVE v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-        |planes AS (SELECT * FROM (VALUES <<PLANES>>) pl(pid, p)),
-        |sigs AS (
-        |  SELECT vec_id, (pid // 12)::BIGINT * 4294967296
-        |    + CAST(SUM(CASE WHEN list_dot_product(vd, p) > 0
-        |        THEN (1::BIGINT << (pid % 12)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM v CROSS JOIN planes GROUP BY vec_id, pid // 12),
-        |cand AS (
-        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
-        |  FROM sigs s1 JOIN sigs s2 ON s1.bucket = s2.bucket
-        |  WHERE s1.vec_id < s2.vec_id),
-        |pr AS (
+      ("WITH RECURSIVE " + embedCandCtes(0.95) + ",\n" +
+      """|pr AS (
         |  SELECT id1, id2 FROM (
         |    SELECT id1, id2, list_dot_product(v1.vd, v2.vd) /
         |      (sqrt(list_dot_product(v1.vd, v1.vd))
         |        * sqrt(list_dot_product(v2.vd, v2.vd))) AS cos
-        |    FROM cand
-        |    JOIN v v1 ON cand.id1 = v1.vec_id
-        |    JOIN v v2 ON cand.id2 = v2.vec_id) t
+        |    FROM fcand
+        |    JOIN v v1 ON fcand.id1 = v1.vec_id
+        |    JOIN v v2 ON fcand.id2 = v2.vec_id) t
         |  WHERE cos >= 0.95),
         |e AS (SELECT id1 AS a, id2 AS b FROM pr
         |      UNION SELECT id2, id1 FROM pr),
@@ -2390,8 +2431,7 @@ object SparkEntry {
         |  CAST(CASE WHEN COALESCE(c.component, emb.vec_id) = emb.vec_id
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.x
-        |ORDER BY doc_id""".stripMargin
-        .replace("<<PLANES>>", planeValues(96))),
+        |ORDER BY doc_id""".stripMargin),
     "ann_lsh_topk" ->
       ("""WITH p0 AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

@@ -840,7 +840,6 @@ object Dedup {
         (r.getLong(0), math.max(r.getLong(1), 1L))
       }
       val nDocs = hist.values.sum
-      val maxCls = if (hist.isEmpty) 0 else hist.keys.max
       val sBar = if (nDocs == 0) 0.0 else occ.toDouble / nDocs
       // E|A∩B| of a random pair ≈ s̄²/V; jBg = E∩ / (2s̄ − E∩)
       val eInter = math.min(sBar * sBar / vocab, sBar)
@@ -990,9 +989,12 @@ object Dedup {
         "gap-adjusted Jaccard threshold, so candidate recall is " +
         "containment-shaped within the provisioned gap range (default ≤ 5 " +
         "classes, ≤ 64× size ratio); pairs beyond it, or at gaps the " +
-        "background guard drops (logged), can be missed. Pass " +
-        "allowProbabilistic=false (or call containmentPairsLsh directly) for " +
-        "the lossless rarest-prefix generator and its quadratic dense-corpus cost.")
+        "background guard drops (logged), can be missed — on corpus-scale " +
+        "density only the gap-0 arm survives, i.e. embedded documents in " +
+        "≥2× larger hosts are NOT provisioned (SURVEY §2.3, 'Dense-" +
+        "containment posture'). Pass allowProbabilistic=false (or call " +
+        "containmentPairsLsh directly) for the lossless rarest-prefix " +
+        "generator and its quadratic dense-corpus cost.")
       containmentStratifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
     } else {
       if (dense)
@@ -1750,7 +1752,9 @@ object Dedup {
     * 10; SCALING.md). Now sf10 keeps its committed (16, 18) —
     * the recall formula reproduces it exactly — while sf100 gets
     * (23, 21) at occupancy 2.4 and 10⁸ vectors (35, 25) at
-    * occupancy 3, both inside the 1024-plane budget.
+    * occupancy 3, both inside the 896-plane bucket budget
+    * ([[SketchPlaneOffset]] — the top 128 planes belong to the
+    * verification sketch).
     */
   private[graft] def embedLshParams(n: Long): (Int, Int) =
     if (n <= (12L << 12)) (8, 12)
@@ -1760,11 +1764,24 @@ object Dedup {
         math.log(0.08) / math.log1p(-math.pow(pBit, bits))).toInt)
       val want = math.max(13, math.ceil(math.log(n / 3.0) / math.log(2.0)).toInt)
       // deepest occupancy-targeted bits whose recall-holding table
-      // count still fits the plane budget (binds only past ~10⁸)
+      // count still fits the BUCKET plane budget (binds only past
+      // ~10⁸). Buckets own planes [0, 896); [896, 1024) is reserved
+      // for the verification sign sketch — the cap here is what makes
+      // the sketch's "zero overlap with any bucket geometry" claim an
+      // enforced invariant rather than a coincidence of the current
+      // auto maximum (35×25 = 875).
       val bits = (13 to want).reverse
-        .find(b => tablesFor(b) * b <= 1024).getOrElse(13)
+        .find(b => tablesFor(b) * b <= SketchPlaneOffset).getOrElse(13)
       (tablesFor(bits), bits)
     }
+
+  /** First plane index owned by the verification sign sketch: bucket
+    * geometries must fit strictly below it ([[embedLshParams]] caps
+    * its search here; [[embedNearDupOnSig]] rejects explicit
+    * geometries that cross it), so sketch bits can never correlate
+    * with bucket selection.
+    */
+  private[graft] val SketchPlaneOffset = 896
 
   /** The body over an ALREADY-PERSISTED `(vec_id, vd)` frame —
     * ownership transfers: released once the result materializes.
@@ -1775,6 +1792,12 @@ object Dedup {
     */
   private def embedNearDupOnSig(sig: DataFrame, tau: Double,
       nTables: Int, bitsPerTable: Int): DataFrame = {
+    // the sketch's independence from the buckets is an invariant, not
+    // an observation: explicit geometries must stay below the sketch's
+    // reserved plane range just like the auto search does
+    require(nTables * bitsPerTable <= SketchPlaneOffset,
+      s"bucket geometry $nTables×$bitsPerTable crosses into the " +
+        s"verification-sketch plane range [$SketchPlaneOffset, 1024)")
     val bucketed = sig
       .select(col("vec_id"), explode(
         VectorOps.lshTableKeys(col("vd"), nTables, bitsPerTable)).as("bucket"))
@@ -1799,7 +1822,8 @@ object Dedup {
     // the exact-cosine vector join. Fixed 4-term bit_count
     // arithmetic — fully codegen'd, 48-byte pair rows.
     val sk = sig.select(col("vec_id"),
-      VectorOps.lshTableKeys(col("vd"), 4, 32, planeOffset = 896).as("sk"))
+      VectorOps.lshTableKeys(col("vd"), 4, 32,
+        planeOffset = SketchPlaneOffset).as("sk"))
     val mismatch = (0 until 4).map(i =>
         bit_count(col("sk1").getItem(i).bitwiseXOR(col("sk2").getItem(i))))
       .reduce(_ + _)

@@ -462,7 +462,11 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.embedLshParams(5000000L) == ((23, 21)))
     val (t, b) = Dedup.embedLshParams(100000000L)
     assert((t, b) == ((35, 25))) // occupancy ~3 even at 10⁸ vectors
-    assert(t * b <= 1024) // the plane budget binds only past here
+    // bucket planes may never reach the verification sketch's
+    // reserved range [896, 1024) — an enforced invariant (auto search
+    // capped + require on the explicit path), not a coincidence
+    assert(t * b <= Dedup.SketchPlaneOffset)
+    assert(Dedup.SketchPlaneOffset == 896)
     // the verification sketch cut: 128·acos(τ)/π + 4.5σ — τ = 0.95
     // pairs show ≤ 29 of 128 mismatched sign bits (random pairs
     // center at 64), and the cut relaxes as τ loosens
