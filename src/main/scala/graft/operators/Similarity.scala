@@ -684,12 +684,18 @@ object Similarity {
   private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
     val scored = cb.withColumn("half_cn2",
       VectorOps.dot(col("centroid"), col("centroid")) / 2.0)
+    // max_by carries ONLY the code int, not the subvector: every
+    // consumer re-derives what it needs from (vec_id, s, c), and the
+    // aggregate's partial state runs on scan-wide partitions — at 5 M
+    // vectors an 8-double payload per (vec_id, s) group is multi-GB
+    // of hash-map state per partition and the partial agg spills
+    // (measured at generated sf100, round 11: ann_ivfpq_topk 111.9 s
+    // → see SCALING.md for the post-fix number)
     subs.join(scored, Seq("s"))
       .withColumn("score",
         VectorOps.dot(col("sub"), col("centroid")) - col("half_cn2"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(expr("max_by(struct(c, sub), struct(score, -c))").as("m"))
-      .select(col("vec_id"), col("s"), col("m.c").as("c"), col("m.sub").as("sub"))
+      .agg(expr("max_by(c, struct(score, -c))").as("c"))
   }
 
   /** PQ encoding: each corpus vector compresses to one packed long
