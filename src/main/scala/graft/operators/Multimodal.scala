@@ -939,6 +939,15 @@ object Multimodal {
     val idx = hashes.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
         explode(sequence(lit(0), lit(1))).as("blk"))
       .withColumn("key", expr("shiftright(pb, blk * 32) & 4294967295"))
+    // probe rows DO carry the probe's own hash (66 rows/doc × 8 bytes
+    // through the bucket-join exchange, ~2.6 GB at 5 M docs) — by
+    // DESIGN, not oversight: it lets bit_count prune candidates
+    // INLINE on the join's output stream. The tempting alternative
+    // (slim probes, re-join pa per candidate on doc_a) moves the
+    // pruning BEHIND a doc_a exchange of the RAW collision stream,
+    // which is unbounded on heavy identical-hash groups — tried and
+    // reverted round 11 after it filled the disk at generated sf100
+    // where the carried-hash shape completes in ~155 s.
     val probes = hashes.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
         explode(sequence(lit(0), lit(1))).as("blk"))
       .withColumn("v", expr("shiftright(pa, blk * 32) & 4294967295"))
