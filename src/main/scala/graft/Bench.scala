@@ -73,17 +73,29 @@ object Bench {
     // the round-10 arm exactly.
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", Int.MaxValue.toString).toInt
     val gcQuiesce = sys.env.getOrElse("SPARK_GRAFT_GC_QUIESCE", "true").toBoolean
+    // Where the block manager actually writes: Spark's resolution
+    // order is SPARK_LOCAL_DIRS env, then spark.local.dir, then
+    // java.io.tmpdir — a quiesce that polled tmpdir alone would see a
+    // stable 0 under tuned local dirs and silently no-op exactly in
+    // the at-scale runs that need the disk-drain guarantee.
+    val localDirs: Seq[java.nio.file.Path] =
+      sys.env.get("SPARK_LOCAL_DIRS")
+        .orElse(spark.sparkContext.getConf.getOption("spark.local.dir"))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(java.nio.file.Paths.get(_))
     def blockFileCount(): Long = {
       import scala.jdk.CollectionConverters._
-      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val top = java.nio.file.Files.list(tmp)
-      try top.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("blockmgr-"))
-        .map { d =>
-          val w = java.nio.file.Files.walk(d)
-          try w.count() finally w.close()
-        }.sum
-      finally top.close()
+      localDirs.filter(java.nio.file.Files.isDirectory(_)).map { dir =>
+        val top = java.nio.file.Files.list(dir)
+        try top.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("blockmgr-"))
+          .map { d =>
+            val w = java.nio.file.Files.walk(d)
+            try w.count() finally w.close()
+          }.sum
+        finally top.close()
+      }.sum
     }
     def gcAndQuiesce(): Unit = {
       System.gc()

@@ -41,6 +41,22 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.GenData <srcDir> <outDir> <sf>
   */
 object GenData {
+
+  /** The 30-word document vocabulary, shared with every harness that
+    * plants synthetic docs into a generated corpus
+    * ([[ProfileStratRecall]]): planted text must blend into the
+    * corpus's measured background similarity, so the vocabulary lives
+    * in ONE place — a private copy that drifted would silently turn
+    * planted docs into an easy-to-find private vocabulary and make
+    * measured recall optimistic.
+    */
+  val DocVocab: IndexedSeq[String] = IndexedSeq(
+    "a", "agg", "batch", "big", "column", "customer",
+    "data", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector",
+    "window")
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1gen"
@@ -195,11 +211,7 @@ object GenData {
     // start to the first non-dup id (≤8 probes; all-dup windows have
     // probability 0.05^8 ≈ 4e-11 and fall back to the raw draw).
     val nDoc = (50000 * sf).toLong
-    val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
-      "data", "fast", "filter", "group", "hash", "join", "key", "line",
-      "merge", "order", "part", "query", "row", "scan", "slow", "small",
-      "sort", "spark", "stream", "table", "the", "value", "vector",
-      "window").mkString("array('", "','", "')")
+    val vocab = DocVocab.mkString("array('", "','", "')")
     write(spark.range(nDoc)
       .withColumn("is_dup", pmod(hash(col("id"), lit(40)), lit(20)) === 0)
       .withColumn("bid0", pmod(hash(col("id"), lit(41)), lit(nDoc)))

@@ -1,61 +1,56 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the connected-components paths at scale
-  * (round-8 verdict item 3b): records the pair-graph edge count —
-  * i.e. which CC path the default cap dispatches — and times the
-  * driver union-find fast path against the FORCED distributed
-  * pointer-jumping loop on the same pair graph. Dev tool; SCALING.md
-  * records the verdict.
+/** Decompose dd_cluster_cc's sf100 cost (VERDICT r11 #5: 82.4 s,
+  * 15× sf10→sf100 — log-round growth or per-round spill?). At
+  * generated sf100 the pair graph is ~257 k edges, UNDER the 2²⁰
+  * driver cap, so there are no distributed rounds at all — the
+  * operator is pair-source + driver union-find + label attach. This
+  * times each stage in isolation so the 15× is attributed, not
+  * guessed:
+  *
+  *  1. `pairs`  — ngramJaccardAdaptive alone (the dd_jaccard_adaptive
+  *     bench row, re-measured in-context);
+  *  2. `cc`     — connectedComponents over CHECKPOINTED pairs (the
+  *     union-find + attach, no pair-source recompute);
+  *  3. `attach` — the attach/orderBy tail alone over a synthetic
+  *     label set (scan + broadcast join + global sort of the corpus).
+  *
+  * Usage: runMain graft.ProfileCC [sfDir] [passes]
   */
 object ProfileCC {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10gen2")
-    val passes = sys.env.getOrElse("PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf10gen"
+    val passes = if (args.length > 1) args(1).toInt else 2
+    val spark = GraftSession.local(32)
+
     val docs = graft.sources.Tables(spark, sfDir).documents
-    def release(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    def timeIt(tag: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[cc] stage=$tag%-8s sec=$sec%8.2f")
+      System.gc(); Thread.sleep(300)
+      sec
     }
-    // the pair source both consumers feed from, materialized once so
-    // the CC arms time ONLY the clustering (parquet round-trip keeps
-    // the input identical and un-cached between passes)
-    val pairPath = s"/tmp/cc_pairs_${math.abs(sfDir.hashCode)}.parquet"
-    graft.operators.Dedup.ngramJaccardAdaptive(docs)
-      .select(col("doc1"), col("doc2"))
-      .write.mode("overwrite").parquet(pairPath)
-    val pairs = spark.read.parquet(pairPath)
-    val nEdges = pairs.count()
-    val nDocs = docs.count()
-    System.err.println(s"[cc] $sfDir: docs=$nDocs pairEdges=$nEdges " +
-      s"(driver cap 2^20=${1 << 20}; default path = " +
-      s"${if (nEdges <= (1 << 20)) "driver union-find" else "distributed pointer-jumping"})")
-    def time(label: String)(f: => Long): Unit = {
-      var best = Double.MaxValue
-      for (_ <- 1 to passes) {
-        release()
-        val t0 = System.nanoTime()
-        val n = f
-        val s = (System.nanoTime() - t0) / 1e9
-        if (s < best) best = s
-        System.err.println(f"[cc] $label%-34s $s%8.2f s  rows=$n")
-      }
-      System.err.println(f"[cc] $label%-34s min $best%8.2f s")
+
+    // pair source once for the cc stage (untimed here; timed as its own stage)
+    val pairsCk = graft.operators.Caching.materialize(
+      graft.operators.Dedup.ngramJaccardAdaptive(docs)
+        .select(col("doc1"), col("doc2")))
+    println(s"[cc] edges=${pairsCk.count()}")
+
+    (1 to passes).foreach { p =>
+      println(s"[cc] pass=$p")
+      timeIt("full")(graft.operators.Dedup.connectedComponents(
+        docs, graft.operators.Dedup.ngramJaccardAdaptive(docs)))
+      timeIt("pairs")(graft.operators.Dedup.ngramJaccardAdaptive(docs))
+      timeIt("cc")(graft.operators.Dedup.connectedComponents(docs, pairsCk))
+      // attach tail alone: empty label set → pure scan + sort shape
+      timeIt("attach")(graft.operators.Dedup.connectedComponents(
+        docs, pairsCk.limit(0)))
     }
-    time("cc default (driver if <= cap)")(
-      graft.operators.Dedup.connectedComponents(docs, pairs).count())
-    time("cc forced distributed")(
-      graft.operators.Dedup.connectedComponents(docs, pairs,
-        maxDriverEdges = 0).count())
     spark.stop()
   }
 }

@@ -21,22 +21,26 @@ import org.apache.spark.sql.functions._
   * operator's own WARN line alongside — that is the honest-drop
   * contract, measured. SCALING.md records the verdict.
   *
-  * Usage: runMain graft.ProfileStratRecall [sfDir] [pairsPerGap]
+  * Usage: runMain graft.ProfileStratRecall [sfDir] [pairsPerGap] [candBudgetPerDoc]
+  * The third argument drives the round-12 recall/cost CURVE: the
+  * budget is the caller knob that buys dropped gap arms back at
+  * density (VERDICT r11 #4) — measured recall per budget is the
+  * evidence a user prices that trade with.
   */
 object ProfileStratRecall {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val perGap = if (args.length > 1) args(1).toInt else 100
+    val budget = if (args.length > 2) args(2).toLong
+      else graft.operators.Dedup.StratifiedCandBudgetPerDoc
     val maxGap = 3
     val spark = GraftSession.local(32)
     import spark.implicits._
 
-    // the GenData vocabulary — planted text must look like corpus text
-    val vocab = IndexedSeq("a", "agg", "batch", "big", "column", "customer",
-      "data", "fast", "filter", "group", "hash", "join", "key", "line",
-      "merge", "order", "part", "query", "row", "scan", "slow", "small",
-      "sort", "spark", "stream", "table", "the", "value", "vector",
-      "window")
+    // the GenData vocabulary — planted text must look like corpus
+    // text, so reference the generator's own constant (a drifting
+    // private copy would make measured recall optimistic)
+    val vocab = GenData.DocVocab
     val rnd = new scala.util.Random(20260815L)
     def randDoc(n: Int): String =
       (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
@@ -65,7 +69,8 @@ object ProfileStratRecall {
       .unionByName(plantedDf)
 
     val t0 = System.nanoTime()
-    val found = graft.operators.Dedup.containmentStratified(docs)
+    val found = graft.operators.Dedup
+      .containmentStratified(docs, candBudgetPerDoc = budget)
       .filter(col("doc1") >= base && col("doc2") >= base)
       .select(col("doc1"), col("doc2"))
       .collect()
@@ -73,7 +78,8 @@ object ProfileStratRecall {
       .toSet
     val sec = (System.nanoTime() - t0) / 1e9
 
-    println(f"[strat-recall] corpus=$sfDir plantedPerGap=$perGap wall=$sec%.1f s")
+    println(f"[strat-recall] corpus=$sfDir plantedPerGap=$perGap " +
+      f"budget=$budget wall=$sec%.1f s")
     (0 to maxGap).foreach { g =>
       val pairs = planted.filter(_._1 == g)
       val hit = pairs.count { case (_, sid, lid, _, _) =>

@@ -150,6 +150,19 @@ object SparkEntry {
     "dd_containment_lsh" -> ((s, dir) => Dedup.containmentPairsLsh(Tables(s, dir).documents)),
     "dd_containment_auto" -> ((s, dir) => Dedup.containmentAuto(Tables(s, dir).documents)),
     "dd_containment_strat" -> ((s, dir) => Dedup.containmentStratified(Tables(s, dir).documents)),
+    // planted-pair twin (r11 verdict #6): a verbatim copy of doc 0
+    // under a far-away id is a gap-0 containment pair at J = 1, where
+    // ANY kept gap-0 arm's candidate probability is exactly
+    // 1 − (1 − 1^r)^b = 1 — so the driver hash provably exercises a
+    // FOUND planted pair (the base row matches its oracle only
+    // because this corpus's organic true pairs all sit at gap ≤ 1)
+    "dd_containment_strat_planted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      Dedup.containmentStratified(docs.unionByName(
+        docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + lit(900000000000L)).as("doc_id"), col("text"))))
+    }),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
     "dd_jaccard_lsh" -> ((s, dir) => Dedup.jaccardLshVerified(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
@@ -1419,6 +1432,36 @@ object SparkEntry {
     "dd_containment_strat" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(s1.s, s2.s), 6) AS containment,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.s + s2.s - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= LEAST(s1.s, s2.s) * 80
+        |ORDER BY doc1, doc2""".stripMargin,
+    // planted-pair twin: same exact-containment contract over the
+    // corpus plus one verbatim copy of doc 0 — the (0, 9e11) pair is
+    // a J = 1 gap-0 containment pair the stratified generator finds
+    // with probability exactly 1, so a hash match here certifies a
+    // FOUND planted pair, not a vacuous empty-set equality
+    "dd_containment_strat_planted" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
         |  WHERE len(string_split(text, ' ')) >= 3),
         |tri AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g

@@ -44,4 +44,38 @@ object TopK {
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
+
+  case class ScoredTerm(term: String, score: Double)
+  case class TermBuf(items: Seq[ScoredTerm])
+
+  /** [[TopKAggregator]] keyed by a STRING id with ascending-id
+    * tie-break — the grouped-top-k shape for term tables
+    * (tfidf/bm25 keyword extraction), where the id is the term and
+    * the deterministic order is score descending, term ascending
+    * (mirroring the window arm's `orderBy(score.desc, w)` and the
+    * oracle's `ORDER BY score DESC, w`). Same NaN discipline as the
+    * long-keyed aggregator: NaN ranks last, ties break on the term.
+    */
+  class TermTopKAggregator(k: Int)
+      extends Aggregator[ScoredTerm, TermBuf, Seq[ScoredTerm]] {
+    private def better(a: ScoredTerm, b: ScoredTerm): Boolean = {
+      val an = a.score.isNaN
+      val bn = b.score.isNaN
+      if (an != bn) bn
+      else if (!an && a.score != b.score) a.score > b.score
+      else a.term < b.term
+    }
+    private def trim(s: Seq[ScoredTerm]): Seq[ScoredTerm] = s.sortWith(better).take(k)
+
+    override def zero: TermBuf = TermBuf(Nil)
+    override def reduce(b: TermBuf, a: ScoredTerm): TermBuf =
+      if (b.items.size < k) TermBuf(trim(b.items :+ a))
+      else if (better(a, b.items.last)) TermBuf(trim(b.items.init :+ a))
+      else b
+    override def merge(x: TermBuf, y: TermBuf): TermBuf = TermBuf(trim(x.items ++ y.items))
+    override def finish(r: TermBuf): Seq[ScoredTerm] = trim(r.items)
+    override def bufferEncoder: Encoder[TermBuf] = Encoders.product[TermBuf]
+    override def outputEncoder: Encoder[Seq[ScoredTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+  }
 }

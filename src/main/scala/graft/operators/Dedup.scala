@@ -688,8 +688,12 @@ object Dedup {
     bandedVerifiedOnFps(tri, rows, bands)(
       containmentVerify(_, _, tauNum, tauDenom))
 
-  /** Per-doc candidate budget for the stratified generator: the knob
-    * that bounds expected BACKGROUND collisions (random-pair band
+  /** DEFAULT per-doc candidate budget for the stratified generator
+    * (callers override via [[containmentStratified]]'s
+    * `candBudgetPerDoc` — the knob that buys dropped gap arms back at
+    * density: ProfileStratRecall's measured curve in SCALING.md
+    * prices recall against verification cost per budget step): the
+    * budget bounds expected BACKGROUND collisions (random-pair band
     * matches) to a linear-in-corpus total. An arm whose background
     * cost cannot be pushed under this budget at any geometry is
     * dropped (and logged) rather than silently emitting a quadratic
@@ -817,10 +821,13 @@ object Dedup {
     * recall.
     */
   private def stratifiedCandidatesOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, maxGap: Int, bandBudget: Int): (DataFrame, DataFrame) = {
+      tauDenom: Int, maxGap: Int, bandBudget: Int,
+      candBudgetPerDoc: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     require(maxGap >= 0 && bandBudget >= 1 && bandBudget <= 128,
       s"maxGap=$maxGap, bandBudget=$bandBudget out of range")
+    require(candBudgetPerDoc >= 1,
+      s"candBudgetPerDoc must be >= 1, got $candBudgetPerDoc")
     val sigs = tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
       .groupBy(col("doc_id"))
       .agg(column(graft.expressions.MinhashSignature(expression(col("h31")))
@@ -851,7 +858,7 @@ object Dedup {
           n.toDouble * hist.getOrElse(c + g, 0L).toDouble }.sum
       val tau = tauNum.toDouble / tauDenom
       val picked = stratifiedArms(tau, maxGap, bandBudget, jBg, pairsAtGap,
-        StratifiedCandBudgetPerDoc.toDouble * math.max(nDocs, 1L))
+        candBudgetPerDoc.toDouble * math.max(nDocs, 1L))
       val dropped = picked.collect { case Left(g) => g }
         .filter(g => pairsAtGap(g) > 0) // a gap with no class pair is a non-event
       // likewise skip kept arms whose gap has NO occupied class pair:
@@ -940,18 +947,21 @@ object Dedup {
     * similarity forces a logged degradation.
     */
   def containmentStratified(documents: DataFrame, tauNum: Int = 80,
-      tauDenom: Int = 100, maxGap: Int = 5, bandBudget: Int = 64): DataFrame =
+      tauDenom: Int = 100, maxGap: Int = 5, bandBudget: Int = 64,
+      candBudgetPerDoc: Long = StratifiedCandBudgetPerDoc): DataFrame =
     containmentStratifiedOnFps(shingleFps(documents).persist(),
-      tauNum, tauDenom, maxGap, bandBudget)
+      tauNum, tauDenom, maxGap, bandBudget, candBudgetPerDoc)
 
   /** Body over an already-persisted fingerprint table (ownership
     * transfers — [[containmentAuto]]'s probe and this path share one
     * shingling pass).
     */
   private def containmentStratifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, maxGap: Int = 5, bandBudget: Int = 64): DataFrame =
+      tauDenom: Int, maxGap: Int = 5, bandBudget: Int = 64,
+      candBudgetPerDoc: Long = StratifiedCandBudgetPerDoc): DataFrame =
     candVerifiedOnFps(tri,
-      stratifiedCandidatesOnFps(_, tauNum, tauDenom, maxGap, bandBudget))(
+      stratifiedCandidatesOnFps(_, tauNum, tauDenom, maxGap, bandBudget,
+        candBudgetPerDoc))(
       containmentVerify(_, _, tauNum, tauDenom))
 
   /** Adaptive containment: the [[jaccardStrategy]] probe dispatches —

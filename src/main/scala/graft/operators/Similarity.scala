@@ -401,9 +401,12 @@ object Similarity {
     val terms = documents
       .join(member, documents("doc_id") === member("vec_id"))
       .select(col("cluster_id"), explode(split(col("text"), " ")).as("w"))
-    // one shared TF-IDF core with tfidfTopTerms (group = cluster)
+    // one shared TF-IDF core with tfidfTopTerms (group = cluster —
+    // a HANDFUL of groups, so the partial WindowGroupLimit pass is
+    // the right plan and the bare-window arm is kept; see topKByScore)
     graft.operators.TextOps.tfidfTopK(terms, "cluster_id",
-        terms.agg(count_distinct(col("cluster_id")).as("n_groups")), kTerms)
+        terms.agg(count_distinct(col("cluster_id")).as("n_groups")), kTerms,
+        corpusSizedGroups = false)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("rnk"),
         col("term"), col("score"))
       .orderBy(col("cluster_id"), col("rnk"))

@@ -114,15 +114,21 @@ object DocPipelineJobs {
       minWords: Int = 5, maxStopRatio: Double = 0.5,
       dedupTtl: Option[(String, String)] = None): DataFrame = {
     // the static side of a stream-static join is RE-PLANNED every
-    // micro-batch, so an un-persisted distinct here would re-shuffle
-    // the whole corpus-sized index per batch. Persist the one-column
-    // distinct frame: it lives for the query's lifetime (the cache is
-    // what makes per-batch cost a cached-scan, the intended trade for
-    // a long-running ingest stream) and a restart rebuilds it from
+    // micro-batch, so an un-materialized distinct here would
+    // re-shuffle the whole corpus-sized index per batch. Eagerly
+    // checkpoint the one-column distinct frame (NOT persist: a
+    // persist registers in the CacheManager and nothing ever
+    // unpersists it, so repeated gate setups in one session would
+    // accumulate session-lifetime cached copies — round-11 advice).
+    // A checkpointed frame's blocks are freed by the ContextCleaner
+    // once the streaming query that references the plan is dropped,
+    // which is exactly the gate's lifetime; per-batch cost stays a
+    // cached-block scan either way, and a restart rebuilds it from
     // the index parquet. `incrementalIndex` output is already
     // distinct, but the contract here can't assume every caller's is.
     val fresh = TextOps.cleanScored(stream, minWords, maxStopRatio)
-      .join(storedIndex.select(col("h")).distinct().persist(), Seq("h"), "left_anti")
+      .join(graft.operators.Caching.materialize(
+        storedIndex.select(col("h")).distinct()), Seq("h"), "left_anti")
     val deduped = dedupTtl match {
       case Some((tsCol, delay)) =>
         fresh.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("h")

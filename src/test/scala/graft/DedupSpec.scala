@@ -784,4 +784,49 @@ class DedupSpec extends AnyFunSuite {
     val auto = Dedup.containmentAuto(corpus).collect().map(_.toSeq).toSeq
     assert(auto == exact)
   }
+
+  test("stratified candidate budget: default pinned, raised budget keeps guarded arms") {
+    // the round-12 caller knob (VERDICT r11 #4). Driver-side geometry
+    // first: at the generated-sf10 shape (jBg ≈ 1e-3, dense pair
+    // mass) the default budget drops the gap-1 arm; a raised budget
+    // keeps it — the knob is exactly what buys embedded-doc recall
+    // at corpus density
+    val pairsAtGap: Int => Double = g => if (g <= 1) 2e11 else 1e9
+    val tight = Dedup.stratifiedArms(0.8, 1, 64, jBg = 1e-3, pairsAtGap,
+      candBudget = 4.0 * 500000)
+    val roomy = Dedup.stratifiedArms(0.8, 1, 64, jBg = 1e-3, pairsAtGap,
+      candBudget = 64.0 * 500000)
+    assert(tight(1).isLeft, "fixture: default budget was supposed to drop gap 1")
+    assert(roomy(1).isRight, "raised budget keeps the gap-1 arm")
+    assert(roomy(1).toOption.get.recall >= 0.5)
+    // end-to-end default-pin: passing the default explicitly is the
+    // identity — the CORRECTNESS row's behavior is untouched
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 14).map(i => s"w$i")
+    def randDoc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = docs(((1L to 300L).map(i => i -> randDoc(40))
+      :+ (301L -> randDoc(40))): _*)
+    val dflt = Dedup.containmentStratified(corpus).collect().map(_.toSeq).toSeq
+    val explicit = Dedup.containmentStratified(corpus,
+      candBudgetPerDoc = Dedup.StratifiedCandBudgetPerDoc)
+      .collect().map(_.toSeq).toSeq
+    assert(dflt == explicit)
+  }
+
+  test("planted verbatim copy forms a gap-0 containment pair the stratified generator finds with probability 1") {
+    // the dd_containment_strat_planted CORRECTNESS row's mechanism,
+    // pinned at spec scale: a verbatim copy (J = 1) collides in
+    // EVERY band of any kept gap-0 arm, so the planted pair cannot
+    // be missed whatever geometry the background guard lands on
+    val spark2 = spark
+    import spark2.implicits._
+    val base = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" === 0L)
+      .select(($"doc_id" + 900000000000L).as("doc_id"), $"text")
+    val found = Dedup.containmentStratified(base.unionByName(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((0L, 900000000000L)),
+      s"planted pair missing from ${found.length} found pairs")
+  }
 }
