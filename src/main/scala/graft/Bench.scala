@@ -132,6 +132,67 @@ object Bench {
       }
     }
 
+    // Machine-speed controls — the round-13 fix for the confound that
+    // burned two of the last three rounds (r10 GC tax, r12 I/O
+    // headwind): every artifact now carries its own calibration, so a
+    // top-line move can be attributed to engine vs host WITHOUT a
+    // forensic session. Three fixed plans, none touching the sf dir,
+    // timed at the top of every timed pass (per-pass values published,
+    // not mins — the drift ACROSS passes is the signal):
+    //   ctl_cpu   — codegen'd arithmetic over range() (no I/O, no
+    //               shuffle): pure compute speed / JIT health.
+    //   ctl_sort  — fixed in-memory sort (no exchange): memory
+    //               bandwidth + sorter speed.
+    //   ctl_write — scratch parquet write + full read-back: the disk
+    //               path, the exact axis that degraded in r12 (its
+    //               tell was scan-bound rows at 5.9×).
+    // Protocol (SCALING.md round 13): when the suite top-line moves
+    // >5% vs the prior artifact, read the controls first — a matching
+    // shift in ctl_write/ctl_cpu is host state, settled without
+    // rebuilding the prior commit; controls flat + suite moved is an
+    // engine finding. The same-session prior-commit A/B remains the
+    // definitive tiebreak.
+    val ctlDir = java.nio.file.Files.createTempDirectory("graft-ctl")
+    def runControls(): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions._
+      def timed(name: String)(f: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        // a failed control publishes -1, never a fast bogus time (the
+        // ANSI-overflow lesson: sum(xxhash64) "ran" in 0.08 s)
+        try { f; name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench:ctl] $name: ${e.getMessage}")
+          name -> -1.0
+        }
+      }
+      val out = Seq(
+        timed("ctl_cpu") {
+          // max, not sum: summing random 64-bit hashes overflows in
+          // rows under ANSI mode, and the "control" then times a fast
+          // task failure (caught in the first smoke test)
+          spark.range(0, 6000000000L, 1, cpus)
+            .select(xxhash64(col("id")).as("h"))
+            .agg(max(col("h"))).write.format("noop").mode("overwrite").save()
+        },
+        timed("ctl_sort") {
+          spark.range(0, 48000000L, 1, cpus)
+            .select(xxhash64(col("id")).as("k"))
+            .sortWithinPartitions(col("k"))
+            .write.format("noop").mode("overwrite").save()
+        },
+        timed("ctl_write") {
+          val p = ctlDir.resolve("scratch.parquet").toString
+          spark.range(0, 8000000L, 1, cpus)
+            .select(col("id"), xxhash64(col("id")).as("a"),
+              md5(col("id").cast("string")).as("b"))
+            .write.mode("overwrite").parquet(p)
+          spark.read.parquet(p).agg(count(lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        })
+      releaseBlocks(false) // control hygiene mirrors query hygiene
+      out
+    }
+
     // Untimed warm-up pass: compiles every plan's codegen and warms the
     // JIT; caches are dropped afterwards so the timed pass does all the
     // real work again. At-scale runs (sf100: tens of seconds per query,
@@ -144,10 +205,17 @@ object Bench {
         releaseBlocks(false)
       }
     }
+    runControls() // untimed: compiles the control plans' codegen once
     releaseBlocks(true) // timed passes start on a quiesced JVM
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val ctlSamples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
     val timings = (1 to passes).map { p =>
+      runControls().foreach { case (n, sec) =>
+        ctlSamples.getOrElseUpdate(n,
+          scala.collection.mutable.ArrayBuffer.empty) += sec
+      }
       val t0 = System.nanoTime()
       val pass = suite.map { case (name, fn) =>
         val q0 = System.nanoTime()
@@ -220,8 +288,13 @@ object Bench {
       }.getOrElse("")
       s"""${JsonUtil.str(n)}:{"n":${samples(n).size},"min":${r(mn)},"max":${r(mx)},"mean":${r(mean)}$extraTag}"""
     }.mkString("{", ",", "}")
+    // per-pass control samples, in pass order — never mins: the drift
+    // across passes (and vs prior artifacts) is the machine signal
+    val ctlJson = ctlSamples.map { case (n, ts) =>
+      s"""${JsonUtil.str(n)}:${ts.map(r).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r(total)},"unit":"sec","passes":$passes,""" +
-      s""""queries":$fullQs,"errors":$errs,"sf":${JsonUtil.str(sfDir)}}"""
+      s""""controls":$ctlJson,"queries":$fullQs,"errors":$errs,"sf":${JsonUtil.str(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     // the driver contract: ONE compact JSON line (min per query,
@@ -230,7 +303,16 @@ object Bench {
     // a quote or backslash in them must not break the driver's parse.
     val qs = names.map(n => s"""${JsonUtil.str(n)}:${r(stats(n)._1)}""").mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"sf":${JsonUtil.str(sfDir)},"detail":${JsonUtil.str(outPath)}}""")
+      s""""controls":$ctlJson,"errors":$errs,"sf":${JsonUtil.str(sfDir)},""" +
+      s""""detail":${JsonUtil.str(outPath)}}""")
+    // drop the control scratch dir (a few hundred MB of parquet)
+    try {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(ctlDir)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }
