@@ -30,31 +30,24 @@ object ProfileStratBudget {
       .select(col("doc_id"), col("text"))
     val tri = graft.operators.Dedup.shingleFps(docs).persist()
     try {
-      // the operator's own probe, replicated: per-doc fingerprint
-      // count → size class; corpus occupancy + distinct vocab →
-      // expected random-pair Jaccard (jBg)
-      val hist = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-        .withColumn("cls", floor(log2(col("s"))).cast("int"))
-        .groupBy(col("cls")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val probe = tri.agg(count(lit(1)).as("occ"),
-        approx_count_distinct(col("h")).as("v")).head()
-      val (occ, vocab) = (probe.getLong(0), math.max(probe.getLong(1), 1L))
-      val nDocs = hist.values.sum
-      val sBar = if (nDocs == 0) 0.0 else occ.toDouble / nDocs
-      val eInter = math.min(sBar * sBar / vocab, sBar)
-      val jBg = math.max(1e-12,
-        math.min(0.999, eInter / math.max(2 * sBar - eInter, 1e-9)))
-      def pairsAtGap(g: Int): Double =
-        if (g == 0) hist.values.map(n => n.toDouble * (n - 1) / 2).sum
-        else hist.map { case (c, n) =>
-          n.toDouble * hist.getOrElse(c + g, 0L).toDouble }.sum
+      // the operator's own probe, SHARED (Dedup.corpusProbeOnFps —
+      // one definition, so this tool's advertised "the guard's real
+      // decision boundary, not a fit" stays true by construction if
+      // the jBg formula or class binning ever changes)
+      val probe = graft.operators.Dedup.corpusProbeOnFps(tri)
+      import probe.{jBg, nDocs, pairsAtGap, sBar, vocab}
       println(f"[strat-budget] corpus=$sfDir docs=$nDocs sBar=$sBar%.1f " +
         f"vocab=$vocab jBg=$jBg%.3e")
       (0 to maxGap).foreach(g =>
         println(f"[strat-budget] gap=$g classPairs=${pairsAtGap(g)}%.3e"))
 
       val tau = tauNum.toDouble / 100
+      // deliberately calls the operator's full arm sequence and
+      // indexes one gap: stratifiedArms is the exact shipped code
+      // path, and per-gap arms are independent (the seq is a map over
+      // gaps), so slicing is correct; the recompute per bisection
+      // probe is pure driver arithmetic at maxGap ≤ 5 — not worth a
+      // single-gap variant that could drift from the operator
       def armAt(g: Int, budgetPerDoc: Double) =
         graft.operators.Dedup.stratifiedArms(tau, maxGap, bandBudget, jBg,
           pairsAtGap, budgetPerDoc * math.max(nDocs, 1L))(g)

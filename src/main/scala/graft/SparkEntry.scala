@@ -163,6 +163,28 @@ object SparkEntry {
         docs.filter(col("doc_id") === 0)
           .select((col("doc_id") + lit(900000000000L)).as("doc_id"), col("text"))))
     }),
+    // budget-knob twin (r12 verdict #4): the planted doc is doc 0's
+    // text followed by a zq-suffixed copy of every word — with S
+    // distinct trigram shingles in doc 0 that makes exactly 2S + 2
+    // (the suffixing is a bijection on shingles; 2 seam shingles mix
+    // suffixes), so ⌊log₂(2S+2)⌋ − ⌊log₂ S⌋ = 1: a GAP-1 containment
+    // pair at C = 1, J = S/(2S+2) ≈ 0.48, which only the gap-1 arm
+    // can surface. Run through the candBudgetPerDoc = 16 knob, the
+    // driver hash certifies a FOUND gap-1 pair through the budget
+    // path end-to-end (DedupSpec pins the dense-corpus flip: at sf10
+    // density the DEFAULT budget drops the gap-1 arm and misses this
+    // pair; 16 buys it back — here at oracle density both budgets
+    // keep the arm, so the row certifies plumbing, not the flip)
+    "dd_containment_strat_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") === 0)
+        .select((col("doc_id") + lit(900000000000L)).as("doc_id"),
+          concat(col("text"), lit(" "),
+            regexp_replace(col("text"), "(\\S+)", "$1zq")).as("text"))
+      Dedup.containmentStratified(docs.unionByName(planted),
+        candBudgetPerDoc = 16L)
+    }),
     "dd_jaccard_adaptive" -> ((s, dir) => Dedup.ngramJaccardAdaptive(Tables(s, dir).documents)),
     "dd_jaccard_lsh" -> ((s, dir) => Dedup.jaccardLshVerified(Tables(s, dir).documents)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables(s, dir).documents)),
@@ -1460,6 +1482,37 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 900000000000 AS doc_id, text FROM documents
         |  WHERE doc_id = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS s FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, s1.s AS s1, s2.s AS s2,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(s1.s, s2.s), 6) AS containment,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.s + s2.s - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON doc1 = s1.doc_id
+        |JOIN sizes s2 ON doc2 = s2.doc_id
+        |WHERE inter * 100 >= LEAST(s1.s, s2.s) * 80
+        |ORDER BY doc1, doc2""".stripMargin,
+    // budget-knob twin: the same exact-containment contract over the
+    // corpus plus one planted gap-1 embedded doc (doc 0 ++ suffixed
+    // copy — 2S+2 shingles vs S, one size class up, C = 1); the
+    // operator runs with candBudgetPerDoc = 16, so a hash match
+    // certifies a FOUND gap-1 pair through the budget knob's path
+    "dd_containment_strat_budget" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000000000 AS doc_id,
+        |    text || ' ' || regexp_replace(text, '(\S+)', '\1zq', 'g') AS text
+        |  FROM documents WHERE doc_id = 0),
         |toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
         |  WHERE len(string_split(text, ' ')) >= 3),

@@ -785,6 +785,51 @@ object Dedup {
     */
   private[graft] val MinArmRecall = 0.5
 
+  /** The stratified generator's corpus probe, shared verbatim with
+    * ProfileStratBudget (round-13 ADVICE: the tool advertised "the
+    * guard's real decision boundary" while carrying a COPY of this
+    * logic — one definition keeps that claim true if the jBg formula
+    * or class binning ever changes). Two bounded driver-side reads of
+    * the caller-persisted fingerprint table: the ≤64-row size-class
+    * histogram and one (count, approx vocab) aggregate.
+    */
+  private[graft] final case class CorpusProbe(hist: Map[Int, Long],
+      nDocs: Long, sBar: Double, occ: Long, vocab: Long, jBg: Double) {
+    /** Cross-class document-pair count at size-class gap `g`. */
+    def pairsAtGap(g: Int): Double =
+      if (g == 0) hist.values.map(n => n.toDouble * (n - 1) / 2).sum
+      else hist.map { case (c, n) =>
+        n.toDouble * hist.getOrElse(c + g, 0L).toDouble }.sum
+  }
+
+  /** Probe a per-doc (size `s`, class `cls`) table — the signature
+    * aggregate inside the operator, or any frame with those columns.
+    */
+  private[graft] def corpusProbe(sized: DataFrame, tri: DataFrame): CorpusProbe = {
+    val hist = sized.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val r = tri.agg(count(lit(1)).as("occ"),
+      approx_count_distinct(col("h")).as("v")).head()
+    val (occ, vocab) = (r.getLong(0), math.max(r.getLong(1), 1L))
+    val nDocs = hist.values.sum
+    val sBar = if (nDocs == 0) 0.0 else occ.toDouble / nDocs
+    // E|A∩B| of a random pair ≈ s̄²/V; jBg = E∩ / (2s̄ − E∩)
+    val eInter = math.min(sBar * sBar / vocab, sBar)
+    val jBg = math.max(1e-12,
+      math.min(0.999, eInter / math.max(2 * sBar - eInter, 1e-9)))
+    CorpusProbe(hist, nDocs, sBar, occ, vocab, jBg)
+  }
+
+  /** [[corpusProbe]] from a raw fingerprint table (doc_id, h) — the
+    * ProfileStratBudget entry point; derives the per-doc size/class
+    * frame exactly as the operator's signature aggregate does.
+    */
+  private[graft] def corpusProbeOnFps(tri: DataFrame): CorpusProbe =
+    corpusProbe(
+      tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+        .withColumn("cls", floor(log2(col("s"))).cast("int")),
+      tri)
+
   /** Size-stratified banded candidates for CONTAINMENT — the dense-
     * regime generator whose recall is containment-shaped, not
     * Jaccard-shaped. Returns (candidates, signatures), both
@@ -836,26 +881,12 @@ object Dedup {
       .withColumn("cls", floor(log2(col("s"))).cast("int"))
       .persist()
     try {
-      // bounded probes: class histogram (≤ 64 rows — materializes the
-      // signature cache all 2(G+1) emission branches re-read) and the
-      // corpus background-similarity estimate
-      val hist = sigs.groupBy(col("cls")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val (occ, vocab) = {
-        val r = tri.agg(count(lit(1)).as("occ"),
-          approx_count_distinct(col("h")).as("v")).head()
-        (r.getLong(0), math.max(r.getLong(1), 1L))
-      }
-      val nDocs = hist.values.sum
-      val sBar = if (nDocs == 0) 0.0 else occ.toDouble / nDocs
-      // E|A∩B| of a random pair ≈ s̄²/V; jBg = E∩ / (2s̄ − E∩)
-      val eInter = math.min(sBar * sBar / vocab, sBar)
-      val jBg = math.max(1e-12,
-        math.min(0.999, eInter / math.max(2 * sBar - eInter, 1e-9)))
-      def pairsAtGap(g: Int): Double =
-        if (g == 0) hist.values.map(n => n.toDouble * (n - 1) / 2).sum
-        else hist.map { case (c, n) =>
-          n.toDouble * hist.getOrElse(c + g, 0L).toDouble }.sum
+      // bounded probes ([[corpusProbe]] — shared with
+      // ProfileStratBudget): the ≤64-row class histogram (which also
+      // materializes the signature cache all 2(G+1) emission branches
+      // re-read) and the corpus background-similarity estimate
+      val probe = corpusProbe(sigs, tri)
+      import probe.{hist, jBg, nDocs, pairsAtGap}
       val tau = tauNum.toDouble / tauDenom
       val picked = stratifiedArms(tau, maxGap, bandBudget, jBg, pairsAtGap,
         candBudgetPerDoc.toDouble * math.max(nDocs, 1L))

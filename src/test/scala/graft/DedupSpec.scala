@@ -829,4 +829,56 @@ class DedupSpec extends AnyFunSuite {
     assert(found.contains((0L, 900000000000L)),
       s"planted pair missing from ${found.length} found pairs")
   }
+
+  test("budget knob at density, operator-level: default misses the planted gap-1 pair, 16/doc finds it") {
+    // the dd_containment_strat_budget CORRECTNESS row's other half
+    // (VERDICT r12 #4): the driver row runs at oracle density, where
+    // both budgets keep the gap-1 arm — the FLIP the knob buys shows
+    // at corpus density. Fixture: a 6-word vocabulary saturates its
+    // 216-trigram space, pushing measured background similarity into
+    // the window where the gap-1 arm's background cost busts the
+    // default budget at every ≥0.5-recall geometry but fits at
+    // 16/doc. Two occupied size classes one gap apart (~21 distinct
+    // trigrams → class 4, ~41 → class 5) give the arm real pair mass.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 6).map(i => s"w$i")
+    def randDoc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val smalls = (1L to 50L).map(i => i -> randDoc(24))
+    val bigs = (51L to 100L).map(i => i -> randDoc(48))
+    val plantedSmall = randDoc(24)
+    // word-prefix embedding: every trigram of the small doc appears
+    // in the big one (C = 1), ~2× the distinct shingles (gap 1)
+    val plantedBig = plantedSmall + " " + randDoc(24)
+    val corpus = docs((smalls ++ bigs
+      :+ (200L -> plantedSmall) :+ (201L -> plantedBig)): _*)
+    // preconditions through the operator's OWN probe (shared helper),
+    // so fixture drift fails loudly instead of passing vacuously
+    val tri = Dedup.shingleFps(corpus).persist()
+    val probe = try {
+      val sz = tri.groupBy(org.apache.spark.sql.functions.col("doc_id")).count()
+        .filter(org.apache.spark.sql.functions.col("doc_id").isin(200L, 201L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def cls(s: Long) = (math.log(s.toDouble) / math.log(2)).toInt
+      assert(cls(sz(201L)) - cls(sz(200L)) == 1,
+        s"fixture drifted: planted pair no longer one size class apart ($sz)")
+      Dedup.corpusProbeOnFps(tri)
+    } finally tri.unpersist(blocking = false)
+    assert(probe.hist.keySet == Set(4, 5),
+      s"fixture drifted: expected classes {4, 5}, got ${probe.hist}")
+    def gap1Arm(budget: Long) = Dedup.stratifiedArms(0.8, 5, 64, probe.jBg,
+      probe.pairsAtGap, budget.toDouble * probe.nDocs)(1)
+    assert(gap1Arm(Dedup.StratifiedCandBudgetPerDoc).isLeft,
+      s"fixture drifted: default budget was supposed to drop gap 1 (jBg=${probe.jBg})")
+    assert(gap1Arm(16L).isRight,
+      s"fixture drifted: budget 16 was supposed to keep gap 1 (jBg=${probe.jBg})")
+    // the flip, operator-level — what the knob actually buys
+    val atDefault = Dedup.containmentStratified(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!atDefault.contains((200L, 201L)),
+      "default budget found the gap-1 pair its dropped arm cannot provision")
+    val atSixteen = Dedup.containmentStratified(corpus, candBudgetPerDoc = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(atSixteen.contains((200L, 201L)),
+      s"budget 16 missed the planted gap-1 pair (found ${atSixteen.length} pairs)")
+  }
 }

@@ -91,6 +91,56 @@ class PlanPinSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_tfidf_terms keeps the repartition-first top-k (one sort, above the group exchange)") {
+    // the round-12 win (ProfileTfidf: 3.1× at sf10, 1.6× at sf100)
+    // depends on Spark reusing the forced exchange+sort for the
+    // window — one sort total, and WindowGroupLimit running as a
+    // streaming filter over it. Nothing else pins that: a version
+    // bump or conf change could silently re-add the pre-exchange
+    // partial sort (the bare shape sorts the whole w-keyed join
+    // output to eliminate almost nothing, then sorts it all again
+    // after the exchange). Pin the shape, not the strings.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case n if pf.isDefinedAt(n) => Seq(pf(n))
+      }.flatten
+    val df = SparkEntry.queries("txt_tfidf_terms")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan
+    val windows = collectAll(plan) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected one ranking window:\n$plan")
+    val below = windows.head.child
+    // exactly one sort below the window (the post-exchange one that
+    // both satisfies the window and feeds the group-limit filter) and
+    // exactly one group-limit pass (no partial arm)
+    val sorts = collectAll(below) { case s: SortExec => s }
+    assert(sorts.size == 1, s"expected exactly one sort below the window:\n$plan")
+    assert(collectAll(below) { case g: WindowGroupLimitExec => g }.size == 1,
+      s"expected exactly one WindowGroupLimit pass (no partial arm):\n$plan")
+    // the sort's input comes from the doc_id exchange...
+    val exchanges = collectAll(sorts.head.child) { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, s"expected the forced group-key exchange:\n$plan")
+    val groupEx = exchanges.head // pre-order: the topmost
+    groupEx.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        assert(h.expressions.length == 1 &&
+          h.expressions.head.references.map(_.name).toSeq == Seq("doc_id"),
+          s"group exchange must partition on doc_id alone:\n$plan")
+      case other => fail(s"group exchange must hash-partition on doc_id, got $other")
+    }
+    // ...and NOTHING below that exchange sorts or group-limits: the
+    // 150 M-row join output must arrive unsorted
+    assert(collectAll(groupEx.child) { case s: SortExec => s }.isEmpty,
+      s"no sort may run below the group exchange (the bare-window pathology):\n$plan")
+    assert(collectAll(groupEx.child) { case g: WindowGroupLimitExec => g }.isEmpty,
+      s"no partial WindowGroupLimit may run below the group exchange:\n$plan")
+    assert(df.limit(1).count() >= 0) // and the pinned plan runs
+  }
+
   test("q20's exact-percentile windows are never partitioned by the flag alone") {
     // the round-7 generated-sf1 catch: a cumulative window partitioned
     // only by the 3-value returnflag runs ONE task per flag over every
