@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   * occupancies and near-dup pair counts grow the way a real corpus
   * grows — the property the dedup-family scale claims need.
   *
-  * Usage: runMain graft.GenData <srcDir> <outDir> <sf>
+  * Usage: runMain graft.GenData <srcDir> <outDir> <sf> [tables,csv]
+  * The optional 4th arg restricts generation to the named tables —
+  * the sf300 dedup probe needs only documents + embeddings (~3 GB)
+  * where the full set (lineitem at 39 GB) would not fit the disk.
   */
 object GenData {
 
@@ -63,7 +66,8 @@ object GenData {
     val sf = if (args.length > 2) args(2).toDouble else 1.0
     val spark = GraftSession.local(32)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try generate(spark, srcDir, outDir, sf)
+    val tables = if (args.length > 3) args(3).split(',').toSet else Set.empty[String]
+    try generate(spark, srcDir, outDir, sf, tables)
     finally spark.stop()
   }
 
@@ -74,7 +78,7 @@ object GenData {
     (pmod(hash(col("id"), lit(salt)), lit(1000000)).cast("double") / 1e6)
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      sf: Double): Unit = {
+      sf: Double, tables: Set[String] = Set.empty): Unit = {
     val nCust = (150000 * sf).toLong
     val nSupp = (10000 * sf).toLong
     val nPart = (200000 * sf).toLong
@@ -82,10 +86,16 @@ object GenData {
     val nEvt = (1000000 * sf).toLong
     val nUsr = (15000 * sf).toLong
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[gen] wrote $name")
-    }
+    // empty `tables` = everything; a named subset skips the others
+    // BEFORE building their frames' actions run (the skipped writes
+    // are the whole cost — frame construction is driver-side algebra)
+    def write(df: => DataFrame, name: String): Unit =
+      if (tables.nonEmpty && !tables.contains(name))
+        println(s"[gen] skipped $name (not in requested subset)")
+      else {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[gen] wrote $name")
+      }
     // fixed dims: TPC-H's own rule — region/nation do not scale
     write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
     write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")

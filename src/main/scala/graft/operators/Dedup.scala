@@ -1583,12 +1583,34 @@ object Dedup {
     * via one doc_id equi-join, then BOTH window functions (size,
     * rank) share the single component-keyed exchange.
     */
-  def canonicalize(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(documents, pairs)
-      .select(col("doc_id"), col("component"))
+  def canonicalize(documents: DataFrame, pairs: DataFrame): DataFrame =
+    canonicalizeOnComps(documents,
+      connectedComponents(documents, pairs)
+        .select(col("doc_id"), col("component")),
+      repartitionFirst = false)
+
+  /** The window stage over already-attached component labels — split
+    * out so ProfileCanon can A/B its plan shape against precomputed
+    * components (the pair source dominates the full operator; the
+    * window question needs the surgical cut). `repartitionFirst`
+    * mirrors [[graft.operators.TextOps]]' `topKByScore` arms: force
+    * the component exchange + sort before the windows instead of
+    * letting EnsureRequirements place them (VERDICT r12 #3 — measured
+    * in SCALING.md round 13; the BARE shape ships: with no rank
+    * FILTER over the window there is no InferWindowGroupLimit partial
+    * pass here, so both arms plan one exchange + one sort and the A/B
+    * confirms parity).
+    */
+  private[graft] def canonicalizeOnComps(documents: DataFrame,
+      comps: DataFrame, repartitionFirst: Boolean): DataFrame = {
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-    documents.select(col("doc_id"), col("n_chars"))
+    val joined = documents.select(col("doc_id"), col("n_chars"))
       .join(comps, Seq("doc_id"))
+    val arranged =
+      if (repartitionFirst) joined.repartition(col("component"))
+        .sortWithinPartitions(col("component"), col("n_chars").desc, col("doc_id"))
+      else joined
+    arranged
       .withColumn("n_members", count(lit(1)).over(wc))
       .withColumn("rnk", row_number().over(
         wc.orderBy(col("n_chars").desc, col("doc_id"))))
@@ -1607,12 +1629,27 @@ object Dedup {
     * canonicalize: labels attach by one doc_id equi-join, the member
     * count is one component-keyed window.
     */
-  def softDedupWeights(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(documents, pairs)
-      .select(col("doc_id"), col("component"))
+  def softDedupWeights(documents: DataFrame, pairs: DataFrame): DataFrame =
+    softDedupOnComps(documents,
+      connectedComponents(documents, pairs)
+        .select(col("doc_id"), col("component")),
+      repartitionFirst = false)
+
+  /** Window stage of [[softDedupWeights]] over precomputed labels —
+    * the ProfileCanon A/B cut. Here the only window is the UNORDERED
+    * member count, so the bare shape needs no sort at all and
+    * `repartitionFirst` can only ADD one; the arm exists to measure
+    * that expectation rather than assume it.
+    */
+  private[graft] def softDedupOnComps(documents: DataFrame,
+      comps: DataFrame, repartitionFirst: Boolean): DataFrame = {
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-    documents.select(col("doc_id"))
-      .join(comps, Seq("doc_id"))
+    val joined = documents.select(col("doc_id")).join(comps, Seq("doc_id"))
+    val arranged =
+      if (repartitionFirst) joined.repartition(col("component"))
+        .sortWithinPartitions(col("component"))
+      else joined
+    arranged
       .withColumn("n_members", count(lit(1)).over(wc))
       .select(col("doc_id"), col("component"), col("n_members"),
         round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
