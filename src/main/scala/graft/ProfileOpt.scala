@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-13 optimization-pass stage profiler: decompose the bench's
+  * heaviest sf0.1 rows (the dedup family, q20, q25, est-eval) into
+  * their component stages so the optimization targets the measured
+  * dominant term, not the end-to-end guess (dev tool; the verdict
+  * tables live in OPTIMIZATION_r13.md).
+  *
+  * Method: every stage noop-sinks (guide §1.4), interleaved reps with
+  * min reported, block store drained between reps (the Bench hygiene),
+  * one untimed warm rep for codegen.
+  */
+object ProfileOpt {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt
+    val onlySel = sys.env.get("SPARK_GRAFT_PROF_ONLY").map(_.split(',').toSet)
+    val spark = GraftSession.local(cpus)
+    import graft.operators.{Caching, Dedup, Relational}
+    val t = graft.sources.Tables(spark, sfDir)
+    val docs = t.documents
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def time(label: String)(f: => Unit): Unit =
+      if (onlySel.forall(_.exists(label.startsWith))) {
+        f; release() // warm
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(label) = ts
+        println(f"[prof] $label%-32s min ${ts.min}%6.3f  all ${ts.map(x => f"$x%.3f").mkString(" ")}")
+      }
+
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+
+    // ---- shared front-end ----
+    time("text_scan")(noop(docs.select(col("doc_id"), col("text"))))
+    time("shingleFps")(noop(Dedup.shingleFps(docs)))
+    time("fps_persist_count") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count(); ()
+    }
+
+    // ---- count-join family ----
+    time("cj_sizes") {
+      noop(Dedup.shingleFps(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("s")))
+    }
+    time("cj_pairs_agg") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      noop(tri.select(col("doc_id").as("doc1"), col("h"))
+        .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter")))
+    }
+    time("dd_ngram_jaccard_full")(noop(Dedup.ngramJaccard(docs)))
+    time("dd_containment_full")(noop(Dedup.containmentPairs(docs)))
+
+    // ---- LSH / banded family ----
+    time("probe_strategy") { Dedup.jaccardStrategy(docs); () }
+    def sigsOf(tri: DataFrame): DataFrame =
+      tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
+        .groupBy(col("doc_id"))
+        .agg(column(graft.expressions.MinhashSignature(expression(col("h31")))
+          .toAggregateExpression()).as("mh"))
+    time("lsh_sigs") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      noop(sigsOf(tri))
+    }
+    def bandCands(sigs: DataFrame, rows: Int = 6, bands: Int = 21): DataFrame = {
+      val bucketed = sigs.select(col("doc_id"), posexplode(column(
+        graft.expressions.BandHashes(expression(col("mh")), rows, bands))))
+        .toDF("doc_id", "band_idx", "band_hash")
+      bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+        .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"))
+        .distinct()
+    }
+    time("lsh_band_cands") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      val sigs = sigsOf(tri).persist()
+      noop(bandCands(sigs))
+    }
+    time("lsh_verify_inter") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      val sigs = sigsOf(tri).persist()
+      val cands = bandCands(sigs).persist()
+      val arr = tri.groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+      noop(cands
+        .join(arr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+        .join(arr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          column(graft.expressions.SortedIntersectCount(
+            expression(col("hs1")), expression(col("hs2")))).as("inter")))
+    }
+    time("dd_jaccard_lsh_full")(noop(Dedup.jaccardLshVerified(docs)))
+    time("dd_jaccard_adaptive_full")(noop(Dedup.ngramJaccardAdaptive(docs)))
+    time("dd_strat_full")(noop(Dedup.containmentStratified(docs)))
+    time("dd_strat_budget16_full")(
+      noop(Dedup.containmentStratified(docs, candBudgetPerDoc = 16L)))
+
+    // ---- pair-graph consumers: pair source precomputed ONCE (eager,
+    // checkpointed) so these stages time only their own work ----
+    {
+      val pairs = Dedup.ngramJaccardAdaptive(docs)
+      time("cc_given_pairs")(noop(Dedup.connectedComponents(docs, pairs)))
+      time("canonicalize_given_pairs")(noop(Dedup.canonicalize(docs, pairs)))
+      time("softdedup_given_pairs")(noop(Dedup.softDedupWeights(docs, pairs)))
+      time("epilogue_orderby_ckpt") {
+        noop(Caching.materialize(pairs.orderBy(col("doc1"), col("doc2"))))
+      }
+      release()
+    }
+    time("dd_cluster_cc_full") {
+      noop(Dedup.connectedComponents(docs, Dedup.ngramJaccardAdaptive(docs)))
+    }
+
+    // ---- est-eval ----
+    time("minhash_lsh_full")(noop(Dedup.minhashLsh(docs)))
+    time("dd_minhash_est_eval_full")(noop(Dedup.minhashEstEval(docs)))
+
+    // ---- q20 ----
+    val li = t.lineitem
+    time("q20_smallinput_probe") { Caching.smallInput(li, 1L << 20); () }
+    time("q20_hist_exact_branch") {
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+      val cum = hist
+        .withColumn("n", sum(col("c")).over(wf))
+        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("l_extendedprice"))))
+      noop(cum.groupBy(col("l_returnflag"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95")))
+    }
+    time("q20_sketch_branch") {
+      noop(li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx")))
+    }
+    time("q20_full")(noop(Relational.q20ApproxPercentile(li)))
+
+    // ---- q25 ----
+    time("q25_join_lo")(noop(t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)))))
+    time("q25_full")(noop(Relational.q25SupplierFlow(
+      t.lineitem, t.orders, t.customer, t.supplier, t.nation)))
+
+    println("[prof] ---- summary (min seconds) ----")
+    results.foreach { case (l, ts) =>
+      println(f"[prof] $l%-32s ${ts.min}%6.3f")
+    }
+    spark.stop()
+  }
+}
