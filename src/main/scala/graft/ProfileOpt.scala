@@ -92,11 +92,43 @@ object ProfileOpt {
         .select(col("doc1"), col("doc2"))
         .distinct()
     }
+    def bandCandsShj(sigs: DataFrame, rows: Int = 6, bands: Int = 21): DataFrame = {
+      val bucketed = sigs.select(col("doc_id"), posexplode(column(
+        graft.expressions.BandHashes(expression(col("mh")), rows, bands))))
+        .toDF("doc_id", "band_idx", "band_hash")
+      bucketed.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+        .hint("shuffle_hash")
+        .join(bucketed.select(col("doc_id").as("doc2"), col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"))
+        .distinct()
+    }
     time("lsh_band_cands") {
       val tri = Dedup.shingleFps(docs).persist()
       tri.count()
       val sigs = sigsOf(tri).persist()
       noop(bandCands(sigs))
+    }
+    time("lsh_band_cands_shj") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      val sigs = sigsOf(tri).persist()
+      noop(bandCandsShj(sigs))
+    }
+    time("lsh_verify_inter_shj") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      val sigs = sigsOf(tri).persist()
+      val cands = bandCands(sigs).persist()
+      val arr = tri.groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+      noop(cands.hint("shuffle_hash")
+        .join(arr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+        .hint("shuffle_hash")
+        .join(arr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          column(graft.expressions.SortedIntersectCount(
+            expression(col("hs1")), expression(col("hs2")))).as("inter")))
     }
     time("lsh_verify_inter") {
       val tri = Dedup.shingleFps(docs).persist()
@@ -113,14 +145,78 @@ object ProfileOpt {
     }
     time("dd_jaccard_lsh_full")(noop(Dedup.jaccardLshVerified(docs)))
     time("dd_jaccard_adaptive_full")(noop(Dedup.ngramJaccardAdaptive(docs)))
+    // strat signature-stage A/B: the aggregate over the (cached)
+    // fingerprint table vs the shuffle-free per-row expression twin
+    // (MinhashTextSignature is spec-pinned bit-identical to the agg;
+    // s = size(ShingleFingerprints) = count of the exploded distinct
+    // fps by construction)
+    time("strat_sigs_agg") {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      noop(tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
+        .groupBy(col("doc_id"))
+        .agg(column(graft.expressions.MinhashSignature(expression(col("h31")))
+            .toAggregateExpression()).as("mh"),
+          count(lit(1)).as("s"))
+        .withColumn("cls", floor(log2(col("s"))).cast("int")))
+    }
+    time("strat_sigs_perrow") {
+      noop(docs.select(col("doc_id"),
+          column(graft.expressions.MinhashTextSignature(
+            expression(col("text")))).as("mh"),
+          size(column(graft.expressions.ShingleFingerprints(
+            expression(col("text"))))).cast("long").as("s"))
+        .filter(col("mh").isNotNull)
+        .withColumn("cls", floor(log2(col("s"))).cast("int")))
+    }
     time("dd_strat_full")(noop(Dedup.containmentStratified(docs)))
     time("dd_strat_budget16_full")(
       noop(Dedup.containmentStratified(docs, candBudgetPerDoc = 16L)))
 
-    // ---- pair-graph consumers: pair source precomputed ONCE (eager,
-    // checkpointed) so these stages time only their own work ----
+    // ---- count-join A/B arms (the measured dominant stage of the
+    // exact Jaccard/containment family): same (doc1, doc2, inter)
+    // result, different physical shape ----
+    def cjCurrent(tri: DataFrame): DataFrame =
+      tri.select(col("doc_id").as("doc1"), col("h"))
+        .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"))
+    def cjGroupEmit(tri: DataFrame): DataFrame =
+      tri.groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1)," +
+            " y -> struct(x as doc1, y as doc2))))")).as("p"))
+        .select(col("p.doc1"), col("p.doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"))
+    def withTri(f: DataFrame => DataFrame): Unit = {
+      val tri = Dedup.shingleFps(docs).persist()
+      tri.count()
+      noop(f(tri))
+    }
+    time("cjA_current")(withTri(cjCurrent))
+    time("cjB_shj_hint")(withTri(tri => cjCurrent(tri.hint("shuffle_hash"))))
+    time("cjC_group_emit")(withTri(cjGroupEmit))
+    time("cjD_aqe_shj") {
+      spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      try withTri(cjCurrent)
+      finally spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0")
+    }
+
+    // ---- pair-graph consumers: pair source precomputed ONCE and
+    // parked in a scratch parquet (NOT a cache/checkpoint — the
+    // release() between reps would free those blocks and poison the
+    // next rep, the first-run crash of this tool) so these stages time
+    // only their own work ----
     {
-      val pairs = Dedup.ngramJaccardAdaptive(docs)
+      val pairsDir = java.nio.file.Files.createTempDirectory("graft-prof")
+        .resolve("pairs.parquet").toString
+      Dedup.ngramJaccardAdaptive(docs).write.mode("overwrite").parquet(pairsDir)
+      release()
+      val pairs = spark.read.parquet(pairsDir)
       time("cc_given_pairs")(noop(Dedup.connectedComponents(docs, pairs)))
       time("canonicalize_given_pairs")(noop(Dedup.canonicalize(docs, pairs)))
       time("softdedup_given_pairs")(noop(Dedup.softDedupWeights(docs, pairs)))
@@ -157,6 +253,10 @@ object ProfileOpt {
           expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx")))
     }
     time("q20_full")(noop(Relational.q20ApproxPercentile(li)))
+    time("q20_twolevel_forced") {
+      val (r, hist) = Relational.q20ApproxPercentilePlan(li)
+      noop(Caching.materializeAndRelease(r, hist))
+    }
 
     // ---- q25 ----
     time("q25_join_lo")(noop(t.lineitem
@@ -164,6 +264,18 @@ object ProfileOpt {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)))))
     time("q25_full")(noop(Relational.q25SupplierFlow(
       t.lineitem, t.orders, t.customer, t.supplier, t.nation)))
+
+    // ---- fixed per-query overhead: DataFrame construction + analysis
+    // + optimization + physical planning, no execution (how much of a
+    // ~0.3 s tail row is driver-side planning, not cluster work) ----
+    Seq("q1_agg", "ev_funnel", "txt_quality", "samp_stratified",
+      "dd_simhash", "ann_lsh_topk").foreach { q =>
+      SparkEntry.queries.get(q).foreach { fn =>
+        time(s"planonly_$q") {
+          fn(spark, sfDir).queryExecution.executedPlan; ()
+        }
+      }
+    }
 
     println("[prof] ---- summary (min seconds) ----")
     results.foreach { case (l, ts) =>

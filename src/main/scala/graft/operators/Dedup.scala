@@ -137,7 +137,19 @@ object Dedup {
     */
   private def ngramJaccardOnFps(tri: DataFrame, tauNum: Int, tauDenom: Int): DataFrame = {
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val pairs = tri.select(col("doc_id").as("doc1"), col("h"))
+    // SHUFFLE_HASH on the self-join (round 13): equal-sized sides, so
+    // neither the planner (muchSmaller fails by construction) nor AQE
+    // (measured: the 128 MB local-map threshold arm did not flip it)
+    // ever picks the hash join on its own — yet hashing one side
+    // beats sorting BOTH sides wherever the build partition fits
+    // memory (ProfileOpt cjA 2.06 s vs cjB 1.12 s at sf0.1). At the
+    // count-join's contract scale (sparse/moderate corpora — the
+    // dispatchers send dense corpora to the LSH paths) the per-
+    // partition build side is the fingerprint table over wide AQE
+    // partitions, well inside executor memory; SMJ's spill grace is
+    // only needed past the regime where this operator is the wrong
+    // choice anyway (Θ(Σ df²), SCALING.md).
+    val pairs = tri.select(col("doc_id").as("doc1"), col("h")).hint("shuffle_hash")
       .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
@@ -334,10 +346,17 @@ object Dedup {
   def ngramJaccardAdaptive(documents: DataFrame, tauNum: Int = 50,
       tauDenom: Int = 100, singletonMassCutover: Double = 0.5,
       allowProbabilistic: Boolean = true): DataFrame = {
-    val tri = shingleFps(documents).persist()
-    jaccardStrategyOnFps(tri, singletonMassCutover) match {
+    // the probe aggregates the (sampled) shingling scan directly — no
+    // persist: the LSH regime no longer reads the exploded table at
+    // all (round 13 — the whole verified path runs off per-row
+    // expressions), so pre-filling a corpus-sized cache for it was
+    // pure waste there; the count-join regime persists its own table
+    // one line below (one extra shingling scan on that arm, bought
+    // back by not writing the cache on the arm that never reads it).
+    // Same sampled statistics either way — the probe's filter and
+    // aggregate are deterministic in h.
+    jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover) match {
       case "prefix" =>
-        tri.unpersist(blocking = false)
         ngramJaccardPrefix(documents, tauNum, tauDenom)
       case "lsh" if allowProbabilistic =>
         log.warn("ngramJaccardAdaptive: dense-vocabulary corpus — dispatching to " +
@@ -346,13 +365,13 @@ object Dedup {
           "0.7 -> 93%, 0.8 -> 99.8%): pairs sitting near a low threshold can be " +
           "missed. Pass allowProbabilistic=false (or call ngramJaccard / " +
           "ngramJaccardPrefix) for the exact contract and its quadratic dense-corpus cost.")
-        jaccardLshVerifiedOnFps(tri, tauNum, tauDenom)
+        jaccardLshVerified(documents, tauNum, tauDenom)
       case "lsh" =>
         log.warn("ngramJaccardAdaptive: dense-vocabulary corpus but " +
           "allowProbabilistic=false — taking the exact count-join, whose candidate " +
           "shuffle is Θ(Σ df²) (quadratic in corpus size at fixed vocabulary).")
-        ngramJaccardOnFps(tri, tauNum, tauDenom)
-      case _ => ngramJaccardOnFps(tri, tauNum, tauDenom)
+        ngramJaccard(documents, tauNum, tauDenom)
+      case _ => ngramJaccard(documents, tauNum, tauDenom)
     }
   }
 
@@ -388,20 +407,11 @@ object Dedup {
     */
   def jaccardLshVerified(documents: DataFrame, tauNum: Int = 50,
       tauDenom: Int = 100, rows: Int = 6, bands: Int = 21): DataFrame =
-    jaccardLshVerifiedOnFps(shingleFps(documents).persist(), tauNum, tauDenom,
-      rows, bands)
-
-  /** Body over an already-persisted fingerprint table (ownership
-    * transfers: released once the result materializes). One shingling
-    * pass feeds signatures, sizes and verification arrays.
-    */
-  private def jaccardLshVerifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame =
     // inter carries exactly one row per candidate pair (inner joins
     // against the full doc universe; oversized pairs re-enter via the
     // fallback union), so joining cands back would be an identity
     // join shuffling the candidate set once more for nothing
-    bandedVerifiedOnFps(tri, rows, bands) { (inter, sizes) =>
+    bandedVerifiedOnDocs(documents, rows, bands) { (inter, sizes) =>
       inter
         .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
         .join(sizes.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
@@ -411,69 +421,92 @@ object Dedup {
     }
 
   /** The shared skeleton of the banded-MinHash verified paths: one
-    * place owns the cache protocol (candidate generation over the
-    * caller-persisted fingerprint table, exact sorted-merge
-    * intersection counts, release of every cache on success OR on a
-    * construction-time failure — the generator's require() and
-    * pairIntersections' probe job both fire before
-    * materializeAndRelease's finally exists to clean up). `verify`
-    * turns (inter, sizes) into the final pair frame — the only part
-    * the Jaccard and containment twins differ in.
+    * place owns the cache protocol (candidate generation, exact
+    * sorted-merge intersection counts, release of every cache on
+    * success OR on a construction-time failure). `verify` turns
+    * (inter, sizes) into the final pair frame — the only part the
+    * Jaccard and containment twins differ in.
     */
-  private def bandedVerifiedOnFps(tri: DataFrame, rows: Int, bands: Int)(
+  private def bandedVerifiedOnDocs(docs: DataFrame, rows: Int, bands: Int)(
       verify: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    candVerifiedOnFps(tri, bandedCandidatesOnFps(_, rows, bands))(verify)
+    candVerifiedOnDocs(docs, bandedCandidatesOnDocs(_, rows, bands))(verify)
 
   /** The generator-agnostic body of the verified paths: `candGen`
-    * yields (candidates, signatures) — both persisted, ownership
-    * transferring here — over the caller-persisted fingerprint table.
-    * Shared by the fixed-geometry banded generator and the
-    * size-stratified containment generator.
+    * yields (candidates, per-doc table) — both persisted, ownership
+    * transferring here — where the per-doc table MUST carry
+    * (doc_id, s, hs): the distinct-shingle count and the
+    * ascending-sorted fingerprint array (the contract both the banded
+    * and stratified generators satisfy from the per-row
+    * ShingleFingerprints pass). Threshold sizes, verification arrays
+    * and the oversize probe all read that one columnar cache — the
+    * round-13 shape with zero corpus-sized exchanges outside the
+    * candidate join itself.
     */
-  private def candVerifiedOnFps(tri: DataFrame,
+  private def candVerifiedOnDocs(docs: DataFrame,
       candGen: DataFrame => (DataFrame, DataFrame))(
       verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    // a require() in the candidate generator (rows*bands > 128) fires
-    // before any job but AFTER the caller persisted tri — release the
-    // registration on that path too
-    val (cands, sigs) =
-      try candGen(tri)
-      catch { case t: Throwable => tri.unpersist(blocking = false); throw t }
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val (cands, sigs) = candGen(docs)
+    val sizes = sigs.select(col("doc_id"), col("s"))
+    // oversize probe on the per-doc cache (first materialization of a
+    // cache every later stage reads anyway): with no doc above the
+    // cap, pairIntersectionsOnArrays skips its guard apparatus —
+    // construction-time job, so clean up the generator's caches on
+    // failure
+    val mayBig =
+      try !sigs.filter(col("s") > MaxMergeArrayLen).isEmpty
+      catch { case t: Throwable =>
+        Seq(sigs, cands).foreach(_.unpersist(blocking = false))
+        throw t
+      }
+    val docArr = sigs.select(col("doc_id"), col("hs"))
     // exact verification via the shared sorted-merge counter — same
     // construction-time-probe caveat as containmentPairsLsh
     val (inter, interCache) =
-      try pairIntersections(cands, tri)
+      try pairIntersectionsOnArrays(cands, docArr, mayHaveOversized = mayBig)
       catch { case t: Throwable =>
-        Seq(tri, sigs, cands).foreach(_.unpersist(blocking = false))
+        Seq(sigs, cands).foreach(_.unpersist(blocking = false))
         throw t
       }
-    materializeAndRelease(verify(inter, sizes), tri, sigs, cands, interCache)
+    materializeAndRelease(verify(inter, sizes), sigs, cands, interCache)
   }
 
-  /** Banded-MinHash candidate pairs over a persisted fingerprint
-    * table — the shared candidate generator of the dense-regime
-    * Jaccard and containment paths. Returns (candidates, signatures),
-    * BOTH persisted; the caller owns their release. The signature
-    * cache exists because the banded bucket table feeds both sides of
-    * the candidate self-join — without it each side re-runs the
-    * 128-permutation aggregate (measured ~2× the operator at sf1);
-    * the candidate cache exists because candidates feed the
-    * verification join and the outer result join.
+  /** Banded-MinHash candidate pairs — the shared candidate generator
+    * of the dense-regime Jaccard and containment paths. Returns
+    * (candidates, per-doc table), BOTH persisted; the caller owns
+    * their release.
+    *
+    * Round 13: the per-doc table is built by the SHUFFLE-FREE per-row
+    * expressions straight off the document scan — signature
+    * ([[graft.expressions.MinhashTextSignature]], spec-pinned
+    * bit-identical to the MinhashSignature aggregate over
+    * shiftright(h, 32)), distinct-shingle count and the sorted
+    * fingerprint array ([[graft.expressions.ShingleFingerprints]]
+    * emits ascending distinct fps — exactly
+    * sort_array(collect_list(h)) of the exploded table) — where the
+    * previous shape ran a corpus-sized doc_id exchange for the
+    * signature aggregate and TWO more for the sizes and
+    * verification-array aggregates downstream. One columnar cache
+    * (readers prune columns) now serves all four consumers: band
+    * bucketing (mh), threshold sizes (s), the sorted-merge
+    * verification arrays (hs) and the oversize probe (s). This is
+    * [[minhashSignatures]]' round-11 per-row move extended to the
+    * whole verified family — at 100 TB the three removed exchanges
+    * were the corpus-sized terms.
     */
-  private def bandedCandidatesOnFps(tri: DataFrame, rows: Int,
+  private def bandedCandidatesOnDocs(docs: DataFrame, rows: Int,
       bands: Int): (DataFrame, DataFrame) = {
     require(rows * bands <= 128, s"rows*bands=${rows * bands} exceeds the 128 signatures")
-    // the signature aggregate reads the persisted fingerprints (top
-    // 31 bits — the same derivation minhashSignatures uses)
-    val sigs = tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
-      .groupBy(col("doc_id"))
-      .agg({
-        import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
-        column(graft.expressions.MinhashSignature(expression(col("h31")))
-          .toAggregateExpression()).as("mh")
-      })
-      .persist()
+    val sigs = {
+      import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+      docs.select(col("doc_id"),
+          column(graft.expressions.MinhashTextSignature(
+            expression(col("text")))).as("mh"),
+          column(graft.expressions.ShingleFingerprints(
+            expression(col("text")))).as("hs"))
+        .filter(col("mh").isNotNull)
+        .withColumn("s", size(col("hs")).cast("long"))
+        .persist()
+    }
     val bucketed = {
       import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
       sigs.select(col("doc_id"), posexplode(column(
@@ -512,7 +545,8 @@ object Dedup {
       tauDenom: Int = 100): DataFrame = {
     val tri = shingleFps(documents).persist()
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val pairs = tri.select(col("doc_id").as("doc1"), col("h"))
+    // same SHUFFLE_HASH reasoning as [[ngramJaccardOnFps]] (round 13)
+    val pairs = tri.select(col("doc_id").as("doc1"), col("h")).hint("shuffle_hash")
       .join(tri.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
@@ -638,12 +672,16 @@ object Dedup {
     // extra corpus shuffle for the sorted-merge verifier's input)
     val docArr = docSets.select(col("doc_id"), array_sort(col("harr")).as("hs"))
     val sizes = docSets.select(col("doc_id"), col("s"))
-    // pairIntersectionsOnArrays runs a construction-time probe job; if
-    // it throws, release docSets here (materializeAndRelease's finally
-    // is never reached)
+    // oversize probe on the persisted doc sets (round 13): with no doc
+    // above the merge cap — the overwhelmingly common case — the
+    // verifier skips its capping/persist/probe guard apparatus
+    // entirely; construction-time jobs, so release docSets on failure
+    // (materializeAndRelease's finally is never reached)
     val (inter, interCache) =
-      try pairIntersectionsOnArrays(cands, docArr)
-      catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
+      try {
+        val mayBig = !docSets.filter(col("s") > MaxMergeArrayLen).isEmpty
+        pairIntersectionsOnArrays(cands, docArr, mayHaveOversized = mayBig)
+      } catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
     materializeAndRelease(
       containmentVerify(inter, sizes, tauNum, tauDenom), docSets, interCache)
   }
@@ -676,16 +714,7 @@ object Dedup {
     */
   def containmentBandedVerified(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100, rows: Int = 6, bands: Int = 21): DataFrame =
-    containmentBandedVerifiedOnFps(shingleFps(documents).persist(),
-      tauNum, tauDenom, rows, bands)
-
-  /** Body over an already-persisted fingerprint table (ownership
-    * transfers — the dispatcher's probe and this path share one
-    * shingling pass).
-    */
-  private def containmentBandedVerifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, rows: Int = 6, bands: Int = 21): DataFrame =
-    bandedVerifiedOnFps(tri, rows, bands)(
+    bandedVerifiedOnDocs(documents, rows, bands)(
       containmentVerify(_, _, tauNum, tauDenom))
 
   /** DEFAULT per-doc candidate budget for the stratified generator
@@ -834,7 +863,7 @@ object Dedup {
     * regime generator whose recall is containment-shaped, not
     * Jaccard-shaped. Returns (candidates, signatures), both
     * persisted; caller owns their release (the
-    * [[candVerifiedOnFps]] protocol).
+    * [[candVerifiedOnDocs]] protocol).
     *
     * The fixed symmetric banding ((6, 21) at τ_J ≈ 0.8) provably
     * misses the embedded-document pairs containment exists for: a
@@ -865,27 +894,48 @@ object Dedup {
     * background guard drops or degrades says so with its provisioned
     * recall.
     */
-  private def stratifiedCandidatesOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, maxGap: Int, bandBudget: Int,
+  private def stratifiedCandidatesOnDocs(docs: DataFrame,
+      tauNum: Int, tauDenom: Int, maxGap: Int, bandBudget: Int,
       candBudgetPerDoc: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     require(maxGap >= 0 && bandBudget >= 1 && bandBudget <= 128,
       s"maxGap=$maxGap, bandBudget=$bandBudget out of range")
     require(candBudgetPerDoc >= 1,
       s"candBudgetPerDoc must be >= 1, got $candBudgetPerDoc")
-    val sigs = tri.select(col("doc_id"), shiftright(col("h"), 32).as("h31"))
-      .groupBy(col("doc_id"))
-      .agg(column(graft.expressions.MinhashSignature(expression(col("h31")))
-          .toAggregateExpression()).as("mh"),
-        count(lit(1)).as("s"))
+    // per-doc table from the SHUFFLE-FREE per-row expression twins,
+    // not aggregates over an exploded fingerprint table (round 13):
+    // signature, distinct-shingle count, size class and the sorted
+    // verification array are all per-document values —
+    // MinhashTextSignature is spec-pinned bit-identical to the
+    // MinhashSignature aggregate over shiftright(h, 32), and
+    // ShingleFingerprints emits exactly the rows shingleFps would
+    // explode, ascending — so the whole operator now runs with zero
+    // corpus-sized exchanges outside the bucket join (measured
+    // cost-neutral at sf0.1 — strat_sigs_agg 0.37 s incremental vs
+    // strat_sigs_perrow 0.375 s standalone — and corpus-exchange-
+    // count cheaper at every larger scale); short docs (< 3 words)
+    // yield NULL signatures and are filtered, reproducing the
+    // aggregate's row set exactly.
+    val sigs = docs.select(col("doc_id"),
+        column(graft.expressions.MinhashTextSignature(
+          expression(col("text")))).as("mh"),
+        column(graft.expressions.ShingleFingerprints(
+          expression(col("text")))).as("hs"))
+      .filter(col("mh").isNotNull)
+      .withColumn("s", size(col("hs")).cast("long"))
       .withColumn("cls", floor(log2(col("s"))).cast("int"))
       .persist()
     try {
       // bounded probes ([[corpusProbe]] — shared with
       // ProfileStratBudget): the ≤64-row class histogram (which also
       // materializes the signature cache all 2(G+1) emission branches
-      // re-read) and the corpus background-similarity estimate
-      val probe = corpusProbe(sigs, tri)
+      // re-read) and the corpus background-similarity estimate — the
+      // occurrence/vocabulary aggregate reads a per-row re-shingling
+      // scan (one pass, no shuffle, no cache) instead of an exploded
+      // fingerprint table
+      val probe = corpusProbe(sigs, docs.select(
+        explode(column(graft.expressions.ShingleFingerprints(
+          expression(col("text"))))).as("h")))
       import probe.{hist, jBg, nDocs, pairsAtGap}
       val tau = tauNum.toDouble / tauDenom
       val picked = stratifiedArms(tau, maxGap, bandBudget, jBg, pairsAtGap,
@@ -980,18 +1030,8 @@ object Dedup {
   def containmentStratified(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100, maxGap: Int = 5, bandBudget: Int = 64,
       candBudgetPerDoc: Long = StratifiedCandBudgetPerDoc): DataFrame =
-    containmentStratifiedOnFps(shingleFps(documents).persist(),
-      tauNum, tauDenom, maxGap, bandBudget, candBudgetPerDoc)
-
-  /** Body over an already-persisted fingerprint table (ownership
-    * transfers — [[containmentAuto]]'s probe and this path share one
-    * shingling pass).
-    */
-  private def containmentStratifiedOnFps(tri: DataFrame, tauNum: Int,
-      tauDenom: Int, maxGap: Int = 5, bandBudget: Int = 64,
-      candBudgetPerDoc: Long = StratifiedCandBudgetPerDoc): DataFrame =
-    candVerifiedOnFps(tri,
-      stratifiedCandidatesOnFps(_, tauNum, tauDenom, maxGap, bandBudget,
+    candVerifiedOnDocs(documents,
+      stratifiedCandidatesOnDocs(_, tauNum, tauDenom, maxGap, bandBudget,
         candBudgetPerDoc))(
       containmentVerify(_, _, tauNum, tauDenom))
 
@@ -1021,8 +1061,13 @@ object Dedup {
     */
   def containmentAuto(documents: DataFrame, tauNum: Int = 80,
       tauDenom: Int = 100, allowProbabilistic: Boolean = true): DataFrame = {
-    val tri = shingleFps(documents).persist()
-    val dense = jaccardStrategyOnFps(tri, singletonMassCutover = 0.5) == "lsh"
+    // persist-free probe over the (sampled) shingling scan — neither
+    // downstream regime reads an exploded fingerprint table any more
+    // (round 13: the stratified path runs off per-row expressions,
+    // the prefix path re-shingles through its own window design), so
+    // the cache the probe used to pre-fill had no second reader
+    val dense =
+      jaccardStrategyOnFps(shingleFps(documents), singletonMassCutover = 0.5) == "lsh"
     if (dense && allowProbabilistic) {
       log.warn("containmentAuto: dense-vocabulary corpus — dispatching to " +
         "size-stratified banded candidates with EXACT verification " +
@@ -1036,34 +1081,15 @@ object Dedup {
         "containment posture'). Pass allowProbabilistic=false (or call " +
         "containmentPairsLsh directly) for the lossless rarest-prefix " +
         "generator and its quadratic dense-corpus cost.")
-      containmentStratifiedOnFps(tri, tauNum, tauDenom) // shares the probe's pass
+      containmentStratified(documents, tauNum, tauDenom)
     } else {
       if (dense)
         log.warn("containmentAuto: dense-vocabulary corpus but " +
           "allowProbabilistic=false — taking the lossless rarest-prefix " +
           "generator, whose probe-side shuffle is Θ(Σ df²) on a dense vocabulary.")
-      // the prefix generator's single-consumer window design is
-      // deliberately persist-free — release the probe's cache
-      tri.unpersist(blocking = false)
       containmentPairsLsh(documents, tauNum, tauDenom)
     }
   }
-
-  /** |shingles(doc1) ∩ shingles(doc2)| for given candidate pairs —
-    * ONE row per pair: each doc's (already-distinct) shingle
-    * fingerprints collect into a sorted array once, and the codegen'd
-    * two-pointer merge [[graft.expressions.SortedIntersectCount]]
-    * counts |A ∩ B| per candidate. The join-explode-regroup
-    * alternative shuffles (pairs × shingles) rows through two joins
-    * and a groupBy — 20 M+ rows for 150 k candidates at sf0.1 — where
-    * this shape shuffles exactly one row per candidate pair plus the
-    * doc-count-sized array table. Shared by every verify-a-candidate-
-    * set operator (containment LSH, the MinHash accuracy harness), so
-    * the exact-intersection contract has one implementation.
-    */
-  private def pairIntersections(cands: DataFrame, tri: DataFrame): (DataFrame, DataFrame) =
-    pairIntersectionsOnArrays(cands,
-      tri.groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs")))
 
   /** Shingle count of each doc's fingerprint ARRAY above which a pair
     * takes the explode-count fallback instead of hauling the array
@@ -1101,8 +1127,30 @@ object Dedup {
     * to [[materializeAndRelease]] so nothing outlives the operator.
     */
   private def pairIntersectionsOnArrays(cands: DataFrame, docArr: DataFrame,
-      cap: Int = MaxMergeArrayLen): (DataFrame, DataFrame) = {
+      cap: Int = MaxMergeArrayLen,
+      mayHaveOversized: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    // Fast path (round 13): when the caller has already proved from
+    // its per-doc sizes that NO document exceeds the cap (the
+    // overwhelmingly common case), the whole guard apparatus —
+    // when-capping, the intermediate persist and the construction-time
+    // isNull probe job that existed only to decide whether the
+    // fallback branch is needed — drops out, and the verification
+    // join runs exactly once, lazily, inside the final plan. Output
+    // identical by construction: with no oversized doc the capped
+    // array IS the array and the fallback branch was provably empty.
+    if (!mayHaveOversized) {
+      val inter = cands.select(col("doc1"), col("doc2"))
+        .join(docArr.select(col("doc_id").as("doc1"), col("hs").as("hs1")), Seq("doc1"))
+        .join(docArr.select(col("doc_id").as("doc2"), col("hs").as("hs2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          column(graft.expressions.SortedIntersectCount(
+            expression(col("hs1")), expression(col("hs2")))).as("inter"))
+      // nothing persisted on this path — the second slot is handed to
+      // materializeAndRelease, where unpersist on an unpersisted
+      // frame is a no-op
+      return (inter, inter)
+    }
     val capped = docArr.select(col("doc_id"),
       when(size(col("hs")) <= cap, col("hs")).as("hs"))
     val inter0 = cands.select(col("doc1"), col("doc2"))
@@ -1305,18 +1353,30 @@ object Dedup {
     * fused shingle-fingerprint scan the exact operators use.
     */
   def minhashEstEval(documents: DataFrame, minEst: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
     val cands = minhashLsh(documents, minEst)
-    // persisted: sizes + both intersection arms read it — without
-    // this the fused shingling scan would run three times (the same
-    // reason ngramJaccard persists its shingle table)
-    val sh = shingleFps(documents).select(col("doc_id"), col("h")).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    // per-doc sorted fingerprint arrays from the per-row expression —
+    // ONE narrow columnar cache serves sizes, both verification join
+    // sides and the oversize probe, where the previous shape exploded
+    // a corpus-sized (doc_id, h) cache and re-aggregated it per
+    // consumer (round 13; ShingleFingerprints emits ascending
+    // distinct fps = sort_array(collect_list(h)) of that table by
+    // construction)
+    val perDoc = documents.select(col("doc_id"),
+        column(graft.expressions.ShingleFingerprints(
+          expression(col("text")))).as("hs"))
+      .withColumn("s", size(col("hs")).cast("long"))
+      .persist()
+    val sizes = perDoc.select(col("doc_id"), col("s"))
     // exact intersections via the shared sorted-merge verifier — one
     // row per candidate pair, no pair×shingle explosion
     // same construction-time-probe caveat as containmentPairsLsh
     val (inter, interCache) =
-      try pairIntersections(cands, sh)
-      catch { case t: Throwable => sh.unpersist(blocking = false); throw t }
+      try {
+        val mayBig = !perDoc.filter(col("s") > MaxMergeArrayLen).isEmpty
+        pairIntersectionsOnArrays(cands, perDoc.select(col("doc_id"), col("hs")),
+          mayHaveOversized = mayBig)
+      } catch { case t: Throwable => perDoc.unpersist(blocking = false); throw t }
     materializeAndRelease(cands
       .join(inter, Seq("doc1", "doc2"), "left")
       .join(sizes.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
@@ -1329,7 +1389,7 @@ object Dedup {
         col("exact_jaccard"),
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
       .orderBy(col("doc1"), col("doc2")),
-      sh, interCache)
+      perDoc, interCache)
   }
 
   /** URL-canonicalization dedup: normalize each document's (synthetic,

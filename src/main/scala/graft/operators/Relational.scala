@@ -377,23 +377,37 @@ object Relational {
       Caching.materializeAndRelease(result, hist)
     }
 
-  /** The small-input shape: one flag-partitioned cumulative window
-    * over the value histogram (both window functions share a single
-    * exchange + sort). Value-equal to the two-level plan.
+  /** The small-input shape: one flag-partitioned window directly over
+    * the raw rows — row_number stands in for the cumulative count
+    * (max rn among rows of value v IS cum(v), so `min value whose rn
+    * satisfies the cut` = `min value whose cum satisfies` — the
+    * boundary value's last duplicate carries the qualifying rank, and
+    * every smaller value's ranks all fall short). Value-equal to the
+    * histogram + prefix-sum formulation, which round 13 measured as a
+    * pure extra exchange here: l_extendedprice is 99% distinct at
+    * this scale (600 k rows → 594 k histogram rows), so the
+    * groupBy(flag, value) pre-aggregate shrank nothing and the window
+    * sorted the same row count anyway. The at-scale two-level plan
+    * keeps its histogram — there the bucketing needs it.
     */
   private def q20SingleLevel(lineitem: DataFrame): DataFrame = {
-    val hist = lineitem.groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("c"))
     val wf = Window.partitionBy(col("l_returnflag"))
-    val cum = hist
-      .withColumn("n", sum(col("c")).over(wf))
-      .withColumn("cum", sum(col("c")).over(wf.orderBy(col("l_extendedprice"))))
-    val exact = cum.groupBy(col("l_returnflag"))
-      .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
-        min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
+    val ranked = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("rn", row_number().over(wf.orderBy(col("l_extendedprice"))))
+    val exact = ranked.groupBy(col("l_returnflag"))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
+        min(when(col("rn") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
+    // ONE array-form sketch, not two scalar calls: approx_percentile's
+    // GK summary is built from the data alone (the queried quantiles
+    // only index the finished sketch), so two scalar aggregates build
+    // two IDENTICAL sketches and the array form returns the same two
+    // values for half the insertion work (round 13, ProfileOpt:
+    // sketch branch 0.59 s of q20's 2.37 s at sf0.1).
     val sketches = lineitem.groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pa"))
+      .select(col("l_returnflag"), col("pa").getItem(0).as("p50_approx"),
+        col("pa").getItem(1).as("p95_approx"))
     exact.join(sketches, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50"), col("p95"),
         (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),
@@ -457,9 +471,11 @@ object Relational {
     val exact = cum.groupBy(col("l_returnflag"))
       .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
         min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
+    // same single-sketch array form as the small-input branch (round 13)
     val sketches = lineitem.groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_approx"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pa"))
+      .select(col("l_returnflag"), col("pa").getItem(0).as("p50_approx"),
+        col("pa").getItem(1).as("p95_approx"))
     (exact.join(sketches, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50"), col("p95"),
         (abs(col("p50_approx") - col("p50")) <= col("p50") * lit(0.05)).as("p50_ok"),

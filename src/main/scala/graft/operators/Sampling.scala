@@ -131,14 +131,22 @@ object Sampling {
     * the broadcast holds at 100 TB.
     */
   def dsirStats(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
-    val tfT = graft.operators.TextOps.unigramStats(
-      documents.filter(col("source") === targetSource)).withColumnRenamed("tf", "tf_t")
-    val tfG = graft.operators.TextOps.unigramStats(
-      documents.filter(col("source") =!= targetSource)).withColumnRenamed("tf", "tf_g")
-    val vocab = tfT.join(tfG, Seq("w"), "full_outer")
-      .select(col("w"),
-        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
-        coalesce(col("tf_g"), lit(0L)).as("tf_g"))
+    // ONE corpus explode with a conditional count per LM, not two
+    // filtered unigramStats passes glued by a full-outer join (round
+    // 13): the two-pass shape scanned + exploded the corpus twice and
+    // paid a vocabulary-sized sort-merge join for what is a single
+    // groupBy(w) with two conditional sums. Same table by
+    // construction — a word seen only in one LM gets 0 from the other
+    // sum exactly where the old coalesce(full_outer) put it. The
+    // isNotNull filter reproduces the old predicate pair's null
+    // semantics (`=== target` and `=!= target` both drop NULL-source
+    // rows).
+    val vocab = documents.filter(col("source").isNotNull)
+      .select((col("source") === targetSource).as("t"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("tf_t"),
+        sum(when(col("t"), 0L).otherwise(1L)).as("tf_g"))
     val scal = vocab.agg(sum(col("tf_t")).as("n_t"), sum(col("tf_g")).as("n_g"),
       count(lit(1)).as("v"))
     vocab.crossJoin(broadcast(scal))
