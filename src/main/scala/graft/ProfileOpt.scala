@@ -68,6 +68,10 @@ object ProfileOpt {
     }
     time("dd_ngram_jaccard_full")(noop(Dedup.ngramJaccard(docs)))
     time("dd_containment_full")(noop(Dedup.containmentPairs(docs)))
+    time("dd_containment_lsh_full")(noop(Dedup.containmentPairsLsh(docs)))
+    time("dd_containment_auto_full")(noop(Dedup.containmentAuto(docs)))
+    time("samp_dsir_full")(
+      noop(graft.operators.Sampling.dsirScore(t.documents)))
 
     // ---- LSH / banded family ----
     time("probe_strategy") { Dedup.jaccardStrategy(docs); () }

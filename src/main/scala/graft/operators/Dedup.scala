@@ -449,12 +449,18 @@ object Dedup {
     val sizes = sigs.select(col("doc_id"), col("s"))
     // oversize probe on the per-doc cache (first materialization of a
     // cache every later stage reads anyway): with no doc above the
-    // cap, pairIntersectionsOnArrays skips its guard apparatus —
-    // construction-time job, so clean up the generator's caches on
-    // failure
+    // cap, pairIntersectionsOnArrays skips its guard apparatus. ONE
+    // aggregate job, not filter(...).isEmpty — an (almost always)
+    // empty-result limit probe runs CollectLimit's incremental
+    // partition batches, and with AQE inside a not-yet-materialized
+    // cache each batch re-ran the upstream work (measured +47 s at
+    // sf1 on the prefix generator's window). Construction-time job,
+    // so clean up the generator's caches on failure.
     val mayBig =
-      try !sigs.filter(col("s") > MaxMergeArrayLen).isEmpty
-      catch { case t: Throwable =>
+      try {
+        val mx = sigs.agg(max(col("s"))).head()
+        !mx.isNullAt(0) && mx.getLong(0) > MaxMergeArrayLen
+      } catch { case t: Throwable =>
         Seq(sigs, cands).foreach(_.unpersist(blocking = false))
         throw t
       }
@@ -672,16 +678,22 @@ object Dedup {
     // extra corpus shuffle for the sorted-merge verifier's input)
     val docArr = docSets.select(col("doc_id"), array_sort(col("harr")).as("hs"))
     val sizes = docSets.select(col("doc_id"), col("s"))
-    // oversize probe on the persisted doc sets (round 13): with no doc
-    // above the merge cap — the overwhelmingly common case — the
-    // verifier skips its capping/persist/probe guard apparatus
-    // entirely; construction-time jobs, so release docSets on failure
-    // (materializeAndRelease's finally is never reached)
+    // NO oversize pre-probe here, deliberately (round 13): any
+    // construction-time materialization of docSets — limit probe OR a
+    // one-job max() — measured ~2–6× on this operator at sf1 (9.9 s
+    // un-probed vs 19–57 s probed, flat controls): the array-heavy
+    // window+agg cache behind docSets fills far cheaper fused into
+    // the single adaptive execution of the candidate chain than as a
+    // standalone first job. The guard apparatus (cap + persist +
+    // isNull probe) stays — its cost measured nil here (9.9 s with vs
+    // 10.5 s without), unlike the per-row-cache paths where the
+    // probed fast path ships (candVerifiedOnDocs).
+    // pairIntersectionsOnArrays runs a construction-time probe job; if
+    // it throws, release docSets here (materializeAndRelease's finally
+    // is never reached)
     val (inter, interCache) =
-      try {
-        val mayBig = !docSets.filter(col("s") > MaxMergeArrayLen).isEmpty
-        pairIntersectionsOnArrays(cands, docArr, mayHaveOversized = mayBig)
-      } catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
+      try pairIntersectionsOnArrays(cands, docArr)
+      catch { case t: Throwable => docSets.unpersist(blocking = false); throw t }
     materializeAndRelease(
       containmentVerify(inter, sizes, tauNum, tauDenom), docSets, interCache)
   }
@@ -1373,7 +1385,10 @@ object Dedup {
     // same construction-time-probe caveat as containmentPairsLsh
     val (inter, interCache) =
       try {
-        val mayBig = !perDoc.filter(col("s") > MaxMergeArrayLen).isEmpty
+        // one-job max() probe, not an incremental limit — see
+        // candVerifiedOnDocs
+        val mx = perDoc.agg(max(col("s"))).head()
+        val mayBig = !mx.isNullAt(0) && mx.getLong(0) > MaxMergeArrayLen
         pairIntersectionsOnArrays(cands, perDoc.select(col("doc_id"), col("hs")),
           mayHaveOversized = mayBig)
       } catch { case t: Throwable => perDoc.unpersist(blocking = false); throw t }
