@@ -392,9 +392,13 @@ object Relational {
     */
   private def q20SingleLevel(lineitem: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("l_returnflag"))
+    // ranked window FIRST: the unordered count frame only needs
+    // flag-clustering, which the (flag, price) sort below it already
+    // provides — this order plans one sort; the reverse planned a
+    // second flag-only sort under the count window
     val ranked = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("n", count(lit(1)).over(wf))
       .withColumn("rn", row_number().over(wf.orderBy(col("l_extendedprice"))))
+      .withColumn("n", count(lit(1)).over(wf))
     val exact = ranked.groupBy(col("l_returnflag"))
       .agg(min(when(col("rn") * 2 >= col("n"), col("l_extendedprice"))).as("p50"),
         min(when(col("rn") * 20 >= col("n") * 19, col("l_extendedprice"))).as("p95"))
