@@ -128,6 +128,29 @@ class DedupSpec extends AnyFunSuite {
     assert(s > Dedup.MaxMergeArrayLen, s"fixture too small: $s shingles")
   }
 
+  test("mega-document guard on the banded path: oversized pair verifies via fallback, identical output") {
+    // round 13: candVerifiedOnDocs decides from the per-doc sizes
+    // whether the oversize guard apparatus is needed at all
+    // (mayHaveOversized probe). This pins the TRUE branch end-to-end:
+    // two near-identical docs above MaxMergeArrayLen must surface
+    // through the banded path's explode-count fallback with output
+    // exactly equal to the direct count-join — i.e. the probed fast
+    // path never silently drops the guard when it IS needed.
+    val rnd = new scala.util.Random(11)
+    val bigWords = (0 until 70000).map(i => s"m${i}_${rnd.nextInt(3)}")
+    val big = bigWords.mkString(" ")
+    val bigNear = (bigWords.take(69000) ++ Seq("zzq", "yyq")).mkString(" ")
+    val corpus = docs(1L -> big, 2L -> bigNear, 3L -> distinct1)
+    val viaBanded = Dedup.jaccardLshVerified(corpus).collect().map(_.toSeq).toSeq
+    val direct = Dedup.ngramJaccard(corpus).collect().map(_.toSeq).toSeq
+    assert(viaBanded == direct)
+    assert(viaBanded.map(r => (r(0), r(1))) == Seq((1L, 2L)))
+    val sBig = Dedup.shingleFps(corpus.filter(corpus("doc_id") === 1L)).count()
+    val sNear = Dedup.shingleFps(corpus.filter(corpus("doc_id") === 2L)).count()
+    assert(sBig > Dedup.MaxMergeArrayLen && sNear > Dedup.MaxMergeArrayLen,
+      s"fixture too small: $sBig / $sNear shingles")
+  }
+
   test("containment threshold cuts pairs below tau") {
     // ~half of distinct1's shingles shared → containment ≈ 0.5 < 0.8 cut
     val halfOverlap = {
