@@ -177,6 +177,88 @@ object ProfileOpt {
     time("dd_strat_budget16_full")(
       noop(Dedup.containmentStratified(docs, candBudgetPerDoc = 16L)))
 
+    // ---- stratified generator stage A/B (round 14): the single-scan
+    // multi-arm emitter vs the round-13 per-(arm, role) union,
+    // candidate generation isolated from sigs fill / probe /
+    // verification so the diff prices exactly the plan shape that
+    // changed ----
+    {
+      def sigsPerRow(): DataFrame = docs.select(col("doc_id"),
+          column(graft.expressions.MinhashTextSignature(
+            expression(col("text")))).as("mh"),
+          column(graft.expressions.ShingleFingerprints(
+            expression(col("text")))).as("hs"))
+        .filter(col("mh").isNotNull)
+        .withColumn("s", size(col("hs")).cast("long"))
+        .withColumn("cls", floor(log2(col("s"))).cast("int"))
+      time("strat_sigs_fill") { sigsPerRow().persist().count(); () }
+      def probed(budget: Long) = {
+        val sigs = sigsPerRow().persist()
+        val probe = Dedup.corpusProbe(sigs, docs.select(
+          explode(column(graft.expressions.ShingleFingerprints(
+            expression(col("text"))))).as("h")))
+        val arms = Dedup.stratifiedArms(0.8, 5, 64, probe.jBg, probe.pairsAtGap,
+            budget.toDouble * math.max(probe.nDocs, 1L))
+          .collect { case Right(a) => a }
+          .filter(a => probe.pairsAtGap(a.g) > 0)
+        val occupied = probe.hist.keySet
+        (sigs, arms, occupied)
+      }
+      time("strat_probe") { probed(16L); () }
+      def candsOf(small: DataFrame, large: DataFrame): DataFrame =
+        small.toDF("doc_a", "ci", "cj", "band_idx", "band_hash")
+          .join(large.toDF("doc_b", "ci", "cj", "band_idx", "band_hash"),
+            Seq("ci", "cj", "band_idx", "band_hash"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc1"),
+            greatest(col("doc_a"), col("doc_b")).as("doc2"))
+          .distinct()
+      def armCands(budget: Long, viaEmit: Boolean): Unit = {
+        val (sigs, arms, occupied) = probed(budget)
+        def emitUnion(asSmall: Boolean): Seq[DataFrame] = arms.flatMap { arm =>
+          val eligible =
+            (if (asSmall) occupied.filter(c => occupied.contains(c + arm.g))
+             else occupied.filter(c => occupied.contains(c - arm.g))).toSeq
+          val base =
+            if (asSmall) sigs.filter(col("cls").isin(eligible: _*))
+              .select(col("doc_id"), col("cls").as("ci"),
+                (col("cls") + arm.g).as("cj"), col("mh"))
+            else sigs.filter(col("cls").isin(eligible: _*))
+              .select(col("doc_id"), (col("cls") - arm.g).as("ci"),
+                col("cls").as("cj"), col("mh"))
+          if (eligible.isEmpty || (arm.g == 0 && !asSmall)) None
+          else Some(base.select(col("doc_id"), col("ci"), col("cj"),
+            posexplode(column(graft.expressions.BandHashes(
+              expression(col("mh")), arm.r, arm.b))))
+            .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
+        }
+        def emitExpr(asSmall: Boolean): DataFrame = {
+          val mask = occupied.filter(c => c >= 0 && c < 64)
+            .foldLeft(0L)((m, c) => m | (1L << c))
+          sigs.select(col("doc_id"),
+              explode(column(graft.expressions.StratBandEmit(
+                expression(col("mh")), expression(col("cls")),
+                arms.map(a => (a.g, a.r, a.b)), mask, asSmall))).as("e"))
+            .select(col("doc_id"), col("e.ci").as("ci"), col("e.cj").as("cj"),
+              col("e.band_idx").as("band_idx"), col("e.band_hash").as("band_hash"))
+        }
+        if (viaEmit) noop(candsOf(emitExpr(true), emitExpr(false)))
+        else noop(candsOf(
+          emitUnion(true).reduceLeft(_ unionByName _),
+          (emitUnion(false) ++ arms.filter(_.g == 0).map { arm =>
+            sigs.select(col("doc_id"), col("cls").as("ci"),
+              (col("cls") + arm.g).as("cj"),
+              posexplode(column(graft.expressions.BandHashes(
+                expression(col("mh")), arm.r, arm.b))))
+              .toDF("doc_id", "ci", "cj", "band_idx", "band_hash")
+          }).reduceLeft(_ unionByName _)))
+      }
+      time("strat_cands_union_b4")(armCands(4L, viaEmit = false))
+      time("strat_cands_emit_b4")(armCands(4L, viaEmit = true))
+      time("strat_cands_union_b16")(armCands(16L, viaEmit = false))
+      time("strat_cands_emit_b16")(armCands(16L, viaEmit = true))
+    }
+
     // ---- count-join A/B arms (the measured dominant stage of the
     // exact Jaccard/containment family): same (doc1, doc2, inter)
     // result, different physical shape ----

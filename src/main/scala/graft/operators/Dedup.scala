@@ -890,8 +890,10 @@ object Dedup {
     * row with a large-role row on (classᵢ, classⱼ, band, hash).
     *
     * Scale shape: emission is O(n · Σ b_g) rows of fixed width —
-    * linear, 12-way unionized reads of one persisted signature
-    * aggregate; the bucket join keys on (class pair, band, hash), so
+    * linear, ONE multi-arm emitter expression per role over the
+    * persisted per-doc signature cache (round 14; previously a
+    * 2·(G+1)-branch union re-scanning that cache once per (arm,
+    * role)); the bucket join keys on (class pair, band, hash), so
     * collisions beyond true pairs are governed by the measured
     * background similarity, which the arm selection bounds to
     * [[StratifiedCandBudgetPerDoc]]·n expected rows. Two bounded
@@ -972,49 +974,42 @@ object Dedup {
         f"g=${a.g}:(r=${a.r},b=${a.b},recall=${a.recall}%.3f)")
         .mkString("containmentStratified arms: ", " ", ""))
       val occupied = hist.keySet
-      def emit(arm: StratArm, asSmall: Boolean): Option[DataFrame] = {
-        // emit a role only for classes whose PARTNER class actually
-        // holds documents: a gap-g small-role row from class c joins
-        // nothing unless class c+g is occupied, and emission is the
-        // generator's dominant cost (b bands × every doc in the
-        // class) — zero-partner roles emitted tens of GB for empty
-        // joins before this filter (measured, round 10)
-        val eligible =
-          (if (asSmall) occupied.filter(c => occupied.contains(c + arm.g))
-           else occupied.filter(c => occupied.contains(c - arm.g))).toSeq
-        val base =
-          if (asSmall) sigs.filter(col("cls").isin(eligible: _*))
-            .select(col("doc_id"), col("cls").as("ci"),
-              (col("cls") + arm.g).as("cj"), col("mh"))
-          else sigs.filter(col("cls").isin(eligible: _*))
-            .select(col("doc_id"), (col("cls") - arm.g).as("ci"),
-              col("cls").as("cj"), col("mh"))
-        if (eligible.isEmpty || (arm.g == 0 && !asSmall)) None
-        else Some(base.select(col("doc_id"), col("ci"), col("cj"),
-          posexplode(column(graft.expressions.BandHashes(
-            expression(col("mh")), arm.r, arm.b))))
-          .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
-      }
-      val smallSides = arms.flatMap(emit(_, asSmall = true))
-      // the gap-0 arm joins small-role against small-role (both
-      // orientations collapse below); gap>0 arms join small vs large
-      val largeSides = arms.flatMap(emit(_, asSmall = false)) ++
-        arms.filter(_.g == 0).flatMap(emit(_, asSmall = true))
-      val cands = if (smallSides.isEmpty || largeSides.isEmpty) {
+      // single-scan multi-arm band emitter (round 14): ONE expression
+      // emits every kept arm's (ci, cj, band_idx, band_hash) keys for
+      // a role — the previous shape unioned one
+      // filter+posexplode(BandHashes) branch per (arm, role), i.e. up
+      // to 2·(G+1) re-scans of the signature cache; the partner-class
+      // eligibility filters (a gap-g small-role row from class c joins
+      // nothing unless class c+g is occupied — zero-partner roles
+      // emitted tens of GB for empty joins before that filter,
+      // measured round 10) fold into the expression's occupied-mask
+      // test, and the emitted rows are bit-identical per arm
+      // (StratBandEmit delegates to BandHashes.compute, spec-pinned
+      // against the union reference)
+      val occupiedMask = occupied.filter(c => c >= 0 && c < 64)
+        .foldLeft(0L)((m, c) => m | (1L << c))
+      val armSpec = arms.map(a => (a.g, a.r, a.b))
+      def roleSide(asSmall: Boolean): DataFrame =
+        sigs.select(col("doc_id"),
+            explode(column(graft.expressions.StratBandEmit(
+              expression(col("mh")), expression(col("cls")),
+              armSpec, occupiedMask, asSmall))).as("e"))
+          .select(col("doc_id"), col("e.ci").as("ci"), col("e.cj").as("cj"),
+            col("e.band_idx").as("band_idx"), col("e.band_hash").as("band_hash"))
+      val cands = if (arms.isEmpty) {
         // every arm dropped (a corpus whose background similarity
-        // swamps even gap 0) or no occupied class pair: no
-        // sub-quadratic candidates exist — surface an empty candidate
-        // set, never a silent n² join
-        if (arms.isEmpty)
-          log.warn("containmentStratified: ALL arms dropped — emitting no " +
-            "candidates. Use containmentPairsLsh (lossless) or raise the budget.")
+        // swamps even gap 0): no sub-quadratic candidates exist —
+        // surface an empty candidate set, never a silent n² join
+        log.warn("containmentStratified: ALL arms dropped — emitting no " +
+          "candidates. Use containmentPairsLsh (lossless) or raise the budget.")
         sigs.select(col("doc_id").as("doc1"), col("doc_id").as("doc2"))
           .filter(lit(false)).persist()
       } else {
-        val smallSide = smallSides.reduceLeft(_ unionByName _)
-        val largeSide = largeSides.reduceLeft(_ unionByName _)
-        smallSide.toDF("doc_a", "ci", "cj", "band_idx", "band_hash")
-          .join(largeSide.toDF("doc_b", "ci", "cj", "band_idx", "band_hash"),
+        // gap-0 rows join small-role against small-role (both
+        // orientations collapse below); gap>0 arms join small vs large
+        roleSide(asSmall = true).toDF("doc_a", "ci", "cj", "band_idx", "band_hash")
+          .join(roleSide(asSmall = false)
+              .toDF("doc_b", "ci", "cj", "band_idx", "band_hash"),
             Seq("ci", "cj", "band_idx", "band_hash"))
           .filter(col("doc_a") =!= col("doc_b"))
           .select(least(col("doc_a"), col("doc_b")).as("doc1"),

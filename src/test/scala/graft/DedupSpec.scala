@@ -777,6 +777,88 @@ class DedupSpec extends AnyFunSuite {
     assert(floored(2) == Left(2))
   }
 
+  test("StratBandEmit is bit-identical to the per-(arm, role) union it replaced") {
+    // the round-14 single-scan emitter vs the round-13 shape: one
+    // filter+posexplode(BandHashes) branch per (arm, role), unioned.
+    // Same corpus-derived per-doc table both ways; every emitted
+    // (doc_id, ci, cj, band_idx, band_hash) row must match exactly,
+    // including the partner-class eligibility gating and the gap-0
+    // small-role rows routing to the LARGE side.
+    import org.apache.spark.sql.functions.{col, explode, floor, least, lit, log2, posexplode, size}
+    import org.apache.spark.sql.graftinternal.ColumnBridge.{column, expression}
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def randDoc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // classes with a HOLE (no docs around class of ~2000 words missing):
+    // sizes ~8, ~60, ~120 words → classes differ; gap-3 partners absent
+    val corpus = docs(((1L to 8L).map(i => i -> randDoc(8)) ++
+      (9L to 14L).map(i => i -> randDoc(60)) ++
+      (15L to 18L).map(i => i -> randDoc(130))): _*)
+    val sigs = corpus.select(col("doc_id"),
+        column(graft.expressions.MinhashTextSignature(
+          expression(col("text")))).as("mh"),
+        column(graft.expressions.ShingleFingerprints(
+          expression(col("text")))).as("hs"))
+      .filter(col("mh").isNotNull)
+      .withColumn("s", size(col("hs")).cast("long"))
+      .withColumn("cls", floor(log2(col("s"))).cast("int"))
+      .persist()
+    val occupied = sigs.select(col("cls")).distinct().collect().map(_.getInt(0)).toSet
+    assert(occupied.size >= 3, s"fixture broken: classes $occupied")
+    val arms = Seq((0, 2, 23), (1, 1, 61), (2, 1, 61), (5, 1, 64))
+    // ---- reference: the union shape, verbatim from round 13 ----
+    def unionRef(asSmall: Boolean): Seq[DataFrame] = arms.flatMap { case (g, r, b) =>
+      val eligible =
+        (if (asSmall) occupied.filter(c => occupied.contains(c + g))
+         else occupied.filter(c => occupied.contains(c - g))).toSeq
+      val base =
+        if (asSmall) sigs.filter(col("cls").isin(eligible: _*))
+          .select(col("doc_id"), col("cls").as("ci"), (col("cls") + g).as("cj"), col("mh"))
+        else sigs.filter(col("cls").isin(eligible: _*))
+          .select(col("doc_id"), (col("cls") - g).as("ci"), col("cls").as("cj"), col("mh"))
+      if (eligible.isEmpty || (g == 0 && !asSmall)) None
+      else Some(base.select(col("doc_id"), col("ci"), col("cj"),
+        posexplode(column(graft.expressions.BandHashes(expression(col("mh")), r, b))))
+        .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
+    }
+    val refSmall = unionRef(asSmall = true).reduceLeft(_ unionByName _)
+    val refLarge = (unionRef(asSmall = false) ++
+      arms.filter(_._1 == 0).flatMap { case (g, r, b) =>
+        unionRef(asSmall = true).headOption.map(_ => // gap-0 small rows verbatim
+          sigs.select(col("doc_id"), col("cls").as("ci"), (col("cls") + g).as("cj"),
+            posexplode(column(graft.expressions.BandHashes(expression(col("mh")), r, b))))
+            .toDF("doc_id", "ci", "cj", "band_idx", "band_hash"))
+      }).reduceLeft(_ unionByName _)
+    // ---- the emitter ----
+    val mask = occupied.filter(c => c >= 0 && c < 64).foldLeft(0L)((m, c) => m | (1L << c))
+    def emitted(asSmall: Boolean): DataFrame =
+      sigs.select(col("doc_id"),
+          explode(column(graft.expressions.StratBandEmit(
+            expression(col("mh")), expression(col("cls")), arms, mask, asSmall))).as("e"))
+        .select(col("doc_id"), col("e.ci").as("ci"), col("e.cj").as("cj"),
+          col("e.band_idx").as("band_idx"), col("e.band_hash").as("band_hash"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sorted
+    def diffCheck(label: String, got: Seq[(Long, Int, Int, Int, Option[Long])],
+        want: Seq[(Long, Int, Int, Int, Option[Long])]): Unit =
+      assert(got == want, s"$label: sizes ${got.size} vs ${want.size}; " +
+        s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    diffCheck("small role", rows(emitted(asSmall = true)), rows(refSmall))
+    diffCheck("large role", rows(emitted(asSmall = false)), rows(refLarge))
+    // and a short signature nulls the overflow bands exactly like
+    // posexplode(BandHashes): band_hash null, the row still emitted
+    val shortMh = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1L, 2L, 3L))
+    val out = graft.expressions.StratBandEmit
+      .compute(shortMh, 3, Array(0, 2, 23), 1L << 3, asSmall = true)
+    assert(out.numElements() == 23)
+    val first = out.getStruct(0, 4)
+    val last = out.getStruct(22, 4)
+    assert(!first.isNullAt(3) && last.isNullAt(3))
+    sigs.unpersist()
+  }
+
   test("stratified containment finds the embedded doc symmetric banding misses on a DENSE corpus") {
     // the round-8 carried gap, now structural: a dense-vocabulary
     // corpus (the banded regime) with a planted high-containment /
